@@ -1,0 +1,155 @@
+"""ST1 — sequential inventory allocation with cancellation feedback.
+
+Reference semantics (``/root/reference/src/data_processor.py:395-453``):
+items are processed strictly in arrival order; an item is fulfilled (stock
+decremented) iff remaining stock >= requested qty, otherwise the line is
+cancelled (quantity=0) and — crucially — frees no stock, so a *later*
+smaller request can still succeed. That feedback makes the operator
+inexpressible as a window/cumulative sum (SURVEY §4.3): a prefix-sum model
+diverges as soon as one line cancels.
+
+Spark-first design: stock of product A never affects product B, so the
+only sequential dependency is *within* a product key. We therefore
+``groupBy(key).applyInPandas`` — parallel across keys (scales with the
+number of distinct products, i.e. perfectly at 100 TB where the dimension
+is wide), sequential inside a key (the semantic requirement, not an
+implementation shortcut). The reference instead runs ONE Python loop over
+ALL collected rows on the driver (``src/data_processor.py:389``).
+
+Scale posture:
+- one shuffle on the key column (same cost as any keyed aggregation);
+- Arrow batches in/out; the per-group loop is a tight numpy int loop;
+- skewed keys (one product with billions of lines) would serialize — for
+  that shape, pre-partition by (key, coarse time bucket) and run the
+  operator per bucket with carried-in opening stock (helper below).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def allocate_sequential(
+    requests: DataFrame,
+    *,
+    key_col: str,
+    seq_cols: Sequence[str],
+    qty_col: str,
+    stock_col: str,
+) -> DataFrame:
+    """Greedily allocate ``qty_col`` against ``stock_col`` per ``key_col``.
+
+    ``requests`` must already carry the opening stock per key (join the
+    dimension before calling; broadcast it — it is the small side).
+
+    Returns the input columns plus:
+      - ``quantity`` (int): fulfilled qty (0 when cancelled);
+      - ``cancelled`` (int 0/1);
+      - ``stock_after`` (long): remaining stock after this line.
+    """
+    seq_cols = list(seq_cols)
+    out_schema = StructType(
+        requests.schema.fields
+        + [
+            StructField("quantity", IntegerType(), False),
+            StructField("cancelled", IntegerType(), False),
+            StructField("stock_after", LongType(), False),
+        ]
+    )
+    in_cols = [f.name for f in requests.schema.fields]
+
+    def _allocate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_cols, kind="mergesort").reset_index(drop=True)
+        qty = pdf[qty_col].to_numpy(dtype=np.int64)
+        stock = int(pdf[stock_col].iloc[0])
+        n = len(pdf)
+        fulfilled = np.zeros(n, dtype=np.int64)
+        cancelled = np.zeros(n, dtype=np.int64)
+        stock_after = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            q = qty[i]
+            if q <= stock:
+                stock -= q
+                fulfilled[i] = q
+            else:
+                cancelled[i] = 1
+            stock_after[i] = stock
+        out = pdf[in_cols].copy()
+        out["quantity"] = fulfilled.astype(np.int32)
+        out["cancelled"] = cancelled.astype(np.int32)
+        out["stock_after"] = stock_after
+        return out
+
+    return requests.groupBy(key_col).applyInPandas(_allocate, schema=out_schema)
+
+
+def allocate_windowed(
+    requests: DataFrame,
+    *,
+    key_col: str,
+    seq_cols: Sequence[str],
+    qty_col: str,
+    stock_col: str,
+) -> DataFrame:
+    """W2 — the *approximate* allocation as a pure window cumulative sum.
+
+    No cancellation feedback: a line is fulfilled iff the running total of
+    ALL requested qty so far (fulfilled or not) fits in the opening stock.
+    Fully declarative (single window, whole-stage codegen, no Python), and
+    exactly right until the first cancellation per key — useful as the
+    cheap first pass and as the documented contrast to
+    :func:`allocate_sequential` (SURVEY §4.3).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*seq_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(qty_col).cast("long")).over(w)
+    fulfilled = cum <= F.col(stock_col).cast("long")
+    return requests.select(
+        "*",
+        F.when(fulfilled, F.col(qty_col).cast("int")).otherwise(F.lit(0)).alias("quantity"),
+        F.when(fulfilled, F.lit(0)).otherwise(F.lit(1)).alias("cancelled"),
+        F.greatest(
+            F.col(stock_col).cast("long") - cum, F.lit(0).cast("long")
+        ).alias("stock_after"),
+    )
+
+
+def allocate_python_oracle(
+    rows: list[dict],
+    *,
+    key: str,
+    seq: Sequence[str],
+    qty: str,
+    stock: str,
+) -> list[dict]:
+    """Tiny driver-side simulator used ONLY by tests as an independent
+    oracle for :func:`allocate_sequential` (mirrors the reference loop
+    semantics at src/data_processor.py:427-440 without any Spark)."""
+    out = []
+    remaining: dict = {}
+    for r in sorted(rows, key=lambda r: tuple(r[c] for c in seq)):
+        k = r[key]
+        if k not in remaining:
+            remaining[k] = int(r[stock])
+        q = int(r[qty])
+        rec = dict(r)
+        if q <= remaining[k]:
+            remaining[k] -= q
+            rec["quantity"], rec["cancelled"] = q, 0
+        else:
+            rec["quantity"], rec["cancelled"] = 0, 1
+        rec["stock_after"] = remaining[k]
+        out.append(rec)
+    return out

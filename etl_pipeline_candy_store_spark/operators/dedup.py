@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, token-set, n-gram Jaccard, MinHash-LSH,
+SimHash. All expressed with built-in DataFrame ops (explode / groupBy /
+join) so they distribute; every variant carries an exact DuckDB oracle.
+
+Scale notes:
+- Exact & token-set dedup: one shuffle on the fingerprint — the canonical
+  100 TB dedup plan (hash-partition by digest).
+- MinHash-LSH: signatures via per-doc min() aggregation over shingle
+  hashes (map-side combinable), banding turns the quadratic pair space
+  into an equi-join on band keys — the standard shuffle-friendly LSH.
+- Pair outputs emit integer intersection/union sizes (no float columns),
+  so cross-engine hashing is exact; thresholds compare exact double
+  divisions of those integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+_JACCARD_THRESHOLD = 0.05
+_N_HASHES = 6
+_BANDS = 3  # rows-per-band = 2
+
+
+@register(
+    "q50_dedup_exact",
+    oracle="""
+SELECT md5(text) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="Exact dedup: hash-groupBy on content digest, keep lowest doc_id.",
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles per doc (empty set for docs < 3 tokens)."""
+    toks = F.split("text", " ")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT d.doc_id,
+           t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    JOIN documents d USING (doc_id),
+    unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+  )
+"""
+
+
+@register(
+    "q51_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - i.n_common AS BIGINT) AS n_union
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+""",
+    doc="n-gram Jaccard near-dup pairs via shingle equi-join (no cross "
+    "product: the join fans out only on shared shingles).",
+)
+def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_common")).cast("long"))
+        .filter(
+            F.col("n_common").cast("double") / F.col("n_union") >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common"), "n_union")
+    )
+
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """k independent min-hashes per doc: min over shingles of
+    md5(salt || shingle) — hex-string min is engine-portable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
+            f"h{i}"
+        )
+        for i in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = ",\n       ".join(
+    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASHES)
+)
+_BAND_SQL = ",\n       ".join(
+    f"md5(h{2 * b} || h{2 * b + 1}) AS band{b}" for b in range(_BANDS)
+)
+
+
+@register(
+    "q52_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+      f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+      for b in range(_BANDS)
+  )}
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - i.n_common AS BIGINT) AS n_union
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+""",
+    doc="MinHash + LSH banding near-dup: shingle→minhash→band→bucket "
+    "equi-join→verify. The 100 TB dedup path (quadratic space never "
+    "materializes; only band collisions are verified).",
+)
+def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sigs = _minhash_sigs(sh)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")).alias(
+                f"band{b}"
+            )
+            for b in range(_BANDS)
+        ],
+    )
+    cands = [
+        bands.alias("a")
+        .join(bands.alias("b"), F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        for b in range(_BANDS)
+    ]
+    cand = reduce(DataFrame.union, cands).distinct()
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_common")).cast("long"))
+        .filter(
+            F.col("n_common").cast("double") / F.col("n_union") >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common"), "n_union")
+    )
+
+
+@register(
+    "q53_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, u.bitpos,
+         CASE WHEN (instr('0123456789abcdef', substr(md5(tok), u.bitpos + 1, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM toks, unnest(range(0, 16)) AS u(bitpos)
+),
+sums AS (
+  SELECT doc_id, bitpos, SUM(vote) AS s FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+""",
+    doc="16-bit SimHash per document from distinct-token md5 bits — "
+    "pure integer arithmetic, identical across engines.",
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bitpos"),
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+    ).select(
+        "doc_id",
+        "bitpos",
+        F.when(
+            (
+                F.expr("instr('0123456789abcdef', substr(h, bitpos + 1, 1))") - 1
+            ) % 2
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    sums = bits.groupBy("doc_id", "bitpos").agg(F.sum("vote").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, bitpos)")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the IVF assignment
+query is the scale path (probe only your cell). Dot products are computed
+as an order-exact sequential fold (Spark ``aggregate`` ≡ DuckDB
+``list_reduce``; IEEE: 0.0 + x == x, so both engines produce bit-identical
+doubles). Scores are surfaced as ``floor(cos * 1e6)`` BIGINT micro-units —
+integer outputs hash identically across engines, and ranking ties break on
+vec_id.
+
+Scale notes: the query side is tiny → broadcast; candidates stream
+through a single projection with the fold expression (no shuffle until
+the top-k, which is a per-partition partial top-k + merge). For 100 TB
+use the IVF path: centroid assignment is one broadcast join, search
+probes one cell (partition pruning on centroid_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _cos_micros(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    return F.floor(dot / (norm_a * norm_b) * F.lit(1000000.0)).cast("long")
+
+
+def _cos_micros_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(floor({_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}) "
+        f"* CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+@register(
+    "q60_cosine_topk",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_cos_micros_sql('q.embedding', 'e.embedding')} AS cos_micros
+  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_micros, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_micros DESC, neighbor_id) AS INTEGER) AS rn
+  FROM pairs) t
+WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-5 neighbors for 5 query vectors — the "
+    "ANN correctness baseline.",
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_micros(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                _norm(F.col("q_emb")),
+                _norm(F.col("embedding")),
+            ).alias("cos_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "q61_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_micros_sql('a.embedding', 'b.embedding')} AS cos_micros
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 250000
+""",
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.25). Brute-force "
+    "pair scan here; the LSH/IVF variants bound the pair space at scale.",
+)
+def q61_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos_micros(
+                _dot(F.col("emb_a"), F.col("emb_b")),
+                _norm(F.col("emb_a")),
+                _norm(F.col("emb_b")),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= 250000)
+    )
+
+
+@register(
+    "q62_ivf_assign",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_cos_micros_sql('e.embedding', 'c.embedding')} AS cos_micros
+  FROM embeddings e JOIN cents c ON true
+)
+SELECT vec_id, centroid_id, cos_micros FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos_micros DESC, centroid_id) AS rn
+  FROM scored) t
+WHERE rn = 1
+""",
+    doc="IVF coarse-quantizer assignment: nearest of 10 centroids per "
+    "vector via broadcast join — the partition key for ANN at scale.",
+)
+def q62_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        _cos_micros(
+            _dot(F.col("embedding"), F.col("c_emb")),
+            _norm(F.col("embedding")),
+            _norm(F.col("c_emb")),
+        ).alias("cos_micros"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_micros").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_micros")
+    )

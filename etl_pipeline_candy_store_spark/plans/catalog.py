@@ -1,0 +1,94 @@
+"""Registry of conformance queries.
+
+Every operator the engine claims (SURVEY.md §2 + the training-data
+extension operators) registers one named query here: a Spark builder
+``(spark, sf_dir) -> DataFrame`` and, when the semantics are
+SQL-expressible, a DuckDB oracle SQL string over the same parquet tables.
+The driver's verify harness runs both sides at sf0.01 and hash-compares.
+
+Hash-stability rules every registered query follows:
+- deterministic row *set* (order-insensitive compare): top-k always breaks
+  ties on a unique key;
+- no raw double aggregation across engines: sums of doubles go through
+  ``DECIMAL`` so Spark and DuckDB produce bit-identical results regardless
+  of accumulation order, then cast back to double;
+- every computed column aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → non-SQL-expressible (rows-only)
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a conformance query to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table. Parquet supplies the schema; we avoid
+    forcing ours on read so timestamp physical types stay as written.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read it as raw nanos (legacy conf) and
+    rebuild a microsecond TimestampType with integer division (epoch nanos
+    exceed 2^53, so float division would corrupt the value).
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: q.builder for name, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported for their registration side effects.
+    from etl_pipeline_candy_store_spark.plans import relational  # noqa: F401
+    from etl_pipeline_candy_store_spark.operators import (  # noqa: F401
+        allocation_query,
+        dedup,
+        similarity,
+        text,
+    )
+
+    _LOADED = True

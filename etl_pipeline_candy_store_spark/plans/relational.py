@@ -1,0 +1,680 @@
+"""Core relational conformance queries (SURVEY.md §2.1-§2.8).
+
+Each query maps one or more reference operators (cited per query) onto the
+declarative DataFrame API and registers a DuckDB oracle. Money math runs
+through DECIMAL on both engines so results are bit-identical regardless of
+accumulation order (the testdata doubles are clean 2-decimal values, so
+double→decimal casts agree between Spark's shortest-repr rounding and
+DuckDB's binary rounding).
+
+Scale notes are inline: every join states its expected physical strategy
+(broadcast vs shuffle) and every aggregation is partial-aggregatable
+(map-side combine) because it is expressed with built-in functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+# Decimal helpers: price-like columns (clean 2-decimal doubles) and
+# rate-like columns (discount/tax in [0,1]).
+_PRICE = "decimal(15,2)"
+_RATE = "decimal(5,2)"
+
+
+def _dec(col: str, t: str = _PRICE):
+    return F.col(col).cast(t)
+
+
+def _dsum(col, alias: str):
+    """Exact decimal sum surfaced as double (engine-order independent)."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape). Reference ops: P2 filter,
+# A1/A2 aggregation (src/data_processor.py:401-403,467-484), F1 rounding.
+# Scale: single scan → partial agg → 6-group final agg; no join, one
+# shuffle on (l_returnflag, l_linestatus); shipdate predicate pushed to
+# parquet.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", _RATE)),
+                "sum_disc_price",
+            ),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount", _RATE)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — filter + project + computed columns (P1/P2/F8/P5-style CASE;
+# src/data_processor.py:520-528, src/main.py:110). Pushdown check: both
+# predicates and the 4-column projection reach the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_project",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS price_cents,
+       CASE WHEN o_totalprice >= 100000 THEN 'high'
+            WHEN o_totalprice >= 10000 THEN 'mid'
+            ELSE 'low' END AS price_band
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+""",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000)).select(
+        "o_orderkey",
+        "o_custkey",
+        (_dec("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.when(F.col("o_totalprice") >= 100000, "high")
+        .when(F.col("o_totalprice") >= 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — broadcast hash join to a dimension + aggregate (J1:
+# src/data_processor.py:364-371,413-422 — items→products lookup).
+# Scale: part is the small side → explicit broadcast hint; lineitem never
+# shuffles for the join, only for the final group-by on p_brand.
+# --------------------------------------------------------------------------
+@register(
+    "q03_broadcast_join_agg",
+    oracle="""
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(15,2))) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q03_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("long").alias("total_qty"),
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", _RATE)),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — multi-way join through the star schema (TPC-H Q5 shape; exercises
+# the full join surface the reference only gestures at with J1/J2).
+# Scale: region/nation broadcast; customer⋈orders⋈lineitem shuffle on
+# keys; AQE handles skew.
+# --------------------------------------------------------------------------
+@register(
+    "q04_multi_join_region",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def q04_multi_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", _RATE)),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — left outer join + null-aware aggregate (J2, the reference's
+# declared-but-unimplemented customer join, src/data_processor.py:519).
+# --------------------------------------------------------------------------
+@register(
+    "q05_left_join_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def q05_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(_PRICE))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q06/q07 — semi and anti joins (the relational forms of the reference's
+# membership predicates, P4 src/data_processor.py:413-416).
+# --------------------------------------------------------------------------
+@register(
+    "q06_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q07_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# q08 — top-k with deterministic tiebreak (O1/O2 sorts,
+# src/data_processor.py:514-539 + limit). Scale: TakeOrderedAndProject —
+# per-partition top-k then driver merge of k·partitions rows; never a
+# full sort.
+# --------------------------------------------------------------------------
+@register(
+    "q08_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def q08_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — running total window (W2: the reference's implicit per-product
+# running inventory sum, src/data_processor.py:427-440, as a window).
+# Explicit ROWS frame; unique (custkey, orderdate, orderkey) ordering.
+# --------------------------------------------------------------------------
+@register(
+    "q09_window_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+)
+def q09_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — ranking window + filter (top-3 orders per customer).
+# --------------------------------------------------------------------------
+@register(
+    "q10_window_rank",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+)
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — exact distinct / dedup (dropDuplicates; SURVEY §2.4 "distinct").
+# --------------------------------------------------------------------------
+@register(
+    "q11_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def q11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# q12 — set operations: UNION (U1, src/data_processor.py:490-500 — there a
+# quadratic per-day union fold; here one n-way unionByName), INTERSECT,
+# EXCEPT.
+# --------------------------------------------------------------------------
+@register(
+    "q12_set_ops",
+    oracle="""
+(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op).exceptAll(p.distinct())
+
+
+@register(
+    "q13_union_fold",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n FROM (
+  SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+) GROUP BY o_orderstatus
+""",
+)
+def q13_union_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    o = load(spark, sf_dir, "orders")
+    parts = [o.filter(F.col("o_orderstatus") == s).select("o_orderstatus") for s in "FOP"]
+    return reduce(DataFrame.unionByName, parts).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14/q15 — rollup & cube (grouping-set surface; SURVEY §2.4 row "—").
+# --------------------------------------------------------------------------
+@register(
+    "q14_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS acct_sum,
+       COUNT(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            _dsum(_dec("c_acctbal"), "acct_sum"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "q15_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(_dec("o_totalprice"), "total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — datetime scalar functions (F4/F5/F6: ISO parse, date arithmetic,
+# truncation; src/data_processor.py:478-479,205-207, src/main.py:26-37).
+# --------------------------------------------------------------------------
+@register(
+    "q16_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
+       strftime(o_orderdate, '%Y%m%d') AS yyyymmdd
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def q16_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("yyyymmdd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — string scalar functions (F9-adjacent display surface).
+# --------------------------------------------------------------------------
+@register(
+    "q17_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 5) AS name_prefix,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       replace(p_name, ' ', '_') AS name_snake,
+       p_brand || ':' || p_type AS brand_type,
+       CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget
+FROM part
+""",
+)
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").contains("widget"), 1).otherwise(0).alias("is_widget"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — JSON extraction (the reference's nested-JSON facts arrive via the
+# Mongo connector, src/data_processor.py:322-338; the engine exposes JSON
+# scalar functions).
+# --------------------------------------------------------------------------
+@register(
+    "q18_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — daily event rollup (A2: per-day aggregation,
+# src/data_processor.py:467-484, on the events stream table).
+# --------------------------------------------------------------------------
+@register(
+    "q19_events_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q19_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum(_dec("value"), "value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — HAVING + conditional aggregation (A3 cancelled-items counter
+# shape, src/data_processor.py:47,439).
+# --------------------------------------------------------------------------
+@register(
+    "q20_having_conditional",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 5
+""",
+)
+def q20_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — scalar subquery / global aggregate reuse (orders above the global
+# mean price). Spark side: broadcast a 1-row aggregate — no driver
+# collect(), unlike the reference's everything-on-driver style.
+# --------------------------------------------------------------------------
+@register(
+    "q21_above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) FROM orders)
+""",
+)
+def q21_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — first-event-per-key via window (A2's "date of first transaction",
+# src/data_processor.py:478-479, done relationally instead of collect()).
+# --------------------------------------------------------------------------
+@register(
+    "q22_first_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       CAST(o_orderdate AS DATE) AS first_order_date, o_orderpriority
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+""",
+)
+def q22_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.to_date("o_orderdate").alias("first_order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — the candy flagship reshaped onto the star schema: per-order totals
+# (A1) rolled into a per-day business summary (A2) — the reference's
+# daily_summary built with two hash aggregations instead of a driver loop
+# (src/data_processor.py:389-484).
+# --------------------------------------------------------------------------
+@register(
+    "q23_daily_summary",
+    oracle="""
+WITH order_totals AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS business_date,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS order_total
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)
+SELECT business_date,
+       COUNT(*) AS num_orders,
+       CAST(SUM(order_total) AS DOUBLE) AS total_sales
+FROM order_totals
+GROUP BY business_date
+""",
+)
+def q23_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    order_totals = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("business_date"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", _RATE))
+            ).alias("order_total")
+        )
+    )
+    return order_totals.groupBy("business_date").agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        F.sum("order_total").cast("double").alias("total_sales"),
+    )

@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet dir, then compares row count, column names, and an
+order-insensitive value hash. Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.astype(str)
+        elif str(col.dtype).startswith(("datetime", "date")):
+            df[c] = col.astype(str)
+        elif col.dtype.kind == "f":
+            df[c] = col.map(lambda v: repr(float(v)))
+        else:
+            df[c] = col.astype(str)
+    rows = sorted(",".join(r) for r in df.itertuples(index=False, name=None))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from etl_pipeline_candy_store_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = builder(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        issues = []
+        if len(sdf) != len(odf):
+            issues.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            issues.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif canon(sdf) != canon(odf):
+            issues.append("value-hash mismatch")
+        if issues:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(issues)}  ({time.time()-t0:.1f}s)")
+            if "value-hash mismatch" in issues and len(sdf) == len(odf):
+                s = sdf[sorted(sdf.columns)].astype(str).apply("|".join, axis=1)
+                o = odf[sorted(odf.columns)].astype(str).apply("|".join, axis=1)
+                ss, oo = set(s), set(o)
+                print("    spark-only:", list(ss - oo)[:3])
+                print("    duck-only: ", list(oo - ss)[:3])
+        else:
+            print(f"PASS  {name}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{failures} failures / {len(only) if only else len(qs)} checked")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
