@@ -39,7 +39,7 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 def allocate_sequential(
     requests: DataFrame,
     *,
-    key_col: str,
+    key_col: str | Sequence[str],
     seq_cols: Sequence[str],
     qty_col: str,
     stock_col: str,
@@ -54,6 +54,7 @@ def allocate_sequential(
       - ``cancelled`` (int 0/1);
       - ``stock_after`` (long): remaining stock after this line.
     """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     seq_cols = list(seq_cols)
     out_schema = StructType(
         requests.schema.fields
@@ -87,7 +88,7 @@ def allocate_sequential(
         out["stock_after"] = stock_after
         return out
 
-    return requests.groupBy(key_col).applyInPandas(_allocate, schema=out_schema)
+    return requests.groupBy(*key_cols).applyInPandas(_allocate, schema=out_schema)
 
 
 def allocate_windowed(

@@ -1,0 +1,86 @@
+"""Readers (SURVEY §2.1 S1-S5).
+
+The reference reads dimension CSVs with header-only inference (all
+strings; src/data_processor.py:255), pulls facts from per-day Mongo
+collections with sampled schemas (src/data_processor.py:322-355), and
+casts ad hoc in Python. Here every read declares its schema up front —
+scans prune and push down, and no sampling jobs run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark import schemas
+
+
+def read_products_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — products dimension (reference: src/data_processor.py:255 reads
+    header-only all-string; we declare PRODUCTS incl. DecimalType money)."""
+    return spark.read.option("header", True).schema(schemas.PRODUCTS).csv(path)
+
+
+def read_customers_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — customers dimension (quoted addresses contain commas; the
+    default CSV quote handling covers them)."""
+    return spark.read.option("header", True).schema(schemas.CUSTOMERS).csv(path)
+
+
+def read_transactions_json(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S3/S4 — daily transaction facts from JSON-array files (one file per
+    business day, mirroring the reference's one-Mongo-collection-per-day
+    layout, src/data_processor.py:340-355) — read in ONE scan instead of a
+    per-day driver loop.
+
+    Ordering contract: allocation (ST1) is order-sensitive within a day
+    (SURVEY §2.9). multiLine JSON files are unsplittable — each file is
+    exactly one input partition — so ``monotonically_increasing_id`` is
+    monotone in array order within a file. ``file_seq`` is therefore a
+    valid intra-day sequence when each day is one file; cross-day order
+    comes from ``business_date``.
+
+    Adds: ``business_date`` (from the ISO timestamp; the original string
+    is preserved untouched for output parity) and ``file_seq``.
+    """
+    df = (
+        spark.read.option("multiLine", True)
+        .schema(schemas.TRANSACTIONS)
+        .json(paths)
+    )
+    return df.select(
+        "*",
+        F.to_date(F.to_timestamp("timestamp")).alias("business_date"),
+        F.monotonically_increasing_id().alias("file_seq"),
+    )
+
+
+def read_transactions_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Scale-path variant: date-partitioned parquet with an explicit
+    ``file_seq`` column written at ingest (at 100 TB the ingest job stamps
+    the sequence; partition pruning on business_date replaces the
+    reference's per-collection scans)."""
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    **options: str,
+) -> DataFrame:
+    """S2 — JDBC scan (reference: src/data_processor.py:272-292). Built-in
+    format; partitionColumn/numPartitions options pass through for
+    parallel reads. Untested in-container (no DB server, no driver jar)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

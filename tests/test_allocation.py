@@ -1,0 +1,123 @@
+"""ST1 property tests (SURVEY §5.3-2): invariants, python-oracle parity,
+cancellation-feedback divergence from the window approximation, and the
+composite-key (daily reload) mode."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.allocation import (
+    allocate_python_oracle,
+    allocate_sequential,
+    allocate_windowed,
+)
+
+
+def _random_requests(seed: int, n: int = 400, n_keys: int = 6):
+    rng = random.Random(seed)
+    stocks = {k: rng.randint(5, 60) for k in range(1, n_keys + 1)}
+    return [
+        {
+            "key": (k := rng.randint(1, n_keys)),
+            "seq": i,
+            "qty": rng.randint(1, 8),
+            "stock": stocks[k],
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_matches_python_oracle(spark, seed):
+    rows = _random_requests(seed)
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    got = {
+        (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+        for r in allocate_sequential(
+            df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+        ).collect()
+    }
+    want = {
+        (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+        for r in allocate_python_oracle(rows, key="key", seq=["seq"], qty="qty", stock="stock")
+    }
+    assert got == want
+
+
+def test_invariants(spark):
+    rows = _random_requests(99, n=600)
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    out = allocate_sequential(
+        df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+    )
+    # stock never negative; conservation: opening - sum(fulfilled) == final
+    per_key = out.groupBy("key", "stock").agg(
+        F.sum("quantity").alias("fulfilled"),
+        F.min("stock_after").alias("final"),
+        F.min("stock_after").alias("min_after"),
+    )
+    for r in per_key.collect():
+        assert r["min_after"] >= 0
+        assert r["stock"] - r["fulfilled"] == r["final"]
+    # cancelled lines fulfil nothing
+    assert out.filter((F.col("cancelled") == 1) & (F.col("quantity") != 0)).count() == 0
+
+
+def test_cancellation_feedback_diverges_from_window(spark):
+    """The defining ST1 case (SURVEY §4.3): qty [5, 10, 4] stock 9 —
+    sequential fulfils 5 then cancels 10 then FULFILS 4 (feedback frees
+    nothing, later smaller request fits); the window model cancels both
+    trailing lines."""
+    rows = [
+        {"key": 1, "seq": 1, "qty": 5, "stock": 9},
+        {"key": 1, "seq": 2, "qty": 10, "stock": 9},
+        {"key": 1, "seq": 3, "qty": 4, "stock": 9},
+    ]
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    seq_out = {
+        r["seq"]: r["quantity"]
+        for r in allocate_sequential(
+            df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+        ).collect()
+    }
+    win_out = {
+        r["seq"]: r["quantity"]
+        for r in allocate_windowed(
+            df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+        ).collect()
+    }
+    assert seq_out == {1: 5, 2: 0, 3: 4}
+    assert win_out == {1: 5, 2: 0, 3: 0}
+
+
+def test_daily_reload_composite_key(spark):
+    """ST3 implemented: keying by (key, day) resets stock each day."""
+    rows = [
+        {"key": 1, "day": 1, "seq": 1, "qty": 8, "stock": 10},
+        {"key": 1, "day": 1, "seq": 2, "qty": 8, "stock": 10},  # cancelled
+        {"key": 1, "day": 2, "seq": 3, "qty": 8, "stock": 10},  # fresh stock
+    ]
+    df = spark.createDataFrame(rows, "key int, day int, seq int, qty int, stock int")
+    out = {
+        r["seq"]: r["quantity"]
+        for r in allocate_sequential(
+            df, key_col=["key", "day"], seq_cols=["day", "seq"],
+            qty_col="qty", stock_col="stock",
+        ).collect()
+    }
+    assert out == {1: 8, 2: 0, 3: 8}
+
+
+def test_cross_product_independence(spark):
+    """Permuting rows of OTHER products never changes a product's
+    allocation (the legality of per-key parallelism)."""
+    rows = _random_requests(5, n=200, n_keys=4)
+    df1 = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    shuffled = [rows[i] for i in random.Random(0).sample(range(len(rows)), len(rows))]
+    df2 = spark.createDataFrame(shuffled, "key int, seq int, qty int, stock int")
+    a = allocate_sequential(df1, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    b = allocate_sequential(df2, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
