@@ -1,0 +1,144 @@
+"""Multimodal column convention + processing plumbing.
+
+Convention (SURVEY §2.12): media travels as an opaque ``binary`` payload
+column plus a typed metadata struct —
+
+    payload: binary
+    media: struct<media_type:string, mime:string, width:int, height:int,
+                  duration_ms:int>
+
+Processing (decode → feature-extract → resize / frame-sample) runs as
+Arrow-batched ``mapInPandas`` so payloads stream through executors in
+bounded batches (never collected, never a row-at-a-time UDF). The actual
+codecs (Pillow/ffmpeg/torchaudio) are NOT in this container, so the
+decode step is pluggable: ``decoder="real"`` raises NotImplementedError
+where the codec call belongs; ``decoder="fake"`` is a deterministic
+stand-in (sha256-seeded) that keeps every Spark-side contract — schema,
+batch iteration, partitioning — real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+MEDIA_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("digest", StringType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+EMBED_DIM = 16
+
+
+def attach_media_columns(df: DataFrame, payload_col: str, media_type: str) -> DataFrame:
+    """Wrap an existing binary column into the engine's media convention."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    ).withColumnRenamed(payload_col, "payload")
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a codec+encoder: sha256-seeded unit
+    vector. Replaces e.g. PIL.Image.open(...)+CLIP at deploy time."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(h[: EMBED_DIM * 2], dtype=np.uint16).astype(np.float32)
+    v = (raw / 65535.0) - 0.5
+    return v / np.linalg.norm(v)
+
+
+def extract_media_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    decoder: str = "fake",
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract each payload via mapInPandas.
+
+    ``df`` must carry (id_col, payload: binary, media: MEDIA_META).
+    Returns MEDIA_FEATURES. Partitioning is preserved — repartition
+    upstream by size if payloads are skewed (a 4 GB video next to 4 KB
+    thumbnails) so executor memory stays bounded.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media codecs are not available in this environment; "
+                    "plug the codec call into _fake_decode's slot"
+                )
+            out_rows = {
+                "media_id": pdf[id_col].astype("int64"),
+                "media_type": pdf["media"].map(lambda m: m["media_type"]),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "digest": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                ),
+                "embedding": pdf["payload"].map(
+                    lambda b: _fake_decode(bytes(b)).tolist()
+                ),
+            }
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(_batches, schema=MEDIA_FEATURES)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame-sampling *plan*: one output row per (media, frame_ts) —
+    the explode happens relationally (sequence + explode, pruned before
+    decode) so only sampled frames ever reach the decoder."""
+    return df.select(
+        F.col(id_col),
+        "payload",
+        "media",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("media.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,127 @@
+"""Streaming ST1/ST2 — the reference's per-day micro-batching
+(src/data_processor.py:340-355) generalized to Structured Streaming.
+
+The batch pipeline treats each day as a closed collection; here the same
+semantics run incrementally: transactions arrive on a stream, items are
+exploded and validated with the SAME declarative fragment, and inventory
+state lives in Spark's state store keyed by product_id
+(``applyInPandasWithState``) instead of a driver dict
+(src/data_processor.py:34-50). Stock carries across micro-batches exactly
+like the reference carries it across days (no reset; ST3 reload is a
+state-clear policy).
+
+Ordering caveat (same as the reference's Mongo natural order): streaming
+guarantees per-key sequential state updates per micro-batch; rows are
+sorted by the seq columns *within* each batch. Cross-batch order follows
+batch arrival — byte-parity with the batch operator therefore holds when
+batches align with days (the reference's own granularity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ALLOC_STREAM_OUTPUT = StructType(
+    [
+        StructField("product_id", IntegerType(), False),
+        StructField("order_id", LongType(), False),
+        StructField("order_datetime", StringType(), True),
+        StructField("requested_qty", IntegerType(), False),
+        StructField("quantity", IntegerType(), False),
+        StructField("cancelled", IntegerType(), False),
+        StructField("stock_after", LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("remaining", LongType(), False)])
+
+
+def allocate_stream(
+    item_stream: DataFrame,
+    *,
+    seq_cols: Sequence[str] = ("business_date", "file_seq", "item_pos"),
+) -> DataFrame:
+    """Stateful streaming allocation keyed by product_id.
+
+    ``item_stream`` must carry: product_id, order_id, order_datetime,
+    requested_qty, opening_stock, plus the seq columns. State init:
+    first-seen opening_stock per key; transition: the greedy ST1 rule.
+    """
+    seq_cols = list(seq_cols)
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_cols, kind="mergesort").reset_index(drop=True)
+        if state.exists:
+            (remaining,) = state.get
+        else:
+            remaining = int(pdf["opening_stock"].iloc[0])
+        out = {
+            "product_id": [], "order_id": [], "order_datetime": [],
+            "requested_qty": [], "quantity": [], "cancelled": [], "stock_after": [],
+        }
+        for row in pdf.itertuples(index=False):
+            q = int(row.requested_qty)
+            if q <= remaining:
+                remaining -= q
+                qty, canc = q, 0
+            else:
+                qty, canc = 0, 1
+            out["product_id"].append(key[0])
+            out["order_id"].append(row.order_id)
+            out["order_datetime"].append(row.order_datetime)
+            out["requested_qty"].append(q)
+            out["quantity"].append(qty)
+            out["cancelled"].append(canc)
+            out["stock_after"].append(remaining)
+        state.update((remaining,))
+        yield pd.DataFrame(out)
+
+    return item_stream.groupBy("product_id").applyInPandasWithState(
+        _update,
+        outputStructType=ALLOC_STREAM_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_daily_summary(
+    event_stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+    window: str = "1 day",
+) -> DataFrame:
+    """ST2/A2 streaming: tumbling-window daily rollup with a watermark for
+    late data — the declarative replacement for the reference's one-
+    collection-per-day loop. Works on any event stream with a timestamp."""
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("date"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: binary payload convention, mapInPandas
+feature extraction (deterministic fake decoder), frame-sample plan, and
+the stub contract for real codecs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.multimodal import (
+    EMBED_DIM,
+    attach_media_columns,
+    extract_media_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blobs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    df = attach_media_columns(blobs, "blob", "image")
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.col("media.media_type"),
+            F.col("media.mime"),
+            F.col("media.width"),
+            F.col("media.height"),
+            F.lit(3000).alias("duration_ms"),
+        ),
+    )
+
+
+def test_feature_extraction(spark, media_df):
+    feats = extract_media_features(media_df).collect()
+    assert len(feats) == 500
+    row = next(r for r in feats if r["media_id"] == 0)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    text = src.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    assert row["n_bytes"] == len(text.encode())
+    assert row["digest"] == hashlib.sha256(text.encode()).hexdigest()
+    assert len(row["embedding"]) == EMBED_DIM
+    norm = sum(x * x for x in row["embedding"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+
+
+def test_deterministic(media_df):
+    a = {r["media_id"]: r["embedding"] for r in extract_media_features(media_df).collect()}
+    b = {r["media_id"]: r["embedding"] for r in extract_media_features(media_df).collect()}
+    assert a == b
+
+
+def test_real_decoder_is_stubbed(media_df):
+    with pytest.raises(Exception) as exc_info:
+        extract_media_features(media_df, decoder="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(media_df):
+    frames = frame_sample_plan(media_df, every_ms=1000)
+    per_media = frames.groupBy("media_id").count().collect()
+    # duration 3000ms @ 1000ms → ts 0,1000,2000,3000 → 4 frames
+    assert all(r["count"] == 4 for r in per_media)

@@ -1,0 +1,171 @@
+"""Streaming tests: the stateful allocation stream must agree with the
+batch ST1 operator when micro-batches align with the batch boundary, and
+the windowed daily summary must roll up a file-sourced event stream."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark import schemas
+from etl_pipeline_candy_store_spark.operators.allocation import allocate_sequential
+from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+    allocate_stream,
+    stream_daily_summary,
+)
+from tests.candy_fixtures import write_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("candy_stream"))
+    write_fixture(root)
+    return root
+
+
+def _item_frame(spark, fixture_dir, streaming: bool):
+    from etl_pipeline_candy_store_spark.sources.readers import read_transactions_json
+
+    products = (
+        spark.read.option("header", True)
+        .schema(schemas.PRODUCTS)
+        .csv(os.path.join(fixture_dir, "products.csv"))
+        .select("product_id", F.col("stock").cast("long").alias("opening_stock"))
+    )
+    # Streaming disallows monotonically_increasing_id, so BOTH modes
+    # sequence by (business_date, ISO timestamp string, order_id,
+    # item_pos) — sortable and stream-safe.
+    if streaming:
+        tx = (
+            spark.readStream.option("multiLine", True)
+            .schema(schemas.TRANSACTIONS)
+            .json(fixture_dir)
+            .select(
+                "*",
+                F.to_date(F.to_timestamp("timestamp")).alias("business_date"),
+            )
+        )
+    else:
+        tx = read_transactions_json(
+            spark, sorted(glob.glob(os.path.join(fixture_dir, "transactions_*.json")))
+        ).drop("file_seq")
+    items = (
+        tx.select(
+            F.col("transaction_id").alias("order_id"),
+            F.col("timestamp").alias("order_datetime"),
+            "business_date",
+            F.posexplode("items").alias("item_pos", "item"),
+        )
+        .select(
+            "order_id",
+            "order_datetime",
+            "business_date",
+            "item_pos",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("requested_qty"),
+        )
+        .filter(F.col("requested_qty").isNotNull())
+    )
+    return items.join(F.broadcast(products), "product_id", "inner")
+
+
+def test_stream_matches_batch_allocation(spark, fixture_dir, tmp_path):
+    seq = ["business_date", "order_datetime", "order_id", "item_pos"]
+    batch = allocate_sequential(
+        _item_frame(spark, fixture_dir, streaming=False),
+        key_col="product_id",
+        seq_cols=seq,
+        qty_col="requested_qty",
+        stock_col="opening_stock",
+    )
+    want = {
+        (r["order_id"], r["item_pos"], r["product_id"]): (r["quantity"], r["cancelled"])
+        for r in batch.collect()
+    }
+
+    stream = allocate_stream(
+        _item_frame(spark, fixture_dir, streaming=True), seq_cols=seq
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("alloc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql("select * from alloc_stream").collect()
+    # stream output drops item_pos; compare per (order, product) aggregates
+    def agg(d):
+        out = {}
+        for k, v in d.items():
+            key = (k[0], k[2])
+            fq, fc = out.get(key, (0, 0))
+            out[key] = (fq + v[0], fc + v[1])
+        return out
+
+    got = {}
+    for r in got_rows:
+        key = (r["order_id"], r["product_id"])
+        fq, fc = got.get(key, (0, 0))
+        got[key] = (fq + r["quantity"], fc + r["cancelled"])
+    assert got == agg(want)
+    # conservation in the streaming path too
+    assert all(r["stock_after"] >= 0 for r in got_rows)
+
+
+def test_stream_daily_summary(spark, tmp_path):
+    # file-sourced event stream from the synthetic events table
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+
+    import time
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_parquet")
+    # FileStreamSource processes files oldest-mtime-first; write monthly
+    # chunks sequentially (distinct mtimes) so one-file-per-trigger
+    # micro-batches arrive in event-time order and the watermark advances
+    # monotonically — append mode then emits every closed window with no
+    # late drops.
+    months = sorted(
+        r["m"] for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    )
+    for m in months:
+        chunk = ev.filter(F.date_trunc("month", "ts") == m).coalesce(1)
+        chunk.write.mode("append").parquet(src)
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_daily_summary(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["date"]): r["n_events"]
+        for r in spark.sql("select * from daily_stream").collect()
+    }
+    want = {
+        str(r["date"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode emits only windows closed by the watermark; every
+    # emitted window must match the batch rollup exactly, and all but the
+    # final watermark-horizon days close.
+    assert got
+    assert all(got[d] == want[d] for d in got)
+    assert len(got) >= len(want) - 3
