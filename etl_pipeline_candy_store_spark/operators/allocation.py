@@ -53,6 +53,18 @@ def allocate_sequential(
       - ``quantity`` (int): fulfilled qty (0 when cancelled);
       - ``cancelled`` (int 0/1);
       - ``stock_after`` (long): remaining stock after this line.
+
+    Physical strategy: hash-repartition on the key columns + sort within
+    partitions + ONE ``mapInPandas`` pass per partition, instead of
+    ``groupBy().applyInPandas`` (one pandas frame per key). This
+    amortizes Arrow/pandas per-group overhead across thousands of keys
+    per batch and keeps the task count equal to the shuffle width rather
+    than the key count — the difference between ~20k tiny pandas frames
+    and 32 streaming passes at sf0.1, and between 10^9 groups and a few
+    thousand tasks at 100 TB. State (remaining stock per key) carries
+    across Arrow batches within a partition; that is safe because the
+    repartition puts every row of a key in exactly one partition and the
+    partition sort makes batch order the global per-key order.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     seq_cols = list(seq_cols)
@@ -64,31 +76,47 @@ def allocate_sequential(
             StructField("stock_after", LongType(), False),
         ]
     )
-    in_cols = [f.name for f in requests.schema.fields]
 
-    def _allocate(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_cols, kind="mergesort").reset_index(drop=True)
-        qty = pdf[qty_col].to_numpy(dtype=np.int64)
-        stock = int(pdf[stock_col].iloc[0])
-        n = len(pdf)
-        fulfilled = np.zeros(n, dtype=np.int64)
-        cancelled = np.zeros(n, dtype=np.int64)
-        stock_after = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            q = qty[i]
-            if q <= stock:
-                stock -= q
-                fulfilled[i] = q
+    def _allocate(batches):
+        remaining: dict = {}  # partition-local; keys never span partitions
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if len(key_cols) == 1:
+                keys = pdf[key_cols[0]].tolist()
             else:
-                cancelled[i] = 1
-            stock_after[i] = stock
-        out = pdf[in_cols].copy()
-        out["quantity"] = fulfilled.astype(np.int32)
-        out["cancelled"] = cancelled.astype(np.int32)
-        out["stock_after"] = stock_after
-        return out
+                keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
+            qty = pdf[qty_col].to_numpy(dtype=np.int64)
+            stock = pdf[stock_col].to_numpy(dtype=np.int64)
+            fulfilled = np.zeros(n, dtype=np.int64)
+            cancelled = np.zeros(n, dtype=np.int64)
+            stock_after = np.zeros(n, dtype=np.int64)
+            get = remaining.get
+            for i in range(n):
+                k = keys[i]
+                rem = get(k)
+                if rem is None:
+                    rem = int(stock[i])
+                q = qty[i]
+                if q <= rem:
+                    rem -= q
+                    fulfilled[i] = q
+                else:
+                    cancelled[i] = 1
+                remaining[k] = rem
+                stock_after[i] = rem
+            out = pdf.copy()
+            out["quantity"] = fulfilled.astype(np.int32)
+            out["cancelled"] = cancelled.astype(np.int32)
+            out["stock_after"] = stock_after
+            yield out
 
-    return requests.groupBy(*key_cols).applyInPandas(_allocate, schema=out_schema)
+    return (
+        requests.repartition(*key_cols)
+        .sortWithinPartitions(*key_cols, *seq_cols)
+        .mapInPandas(_allocate, schema=out_schema)
+    )
 
 
 def allocate_windowed(

@@ -46,18 +46,23 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct 3-token shingles per doc (empty set for docs < 3 tokens)."""
-    toks = F.split("text", " ")
+    """Distinct 3-token shingles per doc (empty set for docs < 3 tokens).
+
+    The token array is materialized ONCE per row before the transform —
+    inlining ``split()`` into the lambda re-evaluates it per index
+    (O(tokens²) per document; ~3× slower on this corpus).
+    """
     sh = F.when(
-        F.size(toks) >= 3,
+        F.size("toks") >= 3,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', split(text, ' ')[i],"
-            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
     )
 
 
@@ -171,27 +176,35 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRES
     "materializes; only band collisions are verified).",
 )
 def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     sh = _shingles(load(spark, sf_dir, "documents")).cache()
     sigs = _minhash_sigs(sh)
+    # unpivot bands to (doc_id, band_idx, band_key) and self-join ONCE on
+    # (band_idx, band_key) — one shuffle instead of one join per band
     bands = sigs.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")).alias(
-                f"band{b}"
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                            ).cast("binary")
+                        ).alias("band_key"),
+                    )
+                    for b in range(_BANDS)
+                ]
             )
-            for b in range(_BANDS)
-        ],
-    )
-    cands = [
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    cand = (
         bands.alias("a")
-        .join(bands.alias("b"), F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+        .join(bands.alias("b"), ["band_idx", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        for b in range(_BANDS)
-    ]
-    cand = reduce(DataFrame.union, cands).distinct()
+        .distinct()
+    )
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
