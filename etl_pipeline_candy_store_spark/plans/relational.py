@@ -678,3 +678,202 @@ def q23_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("num_orders"),
         F.sum("order_total").cast("double").alias("total_sales"),
     )
+
+
+# --------------------------------------------------------------------------
+# q24 — analytic window functions: lag/lead/ntile/first_value with an
+# explicit frame (beyond W2's running sum).
+# --------------------------------------------------------------------------
+@register(
+    "q24_window_lag_ntile",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_diff('day',
+            CAST(lag(o_orderdate) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS order_quartile,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q24_window_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("order_quartile"),
+        F.first("o_orderkey").over(wf).alias("first_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — statistical aggregates with engine-order-independent exactness:
+# stddev/variance via decimal power sums (the numerator is exact integer
+# arithmetic; only the final division/sqrt run in IEEE doubles).
+# --------------------------------------------------------------------------
+@register(
+    "q25_stats_agg",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS sx2,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, min_price, max_price,
+       CAST(sx AS DOUBLE) / n AS avg_price,
+       sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+         AS stddev_price
+FROM s
+""",
+)
+def q25_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sx2"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "min_price",
+        "max_price",
+        (F.col("sx").cast("double") / F.col("n")).alias("avg_price"),
+        F.sqrt(
+            (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("stddev_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — pivot (wide aggregation; Spark .pivot ≡ SQL conditional agg).
+# --------------------------------------------------------------------------
+@register(
+    "q26_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q26_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["F", "O", "P"])
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — array functions over tokenized text (F7 surface beyond explode).
+# --------------------------------------------------------------------------
+@register(
+    "q27_array_funcs",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_toks,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS has_spark,
+       list_sort(list_distinct(toks))[1] AS first_token,
+       array_to_string(list_sort(list_distinct(toks)), '|') AS vocab
+FROM t
+""",
+)
+def q27_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vocab = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+        F.element_at(vocab, 1).alias("first_token"),
+        F.array_join(vocab, "|").alias("vocab"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — GROUPING SETS (the general grouping-set surface; rollup/cube are
+# q14/q15). Spark side goes through SQL — the DataFrame API exposes only
+# rollup/cube, SQL exposes the full clause.
+# --------------------------------------------------------------------------
+@register(
+    "q28_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — exact percentiles (linear interpolation agrees bit-for-bit across
+# engines on identical input sets) + money display formatting: Spark's
+# format_number vs an integer-cents reconstruction (DuckDB cannot
+# thousands-format floats directly).
+# --------------------------------------------------------------------------
+@register(
+    "q29_percentile_format",
+    oracle="""
+WITH s AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, p50, p90,
+       format('{:,}', cents // 100) || '.' ||
+         lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS total_fmt
+FROM s
+""",
+)
+def q29_percentile_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.format_number(F.sum(_dec("o_totalprice")), 2).alias("total_fmt"),
+    )
