@@ -1,0 +1,94 @@
+"""Conformance queries for the as-of join, sessionization, and nested
+collect/explode roundtrip. DuckDB's native ASOF JOIN is the oracle for
+the engine's union+window implementation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.asof import asof_join, sessionize
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+
+@register(
+    "q33_asof_join",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       p.event_id AS asof_event_id,
+       p.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    doc="As-of join: each error event picks up the user's most recent "
+    "purchase at-or-before it. Spark side: union+window carry-forward "
+    "(one shuffle, linear); oracle: DuckDB native ASOF JOIN.",
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+@register(
+    "q34_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id,
+       CAST(SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+         AS session_id
+FROM marked
+""",
+    doc="Sessionization: 30-minute-gap sessions per user via lag + "
+    "conditional cumulative sum (batch analog of the streaming session "
+    "window).",
+)
+def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes").select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+@register(
+    "q36_nested_roundtrip",
+    oracle="""
+SELECT l_orderkey,
+       CAST(len(list(l_partkey)) AS INTEGER) AS n_parts,
+       array_to_string(list_sort(list(l_partkey)), ',') AS part_list
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    doc="Nested-data roundtrip (the transactions items-array shape, "
+    "SURVEY §1.1): collect_list per order, deterministic sort, string "
+    "render.",
+)
+def q36_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.size(F.collect_list("l_partkey")).alias("n_parts"),
+        F.array_join(F.array_sort(F.collect_list("l_partkey")), ",").alias("part_list"),
+    )

@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_candy_store_spark.plans import relational  # noqa: F401
     from etl_pipeline_candy_store_spark.operators import (  # noqa: F401
         allocation_query,
+        asof_query,
         dedup,
         similarity,
         text,
