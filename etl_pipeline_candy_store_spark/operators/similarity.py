@@ -171,3 +171,64 @@ def q62_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "cos_micros")
     )
+
+
+# --- random-hyperplane LSH (the ANN scale path for cosine) ----------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes derived from md5 — identical constants
+    are inlined into the Spark plan and the DuckDB oracle, so there is no
+    cross-engine RNG to disagree."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}_{d}".encode()).digest()[0] % 2 else -1
+            for d in range(_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+def _plane_dot_sql(plane: list[int]) -> str:
+    lit = "[" + ", ".join(str(w) for w in plane) + "]"
+    return (
+        f"list_reduce(list_transform(list_zip(embedding, {lit}),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2]), (p, q) -> p + q)"
+    )
+
+
+@register(
+    "q63_vector_lsh_buckets",
+    oracle=f"""
+SELECT vec_id,
+       CAST({" + ".join(
+           f"(CASE WHEN {_plane_dot_sql(pl)} > 0 THEN {1 << i} ELSE 0 END)"
+           for i, pl in enumerate(_planes())
+       )} AS INTEGER) AS bucket
+FROM embeddings
+""",
+    doc="Random-hyperplane LSH bucketing for cosine ANN: 8 sign bits -> "
+    "256 buckets. At scale this is the partition key (search probes one "
+    "bucket, or neighbors by Hamming distance); brute-force q60 is the "
+    "recall baseline.",
+)
+def q63_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bits = []
+    for i, plane in enumerate(_planes()):
+        lit = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), lit, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))

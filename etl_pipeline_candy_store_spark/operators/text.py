@@ -154,3 +154,83 @@ def q43_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "q44_tfidf_top_term",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf * n.n_docs * 1000000 // df.df AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS top_term, score_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, tok) AS rn
+  FROM scored) t
+WHERE rn = 1
+""",
+    doc="TF-IDF-style top term per doc. Rational scoring "
+    "(tf·N·1e6 div df, integer arithmetic) instead of ln() so both "
+    "engines agree bit-for-bit; same ranking monotonicity per doc as "
+    "tf·(N/df).",
+)
+def q44_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("CAST(tf * n_docs * 1000000 div df AS BIGINT)").alias(
+                "score_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "score_micro")
+    )
+
+
+@register(
+    "q45_regex_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_word_tokens,
+       regexp_extract(text, '[a-z]{5,}') AS first_long_token,
+       CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 5)) AS INTEGER)
+         AS n_long_tokens,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS n_chars_no_vowels
+FROM documents
+""",
+    doc="Regex tokenization (BPE-ish splitting building block). Patterns "
+    "restricted to char classes that behave identically in Java regex "
+    "and RE2.",
+)
+def q45_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[a-z]+')").alias("n_word_tokens"),
+        F.regexp_extract("text", "[a-z]{5,}", 0).alias("first_long_token"),
+        F.size(F.filter(F.split("text", " "), lambda t: F.length(t) >= 5)).alias(
+            "n_long_tokens"
+        ),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_chars_no_vowels"),
+    )

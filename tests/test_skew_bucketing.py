@@ -1,0 +1,81 @@
+"""Skew helpers must be result-identical to their naive forms, and
+bucketed tables must join without a shuffle (the co-located join path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_equals_plain(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plain = {
+        r["l_partkey"]: (r["s"], r["n"])
+        for r in li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(15,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_partkey"]: (r["s"], r["n"])
+        for r in salted_agg(
+            li,
+            ["l_partkey"],
+            aggs=[F.sum("part_s").alias("s"), F.sum("part_n").alias("n")],
+            partial_aggs=[
+                F.sum(F.col("l_quantity").cast("decimal(15,2)")).alias("part_s"),
+                F.count(F.lit(1)).alias("part_n"),
+            ],
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_brand"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    plain = sorted(
+        map(tuple, li.join(part, "l_partkey").select(
+            "l_orderkey", "l_linenumber", "p_brand").collect())
+    )
+    salted = sorted(
+        map(tuple, salted_join(li, part, "l_partkey", n_salts=4).select(
+            "l_orderkey", "l_linenumber", "p_brand").collect())
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-co-locates rows: the join
+    plan must contain no Exchange (shuffle) above either scan — the
+    physical contract that makes repeated big-big joins cheap at scale."""
+    # spark.sql.warehouse.dir is static; tables land in the session's
+    # default warehouse and are dropped in the finally block.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (li.withColumnRenamed("l_orderkey", "o_orderkey")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
