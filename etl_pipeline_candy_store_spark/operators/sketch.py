@@ -1,0 +1,126 @@
+"""Distributed sketches built from portable primitives.
+
+``hll_distinct`` is a HyperLogLog-style distinct-count estimator whose
+every step is exact integer arithmetic over md5 — so the Spark plan and
+the DuckDB oracle agree bit-for-bit (no RNG, no float accumulation:
+per-bucket ranks are maxed, 16^-rank terms are summed as scaled
+integers, and only the final constant division runs in doubles).
+
+Why it matters at 100 TB: the per-bucket ``max(rank)`` is algebraic —
+map-side combinable, mergeable across partitions/days — so distinct
+counts over billions of rows cost one tiny shuffle of ≤256 rows, versus
+a full shuffle for exact countDistinct. This is the sketch pattern
+(HLL / theta) expressed in pure relational algebra.
+
+Ranks are true bit-level leading zeros, recovered from hex digits with
+CASE arithmetic (4 bits per leading '0' digit + 0-3 bits from the first
+non-zero digit) — the textbook HLL estimator, fully portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 256  # buckets (2 hex digits)
+_MAX_RANK = 40
+_SCALE = 2**_MAX_RANK  # exact integer scale for 2^-rank sums
+_ALPHA = 0.7213 / (1 + 1.079 / _M)  # standard HLL bias constant
+
+
+def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None) -> DataFrame:
+    """Estimate COUNT(DISTINCT value), optionally per group."""
+    h = F.md5(value.cast("string").cast("binary"))
+    bucket = (
+        (F.expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16
+        + F.expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1
+    )
+    # bit-level rank from hex digits: 4 bits per leading '0' digit plus
+    # 0-3 bits from the first non-zero digit (8-f:0, 4-7:1, 2-3:2, 1:3)
+    zeros = F.length(F.expr("substr(h, 3)")) - F.length(
+        F.expr("trim(LEADING '0' FROM substr(h, 3))")
+    )
+    first_nz = F.expr(
+        "instr('0123456789abcdef', substr(trim(LEADING '0' FROM substr(h, 3)), 1, 1))"
+    ) - 1
+    extra = (
+        F.when(first_nz >= 8, 0)
+        .when(first_nz >= 4, 1)
+        .when(first_nz >= 2, 2)
+        .otherwise(3)
+    )
+    rank = F.least(zeros * 4 + extra + 1, F.lit(_MAX_RANK))
+    keys = list(group_by or [])
+    hashed = df.select(*keys, h.alias("h")).select(
+        *keys, bucket.alias("bucket"), rank.alias("rank")
+    )
+    per_bucket = hashed.groupBy(*keys, "bucket").agg(F.max("rank").alias("max_rank"))
+    agg = per_bucket.groupBy(*keys).agg(
+        F.sum(F.expr(f"CAST({_SCALE} / power(2, max_rank) AS BIGINT)")).alias(
+            "present_sum"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    sum_scaled = F.col("present_sum") + (F.lit(_M) - F.col("n_present")) * F.lit(_SCALE)
+    estimate = F.lit(_ALPHA * _M * _M * float(_SCALE)) / sum_scaled.cast("double")
+    return agg.select(*keys, F.floor(estimate).cast("long").alias("distinct_estimate"))
+
+
+def hll_sql(value_expr: str, table: str, group_by: str | None = None) -> str:
+    """The DuckDB-dialect twin of :func:`hll_distinct`."""
+    keys = f"{group_by}, " if group_by else ""
+    keysel = f"{group_by}," if group_by else ""
+    grp1 = f"GROUP BY {group_by}, bucket" if group_by else "GROUP BY bucket"
+    grp2 = f"GROUP BY {group_by}" if group_by else ""
+    return f"""
+WITH hashed AS (
+  SELECT {keysel} md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table}
+),
+ranked AS (
+  SELECT {keysel}
+         (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         least((length(substr(h, 3))
+               - length(trim(LEADING '0' FROM substr(h, 3)))) * 4
+               + (CASE WHEN instr('0123456789abcdef',
+                        substr(trim(LEADING '0' FROM substr(h, 3)), 1, 1)) - 1 >= 8 THEN 0
+                       WHEN instr('0123456789abcdef',
+                        substr(trim(LEADING '0' FROM substr(h, 3)), 1, 1)) - 1 >= 4 THEN 1
+                       WHEN instr('0123456789abcdef',
+                        substr(trim(LEADING '0' FROM substr(h, 3)), 1, 1)) - 1 >= 2 THEN 2
+                       ELSE 3 END) + 1, {_MAX_RANK}) AS rank
+  FROM hashed
+),
+per_bucket AS (
+  SELECT {keys} bucket, MAX(rank) AS max_rank FROM ranked {grp1}
+),
+agg AS (
+  SELECT {keys}
+         SUM(CAST({_SCALE} / power(2, max_rank) AS BIGINT)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM per_bucket {grp2}
+)
+SELECT {keys}
+       CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r}
+            / CAST(present_sum + ({_M} - n_present) * {_SCALE} AS DOUBLE)) AS BIGINT)
+         AS distinct_estimate
+FROM agg
+"""
+
+
+# --- conformance registration ---------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register  # noqa: E402
+
+
+@register(
+    "q37_hll_distinct",
+    oracle=hll_sql("o_custkey", "orders", group_by="o_orderstatus"),
+    doc="HLL-style distinct-customer estimate per order status — the "
+    "mergeable-sketch pattern, bit-exact across engines.",
+)
+def q37_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return hll_distinct(o, F.col("o_custkey"), group_by=["o_orderstatus"])

@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
         asof_query,
         dedup,
         similarity,
+        sketch,
         text,
     )
 

@@ -79,3 +79,17 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_hll_estimate_accuracy(spark):
+    """The sketch must land within ~20% of the exact distinct count at
+    m=256 hex-granularity (and be deterministic)."""
+    from etl_pipeline_candy_store_spark.operators.sketch import hll_distinct
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    est = hll_distinct(o, F.col("o_custkey")).collect()[0]["distinct_estimate"]
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+    est2 = hll_distinct(o, F.col("o_custkey")).collect()[0]["distinct_estimate"]
+    assert est == est2
