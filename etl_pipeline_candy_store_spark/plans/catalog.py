@@ -55,6 +55,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     rebuild a microsecond TimestampType with integer division (epoch nanos
     exceed 2^53, so float division would corrupt the value).
     """
+    # Harness sessions may not pin a timezone; date/timestamp semantics in
+    # the catalog (and the DuckDB oracles) assume UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -88,6 +91,7 @@ def _ensure_loaded() -> None:
         allocation_query,
         asof_query,
         dedup,
+        merge_query,
         similarity,
         sketch,
         text,

@@ -28,14 +28,13 @@ def canon(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         col = df[c]
-        if col.dtype == object:
-            df[c] = col.astype(str)
-        elif str(col.dtype).startswith(("datetime", "date")):
-            df[c] = col.astype(str)
-        elif col.dtype.kind == "f":
+        nulls = col.isna()
+        if col.dtype.kind == "f":
             df[c] = col.map(lambda v: repr(float(v)))
         else:
             df[c] = col.astype(str)
+        # normalize None/NaT/nan renderings across engines
+        df.loc[nulls, c] = "<null>"
     rows = sorted(",".join(r) for r in df.itertuples(index=False, name=None))
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 

@@ -1,0 +1,104 @@
+"""Scale probe: replicate the sf0.1 fact tables K× (key-shifted) into a
+temp dir, run the headline queries there, and report timings next to the
+sf0.1 numbers — evidence that the plans scale linearly rather than
+degrading (the thing local[32] can actually demonstrate about the
+100 TB posture).
+
+    python tools/scale_probe.py [K]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_broadcast_join_agg",
+    "q04_multi_join_region",
+    "q09_window_running_sum",
+    "q23_daily_summary",
+    "q30_allocation_sequential",
+]
+
+FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+KEEP = ["region", "nation", "customer", "supplier", "part", "events",
+        "documents", "embeddings"]
+
+
+def expand(spark, src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in KEEP:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    for t, key in FACTS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        max_key = df.agg(F.max(key)).collect()[0][0] + 1
+        reps = spark.range(k).withColumnRenamed("id", "_rep")
+        wide = df.crossJoin(reps).withColumn(
+            key, F.col(key) + F.col("_rep") * F.lit(max_key)
+        )
+        if t == "lineitem":
+            # keep the orders fk consistent with the shifted orderkeys
+            pass
+        wide.drop("_rep").repartition(32).write.mode("overwrite").parquet(
+            f"{dst}/{t}_dir"
+        )
+        # queries expect <table>.parquet paths; point a dir there
+        os.rename(f"{dst}/{t}_dir", f"{dst}/{t}.parquet")
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        catalog.REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from etl_pipeline_candy_store_spark.session import get_spark
+
+    spark = get_spark("scale-probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    dst = tempfile.mkdtemp(prefix="sfx_")
+    expand(spark, base, dst, k)
+    spark.read.parquet(f"{dst}/lineitem.parquet").count()
+
+    t_base = run(spark, base)
+    t_big = run(spark, dst)
+    rows = spark.read.parquet(f"{dst}/lineitem.parquet").count()
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "lineitem_rows": rows,
+                "sf0.1_sec": t_base,
+                f"sf{0.1 * k:g}_sec": t_big,
+                "ratio": {
+                    q: round(t_big[q] / max(t_base[q], 0.01), 1) for q in t_base
+                },
+            }
+        )
+    )
+    shutil.rmtree(dst)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
