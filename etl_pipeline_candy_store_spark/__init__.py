@@ -10,6 +10,10 @@ package implements.
 """
 
 from etl_pipeline_candy_store_spark.session import get_spark
+from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
+    CandyConfig,
+    CandyPipeline,
+)
 
-__all__ = ["get_spark"]
+__all__ = ["CandyConfig", "CandyPipeline", "get_spark"]
 __version__ = "0.1.0"

@@ -92,3 +92,38 @@ def q36_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_list("l_partkey")).alias("n_parts"),
         F.array_join(F.array_sort(F.collect_list("l_partkey")), ",").alias("part_list"),
     )
+
+
+@register(
+    "q35_range_join",
+    oracle="""
+WITH bins(bin_id, lo, hi) AS (
+  VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)
+)
+SELECT b.bin_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(15,2))) AS DOUBLE) AS value_sum
+FROM events e JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bin_id
+""",
+    doc="Range (interval) join: events binned into value ranges via a "
+    "non-equi join against a broadcast interval dimension — plans as a "
+    "broadcast nested loop, which is the right physical choice for a "
+    "tiny interval table at any fact size.",
+)
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bins = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)],
+        "bin_id int, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bins),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("value_sum"),
+        )
+    )

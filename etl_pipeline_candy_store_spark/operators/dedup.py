@@ -99,7 +99,10 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRES
     "product: the join fans out only on shared shingles).",
 )
 def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    # no cache(): materializing the shingle set costs more than the ~3
+    # recomputations of this cheap projection (measured 5s vs 0.5s at
+    # sf0.1); cache only when the shingle build itself dominates
+    sh = _shingles(load(spark, sf_dir, "documents"))
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -176,7 +179,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRES
     "materializes; only band collisions are verified).",
 )
 def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sh = _shingles(load(spark, sf_dir, "documents"))  # uncached: see q51
     sigs = _minhash_sigs(sh)
     # unpivot bands to (doc_id, band_idx, band_key) and self-join ONCE on
     # (band_idx, band_key) — one shuffle instead of one join per band
