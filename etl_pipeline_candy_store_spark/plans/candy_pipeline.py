@@ -198,11 +198,25 @@ class CandyPipeline:
     def products_updated(self, lines: DataFrame | None = None) -> DataFrame:
         """Final stock per product = opening − Σ fulfilled (the per-key
         min of the operator's running stock_after). Products never
-        requested keep their opening stock."""
+        requested keep their opening stock.
+
+        Under ``reload_inventory_daily`` the report is the LAST business
+        day's closing stock (each day starts fresh), not the all-period
+        minimum."""
         lines = lines if lines is not None else self.allocated_lines()
-        final = lines.groupBy("product_id").agg(
-            F.min("stock_after").alias("alloc_stock")
-        )
+        if self.config.reload_inventory_daily:
+            last_day = lines.groupBy("product_id").agg(
+                F.max("business_date").alias("business_date")
+            )
+            final = (
+                lines.join(last_day, ["product_id", "business_date"])
+                .groupBy("product_id")
+                .agg(F.min("stock_after").alias("alloc_stock"))
+            )
+        else:
+            final = lines.groupBy("product_id").agg(
+                F.min("stock_after").alias("alloc_stock")
+            )
         products = self.load_products()
         return (
             products.join(final, "product_id", "left")

@@ -1,0 +1,90 @@
+"""The candy pipeline as a structured stream (SURVEY §7 M6).
+
+Same semantics as :mod:`candy_pipeline`, incremental execution:
+transactions arrive as JSON files on a watched directory (per-day files —
+the reference's per-day Mongo collections as a stream), are exploded and
+validated with the identical declarative fragment, enriched via a
+stream-static broadcast join against the products dimension, and
+allocated by the stateful streaming operator (inventory lives in the
+state store, carried across micro-batches like the reference carries its
+driver dict across days).
+
+Ordering: within a micro-batch, the operator sorts by (business_date,
+timestamp string, transaction id, item position); cross-batch order is
+batch arrival — exactly the reference's per-day granularity when each
+day is one file/batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark import schemas
+from etl_pipeline_candy_store_spark.sources.readers import read_products_csv
+from etl_pipeline_candy_store_spark.streaming.allocation_stream import allocate_stream
+
+SEQ_COLS = ["business_date", "order_datetime", "order_id", "item_pos"]
+
+
+def stream_transactions(
+    spark: SparkSession, watch_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of JSON-array transaction files.
+    ``max_files_per_trigger=1`` makes each day-file its own micro-batch
+    (the reference's per-day cadence)."""
+    reader = spark.readStream.option("multiLine", True).schema(schemas.TRANSACTIONS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(watch_dir).select(
+        "*",
+        F.to_date(F.to_timestamp("timestamp")).alias("business_date"),
+    )
+
+
+def stream_validated_items(
+    tx_stream: DataFrame, products: DataFrame
+) -> DataFrame:
+    """Explode (F7) → null-qty filter (P3) → stream-static broadcast join
+    to products (P4/J1) — identical semantics to the batch spine."""
+    items = (
+        tx_stream.select(
+            F.col("transaction_id").alias("order_id"),
+            "customer_id",
+            F.col("timestamp").alias("order_datetime"),
+            "business_date",
+            F.posexplode("items").alias("item_pos", "item"),
+        )
+        .select(
+            "order_id",
+            "customer_id",
+            "order_datetime",
+            "business_date",
+            "item_pos",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("requested_qty"),
+        )
+        .filter(F.col("requested_qty").isNotNull())
+    )
+    dim = products.select(
+        "product_id",
+        F.col("sales_price").cast("double").alias("unit_price"),
+        F.col("stock").cast("long").alias("opening_stock"),
+    )
+    return items.join(F.broadcast(dim), "product_id", "inner")
+
+
+def stream_candy_allocation(
+    spark: SparkSession,
+    watch_dir: str,
+    products_csv: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Full streaming spine: watch_dir JSON → validated items → stateful
+    allocation. Returns the streaming DataFrame of allocated lines; the
+    caller attaches a sink (memory/parquet/foreachBatch)."""
+    products = read_products_csv(spark, products_csv)
+    items = stream_validated_items(
+        stream_transactions(spark, watch_dir, max_files_per_trigger), products
+    )
+    return allocate_stream(items, seq_cols=SEQ_COLS)

@@ -202,3 +202,39 @@ def test_forecast_deterministic(pipeline):
     assert row["forecasted_profit"] is not None
     # anchored at last business date + 1, not at run date
     assert str(row["date"]) == "2024-03-06"
+
+
+def test_reload_daily_products_updated(spark, fixture_dir):
+    """Under reload_inventory_daily, current_stock reports the LAST day's
+    closing stock (fresh each morning), never less than the non-reload
+    final stock."""
+    import glob
+
+    cfg = CandyConfig(
+        products_csv=os.path.join(fixture_dir, "products.csv"),
+        customers_csv=os.path.join(fixture_dir, "customers.csv"),
+        transactions_paths=sorted(
+            glob.glob(os.path.join(fixture_dir, "transactions_*.json"))
+        ),
+        output_dir=os.path.join(fixture_dir, "out_reload"),
+        reload_inventory_daily=True,
+    )
+    pipe = CandyPipeline(spark, cfg)
+    got = {r["product_id"]: r["current_stock"] for r in pipe.products_updated().collect()}
+    # independently: last day's fulfilled per product against opening stock
+    lines = pipe.allocated_lines()
+    from pyspark.sql import functions as F
+
+    last_day = lines.agg(F.max("business_date")).collect()[0][0]
+    lastday_fulfilled = {
+        r["product_id"]: r["s"]
+        for r in lines.filter(F.col("business_date") == last_day)
+        .groupBy("product_id")
+        .agg(F.sum("quantity").alias("s"))
+        .collect()
+    }
+    with open(os.path.join(fixture_dir, "products.csv")) as f:
+        for row in csv.DictReader(f):
+            pid = int(row["product_id"])
+            want = int(row["stock"]) - lastday_fulfilled.get(pid, 0)
+            assert got[pid] == want, (pid, got[pid], want)

@@ -1,0 +1,110 @@
+"""Full streaming candy pipeline: day files fed one per micro-batch must
+reproduce the batch pipeline's allocation exactly (same per-line
+quantities and cancellations), with inventory state carried across
+batches."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
+    CandyConfig,
+    CandyPipeline,
+)
+from etl_pipeline_candy_store_spark.plans.candy_stream import stream_candy_allocation
+from tests.candy_fixtures import write_fixture
+
+
+def test_stream_pipeline_matches_batch(spark, tmp_path):
+    root = str(tmp_path / "fix")
+    write_fixture(root)
+    day_files = sorted(glob.glob(os.path.join(root, "transactions_*.json")))
+
+    # batch reference run, sequenced identically to the stream (timestamp
+    # order — the stream cannot use file order)
+    pipe = CandyPipeline(
+        spark,
+        CandyConfig(
+            products_csv=os.path.join(root, "products.csv"),
+            customers_csv=os.path.join(root, "customers.csv"),
+            transactions_paths=day_files,
+            output_dir=str(tmp_path / "out"),
+        ),
+    )
+    from etl_pipeline_candy_store_spark.operators.allocation import allocate_sequential
+
+    tx = pipe.load_transactions().drop("file_seq")
+    products = pipe.load_products().select(
+        "product_id",
+        F.col("sales_price").cast("double").alias("unit_price"),
+        F.col("stock").cast("long").alias("opening_stock"),
+    )
+    items = (
+        tx.select(
+            F.col("transaction_id").alias("order_id"),
+            F.col("timestamp").alias("order_datetime"),
+            "business_date",
+            F.posexplode("items").alias("item_pos", "item"),
+        )
+        .select(
+            "order_id", "order_datetime", "business_date", "item_pos",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("requested_qty"),
+        )
+        .filter(F.col("requested_qty").isNotNull())
+        .join(F.broadcast(products), "product_id", "inner")
+    )
+    batch = allocate_sequential(
+        items,
+        key_col="product_id",
+        seq_cols=["business_date", "order_datetime", "order_id", "item_pos"],
+        qty_col="requested_qty",
+        stock_col="opening_stock",
+    )
+    want = {
+        (r["order_id"], r["product_id"]): None
+        for r in batch.collect()
+    }
+    want = {}
+    for r in batch.collect():
+        k = (r["order_id"], r["product_id"])
+        q, c = want.get(k, (0, 0))
+        want[k] = (q + r["quantity"], c + r["cancelled"])
+
+    # streaming run: copy day files into the watch dir sequentially so
+    # each day is its own micro-batch (mtime order)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for f in day_files:
+        shutil.copy(f, watch)
+        time.sleep(1.05)
+    stream = stream_candy_allocation(
+        spark, watch, os.path.join(root, "products.csv"), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("candy_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= len(day_files), (
+        f"expected one micro-batch per day file, got {n_batches}"
+    )
+    got = {}
+    for r in spark.sql("select * from candy_stream").collect():
+        k = (r["order_id"], r["product_id"])
+        qq, c = got.get(k, (0, 0))
+        got[k] = (qq + r["quantity"], c + r["cancelled"])
+    assert got == want
+    # cancellations must actually occur for this to be a meaningful test
+    assert sum(c for _, c in got.values()) > 0
