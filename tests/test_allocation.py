@@ -121,3 +121,40 @@ def test_cross_product_independence(spark):
     a = allocate_sequential(df1, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
     b = allocate_sequential(df2, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _req = st.lists(
+        st.tuples(
+            st.integers(1, 4),    # key
+            st.integers(1, 12),   # qty
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(reqs=_req, stock=st.integers(0, 40))
+    @settings(max_examples=12, deadline=None)
+    def test_property_matches_oracle(spark, reqs, stock):
+        rows = [
+            {"key": k, "seq": i, "qty": q, "stock": stock}
+            for i, (k, q) in enumerate(reqs)
+        ]
+        df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+        got = {
+            (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+            for r in allocate_sequential(
+                df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+            ).collect()
+        }
+        want = {
+            (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+            for r in allocate_python_oracle(
+                rows, key="key", seq=["seq"], qty="qty", stock="stock"
+            )
+        }
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: lock the optimizer contracts the
+engine is designed around (pushdown, pruning, broadcast, top-k). If a
+refactor silently loses one of these, correctness tests stay green but
+the 100 TB posture is gone — so they are asserted here."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from etl_pipeline_candy_store_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    catalog._ensure_loaded()
+    df = catalog.REGISTRY[name].builder(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 6 of 11 lineitem columns; pruned scan must not read the rest
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = _plan(spark, "q03_broadcast_join_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_full_sorts(spark):
+    plan = _plan(spark, "q08_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_present(spark):
+    # HashAggregate appears twice: partial (map-side) + final
+    plan = _plan(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_in_multi_join(spark):
+    plan = _plan(spark, "q04_multi_join_region")
+    assert "CartesianProduct" not in plan
