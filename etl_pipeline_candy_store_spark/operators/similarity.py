@@ -232,3 +232,55 @@ def q63_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bits[1:]:
         bucket = bucket + b
     return e.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+_BUCKET_SQL = (
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(pl)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(_planes())
+    )
+    + " AS INTEGER)"
+)
+
+
+@register(
+    "q64_lsh_neardup",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       {_cos_micros_sql('a.embedding', 'b.embedding')} AS cos_micros
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 100000
+""",
+    doc="Vector near-dup at scale: LSH bucket equi-join prunes the pair "
+    "space (same 8 sign bits), then exact cosine verifies survivors — "
+    "the end-to-end scale path whose recall baseline is brute-force q61.",
+)
+def q64_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = q63_vector_lsh_buckets(spark, sf_dir).join(
+        load(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("embedding").alias("emb_a")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), "bucket", F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            _cos_micros(
+                _dot(F.col("emb_a"), F.col("emb_b")),
+                _norm(F.col("emb_a")),
+                _norm(F.col("emb_b")),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= 100000)
+    )

@@ -877,3 +877,39 @@ def q29_percentile_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.format_number(F.sum(_dec("o_totalprice")), 2).alias("total_fmt"),
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — unpivot / melt (stack): wide per-status counts back to long form.
+# The forecast operator uses the same stack() to melt daily_summary.
+# --------------------------------------------------------------------------
+@register(
+    "q46_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM wide
+  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM wide
+  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM wide
+)
+""",
+)
+def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("f_cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("o_cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("p_cnt"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"
+        ),
+    )
