@@ -234,3 +234,29 @@ def q45_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_chars_no_vowels"),
     )
+
+
+@register(
+    "q47_rolling_hash",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS poly_hash
+FROM documents
+""",
+    doc="Document fingerprinting via polynomial rolling hash "
+    "(Rabin-Karp base 31 mod 1e9+7) — pure integer fold, identical in "
+    "both engines (Spark aggregate init 0 ≡ DuckDB first-element init "
+    "since 0*31+c1 == c1).",
+)
+def q47_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    poly = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", poly.alias("poly_hash"))

@@ -84,3 +84,23 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_mongo(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+) -> DataFrame:
+    """S3 — MongoDB scan via the mongo-spark connector (reference:
+    src/data_processor.py:322-338). Requires the connector jar on the
+    classpath; untested in-container (no Mongo server / jar). The engine's
+    native path for the same data shape is :func:`read_transactions_json`
+    over the per-day JSON files."""
+    return (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .load()
+    )

@@ -238,3 +238,20 @@ def test_reload_daily_products_updated(spark, fixture_dir):
             pid = int(row["product_id"])
             want = int(row["stock"]) - lastday_fulfilled.get(pid, 0)
             assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_forecast_metrics_exposed(spark, pipeline):
+    """TS3: in-sample MAE/MSE travel with the long-format forecast."""
+    from etl_pipeline_candy_store_spark.plans.forecast import forecast_metrics
+
+    long_df = pipeline.daily_summary().select(
+        "date",
+        F.expr(
+            "stack(2, 'sales', CAST(total_sales AS DOUBLE),"
+            " 'profit', CAST(total_profit AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+    rows = forecast_metrics(long_df, periods=2).collect()
+    assert len(rows) == 4  # 2 metrics x 2 steps
+    assert all(r["mae"] >= 0 and r["mse"] >= 0 for r in rows)
+    assert {r["metric"] for r in rows} == {"sales", "profit"}
