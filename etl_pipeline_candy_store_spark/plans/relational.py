@@ -913,3 +913,113 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q70-q72 — correlated subqueries (Catalyst decorrelates these to
+# joins/windows; SURVEY §4.3 "join reordering / subquery decorrelation").
+# Expressed through spark.sql so the decorrelation rewrite itself is
+# exercised, not hand-rewritten.
+# --------------------------------------------------------------------------
+def _view(spark: SparkSession, sf_dir: str, table: str, name: str) -> None:
+    load(spark, sf_dir, table).createOrReplaceTempView(name)
+
+
+@register(
+    "q70_max_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def q70_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "orders_cs")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders_cs o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_cs o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q71_above_nation_avg",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def q71_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "customer_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer_cs c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_cs c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "q72_rich_inactive_customers",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def q72_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "customer_cs2")
+    _view(spark, sf_dir, "orders", "orders_cs2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_cs2 c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_cs2 WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_cs2 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — data-quality audit: per-column null/blank/min/max profile (the
+# pipeline-audit op every large ingest runs before training).
+# --------------------------------------------------------------------------
+@register(
+    "q73_data_quality_audit",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_type,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(min(ts) AS DATE) AS first_day,
+       CAST(max(ts) AS DATE) AS last_day
+FROM events
+""",
+)
+def q73_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+        F.sum(F.when(F.col("event_type") == "", 1).otherwise(0)).alias("blank_type"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
