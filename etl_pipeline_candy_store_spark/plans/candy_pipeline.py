@@ -56,6 +56,10 @@ class CandyConfig:
     skip_empty_orders: bool = True
     reload_inventory_daily: bool = False
     forecast_periods: int = 1
+    #: J2 — the reference *declares* a customer join and never implements
+    #: it (src/data_processor.py:519); True enriches orders with customer
+    #: name/email via a broadcast left join.
+    enrich_customers: bool = False
 
 
 class CandyPipeline:
@@ -162,13 +166,29 @@ class CandyPipeline:
 
     def orders_output(self, orders: DataFrame | None = None) -> DataFrame:
         orders = orders if orders is not None else self.order_aggregates()
-        return orders.select(
+        out = orders.select(
             "order_id",
             "order_datetime",
             "customer_id",
             format_money(F.col("total_amount")).alias("total_amount"),
             "num_items",
-        ).orderBy("order_id")
+        )
+        if self.config.enrich_customers:
+            cust = self.load_customers().select(
+                "customer_id",
+                F.concat_ws(" ", "first_name", "last_name").alias("customer_name"),
+                "email",
+            )
+            out = out.join(F.broadcast(cust), "customer_id", "left").select(
+                "order_id",
+                "order_datetime",
+                "customer_id",
+                "customer_name",
+                "email",
+                "total_amount",
+                "num_items",
+            )
+        return out.orderBy("order_id")
 
     def order_line_items_output(self, lines: DataFrame | None = None) -> DataFrame:
         lines = lines if lines is not None else self.allocated_lines()

@@ -255,3 +255,24 @@ def test_forecast_metrics_exposed(spark, pipeline):
     assert len(rows) == 4  # 2 metrics x 2 steps
     assert all(r["mae"] >= 0 and r["mse"] >= 0 for r in rows)
     assert {r["metric"] for r in rows} == {"sales", "profit"}
+
+
+def test_customer_enrichment_join(spark, fixture_dir):
+    """J2 (declared-never-implemented in the reference) actually works:
+    orders carry customer name/email via broadcast left join."""
+    import glob
+
+    cfg = CandyConfig(
+        products_csv=os.path.join(fixture_dir, "products.csv"),
+        customers_csv=os.path.join(fixture_dir, "customers.csv"),
+        transactions_paths=sorted(
+            glob.glob(os.path.join(fixture_dir, "transactions_*.json"))
+        ),
+        output_dir=os.path.join(fixture_dir, "out_enriched"),
+        enrich_customers=True,
+    )
+    orders = CandyPipeline(spark, cfg).orders_output().collect()
+    assert orders
+    assert all(r["customer_name"] and "@" in r["email"] for r in orders)
+    r = next(r for r in orders if r["customer_id"] == 3)
+    assert r["customer_name"] == "First3 Last3"

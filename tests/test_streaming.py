@@ -169,3 +169,65 @@ def test_stream_daily_summary(spark, tmp_path):
     assert got
     assert all(got[d] == want[d] for d in got)
     assert len(got) >= len(want) - 3
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream interval join with watermarks: purchases joined to
+    error events of the same user within +/- 30 minutes."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ss_events")
+    ev.coalesce(1).write.parquet(src)
+
+    def stream():
+        return spark.readStream.schema(ev.schema).parquet(src)
+
+    purchases = (
+        stream().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        stream().filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("e_id"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts BETWEEN p_ts - INTERVAL 30 MINUTES"
+            " AND p_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["p_id"], r["e_id"]) for r in spark.sql("select * from ss_join").collect()}
+    # batch reference
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"))
+    want = {
+        (r["p_id"], r["e_id"])
+        for r in p.join(
+            e,
+            F.expr(
+                "p_user = e_user AND e_ts BETWEEN p_ts - INTERVAL 30 MINUTES"
+                " AND p_ts + INTERVAL 30 MINUTES"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
