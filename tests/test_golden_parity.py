@@ -94,3 +94,37 @@ def test_line_items_exact_days_1_to_8(outputs):
         if ours.get(key(g)) != g:
             mismatches.append((g, ours.get(key(g))))
     assert not mismatches, f"{len(mismatches)}/{len(golden_rows)}; first: {mismatches[:2]}"
+
+
+def test_head_semantics_emits_all_transactions(spark, tmp_path_factory):
+    """HEAD semantics (skip rule commented out, src/data_processor.py:
+    454-456): every one of the 10,000 transactions emits an order, the
+    155 all-invalid ones with num_items=0."""
+    from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
+        CandyConfig,
+        CandyPipeline,
+    )
+    from pyspark.sql import functions as F
+
+    pipe = CandyPipeline(
+        spark,
+        CandyConfig(
+            products_csv=f"{REF}/dataset_22/products.csv",
+            customers_csv=f"{REF}/dataset_22/customers.csv",
+            transactions_paths=sorted(
+                glob.glob(f"{REF}/dataset_22/transactions_*.json")
+            ),
+            output_dir=str(tmp_path_factory.mktemp("head_out")),
+            skip_empty_orders=False,
+        ),
+    )
+    orders = pipe.order_aggregates()
+    assert orders.count() == 10000
+    # num_items==0 covers BOTH all-invalid transactions (155 — no line
+    # rows at all) and orders whose valid lines were all cancelled by
+    # allocation (have line rows with quantity=0)
+    zero_item = orders.filter(F.col("num_items") == 0)
+    assert zero_item.count() >= 155
+    lines = pipe.allocated_lines().select("order_id").distinct()
+    no_lines = orders.join(lines, "order_id", "left_anti")
+    assert no_lines.count() == 155
