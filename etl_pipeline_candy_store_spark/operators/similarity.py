@@ -284,3 +284,76 @@ def q64_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_micros") >= 100000)
     )
+
+
+@register(
+    "q65_ivf_search",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           {_cos_micros_sql('e.embedding', 'c.embedding')} AS cos_micros,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_micros_sql('e.embedding', 'c.embedding')} DESC,
+                        c.centroid_id) AS rn
+    FROM embeddings e JOIN cents c ON true) t
+  WHERE rn = 1
+),
+queries AS (
+  SELECT a.vec_id AS query_id, a.centroid_id, q.embedding AS q_emb
+  FROM assign a JOIN embeddings q ON q.vec_id = a.vec_id
+  WHERE a.vec_id >= 490 AND a.vec_id < 495
+),
+scored AS (
+  SELECT qu.query_id, a.vec_id AS neighbor_id,
+         {_cos_micros_sql('qu.q_emb', 'e.embedding')} AS cos_micros
+  FROM queries qu
+  JOIN assign a ON a.centroid_id = qu.centroid_id AND a.vec_id <> qu.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_micros, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_micros DESC, neighbor_id) AS INTEGER) AS rn
+  FROM scored) t
+WHERE rn <= 3
+""",
+    doc="IVF probe-1 search end-to-end: assign all vectors to their "
+    "nearest centroid (q62), then each query searches ONLY its own cell "
+    "— the partition-pruned ANN plan (vs brute-force q60). Recall is "
+    "bounded by probe count; raise probes by joining top-P centroids.",
+)
+def q65_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = q62_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    e = load(spark, sf_dir, "embeddings")
+    queries = (
+        assign.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 495))
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    members = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        F.col("embedding").alias("n_emb"),
+    )
+    scored = (
+        queries.join(members, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_micros(
+                _dot(F.col("q_emb"), F.col("n_emb")),
+                _norm(F.col("q_emb")),
+                _norm(F.col("n_emb")),
+            ).alias("cos_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
