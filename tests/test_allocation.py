@@ -158,3 +158,25 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_hot_key_spans_arrow_batches(spark):
+    """A single key with more rows than maxRecordsPerBatch (10k in the
+    engine session) spans multiple Arrow batches inside one partition —
+    the cross-batch remaining-stock carry must stay exact. 30k rows ->
+    >= 3 batches; stock sized to exhaust mid-stream."""
+    n = 30000
+    rows = [{"key": 1, "seq": i, "qty": 1 + (i % 3), "stock": 30000} for i in range(n)]
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    out = allocate_sequential(
+        df, key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock"
+    ).collect()
+    want = {
+        r["seq"]: (r["quantity"], r["stock_after"])
+        for r in allocate_python_oracle(rows, key="key", seq=["seq"], qty="qty", stock="stock")
+    }
+    got = {r["seq"]: (r["quantity"], r["stock_after"]) for r in out}
+    assert got == want
+    # the stream exhausted (so cancellations crossed a batch boundary)
+    assert any(q == 0 for q, _ in got.values())
+    assert min(s for _, s in got.values()) >= 0
