@@ -260,3 +260,73 @@ def q47_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return d.select("doc_id", poly.alias("poly_hash"))
+
+
+@register(
+    "q48_winnowing",
+    oracle="""
+WITH sh AS (
+    SELECT d.doc_id, u.i AS pos,
+           t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    JOIN documents d USING (doc_id),
+    unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS h
+  FROM sh
+),
+winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM hashed
+),
+fps AS (SELECT DISTINCT doc_id, wmin FROM winmin)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_fingerprints,
+       CAST(MIN(wmin) AS BIGINT) AS min_fp,
+       CAST(MAX(wmin) AS BIGINT) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+    doc="Winnowing (MOSS-style) fingerprint selection: rolling polynomial "
+    "hash per 3-gram shingle, min per 4-shingle window, distinct mins = "
+    "the document's fingerprint set. The classic robust-dedup "
+    "fingerprinting, pure integer arithmetic in both engines.",
+)
+def q48_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+    )
+    poly = F.aggregate(
+        F.transform(F.split("shingle", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    hashed = shingles.select("doc_id", "pos0", poly.alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("wmin")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
