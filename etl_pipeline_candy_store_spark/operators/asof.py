@@ -28,6 +28,7 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     tolerance: str | None = None,
+    right_seq: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` per ``on`` key (ties: the right row matches).
@@ -35,6 +36,12 @@ def asof_join(
     ``payload_cols`` are the right-side columns to carry. ``tolerance``
     (an INTERVAL literal like ``'30 minutes'``) drops matches older than
     ``left_ts - tolerance``.
+
+    When two RIGHT rows share a key and timestamp, ``right_seq`` (a
+    right-side column, e.g. an ingest sequence/id) breaks the tie: the
+    highest value wins. Without it the tie is broken on the payload
+    values themselves — still deterministic across runs, just not
+    caller-chosen.
     """
     on = list(on)
     payload_cols = list(payload_cols)
@@ -51,16 +58,26 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
         F.col(right_ts).alias("_r_ts"),
+        *([F.col(right_seq).alias("_r_seq")] if right_seq is not None else []),
     )
+    if right_seq is not None:
+        lt = lt.withColumn("_r_seq", F.lit(None).cast(right.schema[right_seq].dataType))
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(zip(lt.columns, [f.dataType for f in lt.schema.fields]))[c]))
     rt = rt.select(*lt.columns)
     # right rows sort BEFORE left rows at equal _ts (_is_left 0 < 1), so
-    # a right row at exactly left_ts is visible to that left row.
+    # a right row at exactly left_ts is visible to that left row. A final
+    # tiebreaker (caller's right_seq, else the payload values) fixes which
+    # of two same-key same-ts right rows wins, so runs are deterministic.
+    tiebreak = (
+        [F.col("_r_seq")]
+        if right_seq is not None
+        else [F.col(f"_r_{c}") for c in payload_cols]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_is_left")
+        .orderBy(F.col("_ts"), F.col("_is_left"), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
@@ -83,7 +100,9 @@ def asof_join(
         )
         for c in payload_cols:
             out = out.drop(f"_asof_{c}").withColumnRenamed(f"_tol_{c}", f"_asof_{c}")
-    drop = ["_ts", "_is_left", "_r_ts", "_asof_ts"] + [f"_r_{c}" for c in payload_cols]
+    drop = ["_ts", "_is_left", "_r_ts", "_asof_ts", "_r_seq"] + [
+        f"_r_{c}" for c in payload_cols
+    ]
     for c in drop:
         out = out.drop(c)
     for c in payload_cols:

@@ -20,13 +20,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Uniform deterministic-per-row salt in [0, n_salts). Uses a hash of
-    the whole row via monotonically-increasing id (cheap, no RNG state —
-    repeatable within a plan, which is all salting needs)."""
-    return df.withColumn(
-        col_name, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "_salt",
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Uniform salt in [0, n_salts) derived from deterministic row CONTENT
+    (hash of ``salt_cols``, default: every column). Content-derived salts
+    are stable across task retries and speculative re-execution — a
+    recomputed map task re-salts each row identically, so downstream
+    shuffle routing never drops or double-counts rows under failure
+    recovery. (``monotonically_increasing_id``/``rand`` would not be:
+    both depend on partition layout / RNG state at recompute time.)
+
+    Identical rows share a salt; that only matters if a hot key's rows are
+    also byte-identical, in which case pass ``salt_cols`` naming a column
+    that varies within the key (a sequence number, timestamp, ...)."""
+    cols = list(salt_cols) if salt_cols is not None else df.columns
+    return df.withColumn(col_name, F.pmod(F.hash(*cols), F.lit(n_salts)))
 
 
 def salted_agg(
@@ -64,7 +76,18 @@ def salted_join(
 
     Use when the dim is too large to broadcast and a fact key is hot
     enough to defeat AQE's split (which only splits the probe side of a
-    sort-merge join partition)."""
+    sort-merge join partition).
+
+    ``how`` is restricted to {'inner', 'left', 'left_semi'}: the dim side
+    is replicated across all ``n_salts`` salts, so right/full outer joins
+    would emit every unmatched dim row once per salt (duplicate
+    null-padded rows) — flip the inputs or de-salt manually for those."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "salt-replicated dim side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     f = with_salt(fact, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -45,6 +45,29 @@ def test_asof_tolerance(spark):
     assert no_tol == "old" and with_tol is None
 
 
+def test_asof_right_right_tie_deterministic(spark):
+    """Two right rows sharing (key, ts): the match must be deterministic —
+    caller's right_seq wins when given, else the highest payload tuple."""
+    left = spark.createDataFrame([(1, _ts(10))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "x", 2), (1, _ts(5), "y", 1)],
+        "k int, rts timestamp, v string, seq int",
+    )
+    # default tiebreak: payload order → "y" (max payload) wins, every run
+    for _ in range(3):
+        got = asof_join(
+            left.repartition(4), right.repartition(3),
+            on=["k"], left_ts="lts", right_ts="rts", payload_cols=["v"],
+        ).collect()[0]["asof_v"]
+        assert got == "y"
+    # caller-supplied sequence: seq=2 ("x") wins
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["v"], right_seq="seq",
+    ).collect()[0]["asof_v"]
+    assert got == "x"
+
+
 def test_sessionize_gaps(spark):
     ev = spark.createDataFrame(
         [

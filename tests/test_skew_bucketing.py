@@ -54,6 +54,30 @@ def test_salted_join_equals_plain(spark):
     assert salted == plain
 
 
+def test_with_salt_is_content_deterministic(spark):
+    """Salts must derive from row content so a recomputed (retried) task
+    re-salts identically: same rows -> same salts, independent of
+    partition layout."""
+    from etl_pipeline_candy_store_spark.operators.skew import with_salt
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    # key on full row content ((orderkey, linenumber) is not unique in the
+    # synthetic data); multiset compare via sorted (row, salt) tuples
+    a = sorted(map(tuple, with_salt(li, 8).collect()))
+    # different partition layout, same rows -> identical salt per row
+    b = sorted(map(tuple, with_salt(li.repartition(3, "l_quantity"), 8).collect()))
+    assert a == b
+    assert {t[-1] for t in a} == set(range(8))  # spreads across the range
+
+
+def test_salted_join_rejects_outer(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, li, "l_partkey", how="full")
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key pre-co-locates rows: the join
     plan must contain no Exchange (shuffle) above either scan — the
