@@ -13,6 +13,12 @@ through a single projection with the fold expression (no shuffle until
 the top-k, which is a per-partition partial top-k + merge). For 100 TB
 use the IVF path: centroid assignment is one broadcast join, search
 probes one cell (partition pruning on centroid_id).
+
+Norms are per-VECTOR, so every query here projects a ``nrm`` column once
+before any join (O(n·d)) instead of recomputing inside the pair
+projection (O(pairs·d)); the DuckDB oracles hoist the same expression
+into a WITH subquery. The cosine double is bit-identical either way
+(same fold over the same floats), so hashes are unchanged.
 """
 
 from __future__ import annotations
@@ -63,13 +69,37 @@ def _cos_micros_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_micros_prenorm_sql(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine micro-units with PRE-COMPUTED norm columns (hoisted into a
+    WITH subquery by callers) — same arithmetic, evaluated once per
+    vector instead of once per pair."""
+    return (
+        f"CAST(floor({_DOT_SQL.format(a=a, b=b)} / ({na} * {nb}) "
+        f"* CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+# one-per-vector norm subquery shared by every oracle below
+_E_NORMED_SQL = (
+    f"SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm FROM embeddings"
+)
+
+
+def with_norm(df: DataFrame, emb_col: str = "embedding", out_col: str = "nrm") -> DataFrame:
+    """Project the L2 norm once per vector — call before any pairwise
+    join so the pair projection reuses a scalar instead of re-folding
+    the whole array per pair."""
+    return df.withColumn(out_col, _norm(F.col(emb_col)))
+
+
 @register(
     "q60_cosine_topk",
     oracle=f"""
-WITH pairs AS (
+WITH e AS ({_E_NORMED_SQL}),
+pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         {_cos_micros_sql('q.embedding', 'e.embedding')} AS cos_micros
-  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+         {_cos_micros_prenorm_sql('q.embedding', 'e.embedding', 'q.nrm', 'e.nrm')} AS cos_micros
+  FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, cos_micros, rn FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -78,12 +108,15 @@ SELECT query_id, neighbor_id, cos_micros, rn FROM (
 WHERE rn <= 5
 """,
     doc="Brute-force cosine top-5 neighbors for 5 query vectors — the "
-    "ANN correctness baseline.",
+    "ANN correctness baseline. Norms precomputed per vector (O(n·d)), "
+    "not per pair.",
 )
 def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = with_norm(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -92,8 +125,8 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             _cos_micros(
                 _dot(F.col("q_emb"), F.col("embedding")),
-                _norm(F.col("q_emb")),
-                _norm(F.col("embedding")),
+                F.col("q_nrm"),
+                F.col("nrm"),
             ).alias("cos_micros"),
         )
     )
@@ -106,18 +139,32 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q61_embedding_neardup",
     oracle=f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cos_micros_sql('a.embedding', 'b.embedding')} AS cos_micros
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 250000
+WITH e AS ({_E_NORMED_SQL}),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_micros_prenorm_sql('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')} AS cos_micros
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_micros FROM scored WHERE cos_micros >= 250000
 """,
     doc="Embedding-cosine near-duplicate pairs (cos >= 0.25). Brute-force "
-    "pair scan here; the LSH/IVF variants bound the pair space at scale.",
+    "pair scan — the labeled RECALL BASELINE for q64/q65, not a "
+    "production path (all-pairs is O(n²); the LSH/IVF variants bound the "
+    "pair space at scale). Norms precomputed per vector; the oracle "
+    "hoists the cosine into a subquery so it is evaluated once.",
 )
 def q61_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
@@ -125,8 +172,8 @@ def q61_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             _cos_micros(
                 _dot(F.col("emb_a"), F.col("emb_b")),
-                _norm(F.col("emb_a")),
-                _norm(F.col("emb_b")),
+                F.col("nrm_a"),
+                F.col("nrm_b"),
             ).alias("cos_micros"),
         )
         .filter(F.col("cos_micros") >= 250000)
@@ -136,11 +183,12 @@ def q61_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q62_ivf_assign",
     oracle=f"""
-WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 10),
+WITH e AS ({_E_NORMED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e WHERE vec_id < 10),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         {_cos_micros_sql('e.embedding', 'c.embedding')} AS cos_micros
-  FROM embeddings e JOIN cents c ON true
+         {_cos_micros_prenorm_sql('e.embedding', 'c.embedding', 'e.nrm', 'c.nrm')} AS cos_micros
+  FROM e JOIN cents c ON true
 )
 SELECT vec_id, centroid_id, cos_micros FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -149,20 +197,23 @@ SELECT vec_id, centroid_id, cos_micros FROM (
 WHERE rn = 1
 """,
     doc="IVF coarse-quantizer assignment: nearest of 10 centroids per "
-    "vector via broadcast join — the partition key for ANN at scale.",
+    "vector via broadcast join — the partition key for ANN at scale. "
+    "Vector and centroid norms precomputed once.",
 )
 def q62_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = with_norm(load(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
         _cos_micros(
             _dot(F.col("embedding"), F.col("c_emb")),
-            _norm(F.col("embedding")),
-            _norm(F.col("c_emb")),
+            F.col("nrm"),
+            F.col("c_nrm"),
         ).alias("cos_micros"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_micros").desc(), F.col("centroid_id"))
@@ -248,26 +299,32 @@ _BUCKET_SQL = (
     "q64_lsh_neardup",
     oracle=f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm,
+         {_BUCKET_SQL} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         {_cos_micros_prenorm_sql('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')} AS cos_micros
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-       {_cos_micros_sql('a.embedding', 'b.embedding')} AS cos_micros
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 100000
+SELECT vec_a, vec_b, bucket, cos_micros FROM scored WHERE cos_micros >= 100000
 """,
     doc="Vector near-dup at scale: LSH bucket equi-join prunes the pair "
     "space (same 8 sign bits), then exact cosine verifies survivors — "
-    "the end-to-end scale path whose recall baseline is brute-force q61.",
+    "the end-to-end scale path whose recall baseline is brute-force q61. "
+    "Norms precomputed per vector before the bucket join.",
 )
 def q64_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = q63_vector_lsh_buckets(spark, sf_dir).join(
-        load(spark, sf_dir, "embeddings"), "vec_id"
+        with_norm(load(spark, sf_dir, "embeddings")), "vec_id"
     )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), "bucket", F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("vec_a"), "bucket",
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), "bucket", F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("vec_b"), "bucket",
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     return (
         a.join(b, "bucket")
@@ -278,8 +335,8 @@ def q64_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             _cos_micros(
                 _dot(F.col("emb_a"), F.col("emb_b")),
-                _norm(F.col("emb_a")),
-                _norm(F.col("emb_b")),
+                F.col("nrm_a"),
+                F.col("nrm_b"),
             ).alias("cos_micros"),
         )
         .filter(F.col("cos_micros") >= 100000)
@@ -289,28 +346,29 @@ def q64_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q65_ivf_search",
     oracle=f"""
-WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 10),
+WITH e AS ({_E_NORMED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e WHERE vec_id < 10),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, c.centroid_id,
-           {_cos_micros_sql('e.embedding', 'c.embedding')} AS cos_micros,
+           {_cos_micros_prenorm_sql('e.embedding', 'c.embedding', 'e.nrm', 'c.nrm')} AS cos_micros,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {_cos_micros_sql('e.embedding', 'c.embedding')} DESC,
+               ORDER BY {_cos_micros_prenorm_sql('e.embedding', 'c.embedding', 'e.nrm', 'c.nrm')} DESC,
                         c.centroid_id) AS rn
-    FROM embeddings e JOIN cents c ON true) t
+    FROM e JOIN cents c ON true) t
   WHERE rn = 1
 ),
 queries AS (
-  SELECT a.vec_id AS query_id, a.centroid_id, q.embedding AS q_emb
-  FROM assign a JOIN embeddings q ON q.vec_id = a.vec_id
+  SELECT a.vec_id AS query_id, a.centroid_id, q.embedding AS q_emb, q.nrm AS q_nrm
+  FROM assign a JOIN e q ON q.vec_id = a.vec_id
   WHERE a.vec_id >= 490 AND a.vec_id < 495
 ),
 scored AS (
   SELECT qu.query_id, a.vec_id AS neighbor_id,
-         {_cos_micros_sql('qu.q_emb', 'e.embedding')} AS cos_micros
+         {_cos_micros_prenorm_sql('qu.q_emb', 'e.embedding', 'qu.q_nrm', 'e.nrm')} AS cos_micros
   FROM queries qu
   JOIN assign a ON a.centroid_id = qu.centroid_id AND a.vec_id <> qu.query_id
-  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN e ON e.vec_id = a.vec_id
 )
 SELECT query_id, neighbor_id, cos_micros, rn FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -325,7 +383,7 @@ WHERE rn <= 3
 )
 def q65_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = q62_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
-    e = load(spark, sf_dir, "embeddings")
+    e = with_norm(load(spark, sf_dir, "embeddings"))
     queries = (
         assign.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 495))
         .join(e, "vec_id")
@@ -333,12 +391,14 @@ def q65_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "centroid_id",
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
         )
     )
     members = assign.join(e, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         "centroid_id",
         F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
     )
     scored = (
         queries.join(members, "centroid_id")
@@ -348,8 +408,8 @@ def q65_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             _cos_micros(
                 _dot(F.col("q_emb"), F.col("n_emb")),
-                _norm(F.col("q_emb")),
-                _norm(F.col("n_emb")),
+                F.col("q_nrm"),
+                F.col("n_nrm"),
             ).alias("cos_micros"),
         )
     )
