@@ -73,7 +73,10 @@ def read_jdbc(
 ) -> DataFrame:
     """S2 — JDBC scan (reference: src/data_processor.py:272-292). Built-in
     format; partitionColumn/numPartitions options pass through for
-    parallel reads. Untested in-container (no DB server, no driver jar)."""
+    parallel reads. Runtime-verified against embedded Derby (the JDBC
+    database Spark bundles) in ``tests/test_jdbc.py`` — round-trip,
+    predicate evaluation, and a 4-partition parallel range read; only
+    the URL differs for MySQL."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

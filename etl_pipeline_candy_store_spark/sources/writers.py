@@ -55,7 +55,8 @@ def write_jdbc(
     mode: str = "overwrite",
 ) -> None:
     """S6 — JDBC sink (reference: src/data_processor.py:237-269).
-    Untested in-container (no DB server)."""
+    Runtime-verified against embedded Derby in ``tests/test_jdbc.py``
+    (overwrite replaces, append accumulates, values round-trip)."""
     (
         df.write.format("jdbc")
         .option("url", url)

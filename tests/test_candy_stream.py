@@ -108,3 +108,118 @@ def test_stream_pipeline_matches_batch(spark, tmp_path):
     assert got == want
     # cancellations must actually occur for this to be a meaningful test
     assert sum(c for _, c in got.values()) > 0
+
+
+def test_stream_crash_recovery_carries_state(spark, tmp_path):
+    """Kill a checkpointed allocation stream mid-dataset and restart it
+    from the SAME checkpoint: the restarted query must (a) not reprocess
+    the already-committed day files (file-source offsets in the
+    checkpoint), and (b) resume with the state store's remaining stock —
+    proven by byte-parity of the full output with a batch run over all
+    days. A lost state store would re-fulfil sold-out products; a lost
+    offset log would duplicate early days; either breaks the compare."""
+    root = str(tmp_path / "fix")
+    write_fixture(root)
+    day_files = sorted(glob.glob(os.path.join(root, "transactions_*.json")))
+    assert len(day_files) >= 3
+    split = len(day_files) // 2
+
+    watch = str(tmp_path / "watch")
+    out_dir = str(tmp_path / "out_parquet")
+    ckpt = str(tmp_path / "ckpt_recovery")
+    os.makedirs(watch)
+
+    def run_until_drained():
+        stream = stream_candy_allocation(
+            spark, watch, os.path.join(root, "products.csv"),
+            max_files_per_trigger=1,
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    # phase 1: first half of the days, then the query dies
+    for f in day_files[:split]:
+        shutil.copy(f, watch)
+    q1 = run_until_drained()
+    phase1 = spark.read.parquet(out_dir)
+    rows_phase1 = phase1.count()
+    cancels_phase1 = phase1.filter(F.col("cancelled") == 1).count()
+    assert rows_phase1 > 0
+    assert not q1.isActive
+
+    # phase 2: remaining days appear while the query is down; restart
+    # from the same checkpoint
+    for f in day_files[split:]:
+        shutil.copy(f, watch)
+    q2 = run_until_drained()
+    processed_files = sum(
+        p["numInputRows"] > 0 for p in q2.recentProgress
+    )
+    assert processed_files <= len(day_files) - split, (
+        "restarted query reprocessed already-committed files"
+    )
+
+    # batch reference over ALL days (same sequencing as the stream)
+    pipe = CandyPipeline(
+        spark,
+        CandyConfig(
+            products_csv=os.path.join(root, "products.csv"),
+            customers_csv=os.path.join(root, "customers.csv"),
+            transactions_paths=day_files,
+            output_dir=str(tmp_path / "out_batch"),
+        ),
+    )
+    from etl_pipeline_candy_store_spark.operators.allocation import allocate_sequential
+
+    tx = pipe.load_transactions().drop("file_seq")
+    products = pipe.load_products().select(
+        "product_id",
+        F.col("sales_price").cast("double").alias("unit_price"),
+        F.col("stock").cast("long").alias("opening_stock"),
+    )
+    items = (
+        tx.select(
+            F.col("transaction_id").alias("order_id"),
+            F.col("timestamp").alias("order_datetime"),
+            "business_date",
+            F.posexplode("items").alias("item_pos", "item"),
+        )
+        .select(
+            "order_id", "order_datetime", "business_date", "item_pos",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("requested_qty"),
+        )
+        .filter(F.col("requested_qty").isNotNull())
+        .join(F.broadcast(products), "product_id", "inner")
+    )
+    batch = allocate_sequential(
+        items,
+        key_col="product_id",
+        seq_cols=["business_date", "order_datetime", "order_id", "item_pos"],
+        qty_col="requested_qty",
+        stock_col="opening_stock",
+    )
+    want = {}
+    for r in batch.collect():
+        k = (r["order_id"], r["product_id"])
+        qq, c = want.get(k, (0, 0))
+        want[k] = (qq + r["quantity"], c + r["cancelled"])
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["order_id"], r["product_id"])
+        qq, c = got.get(k, (0, 0))
+        got[k] = (qq + r["quantity"], c + r["cancelled"])
+    assert got == want
+    # state really crossed the restart: cancellations must OCCUR in the
+    # post-restart days (stock that sold out before the crash stays sold
+    # out — a fresh state store would have re-fulfilled these lines)
+    cancels_total = spark.read.parquet(out_dir).filter(F.col("cancelled") == 1).count()
+    assert cancels_total > cancels_phase1 > 0
