@@ -25,8 +25,11 @@ HEADLINE = [
     "q09_window_running_sum",   # window
     "q23_daily_summary",        # two-level agg (flagship)
     "q30_allocation_sequential",  # applyInPandas stateful op
-    "q52_minhash_lsh_pairs",    # dedup pipeline
-    "q60_cosine_topk",          # similarity search
+    "q44_tfidf_top_term",       # text analysis (tokenize + idf join)
+    "q51_ngram_jaccard_pairs",  # shingle equi-join dedup
+    "q52_minhash_lsh_pairs",    # MinHash-LSH dedup pipeline
+    "q60_cosine_topk",          # brute-force similarity baseline
+    "q64_lsh_neardup",          # LSH-bucketed vector near-dup (scale path)
 ]
 
 
@@ -49,25 +52,38 @@ def main() -> None:
     # startup; excluded from timings.
     catalog.load(spark, sf_dir, "lineitem").count()
 
+    # best-of-2 per query: the first pass pays codegen/JIT warmup that a
+    # long-running cluster would amortize; min is the steady-state signal
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = catalog.REGISTRY[name].builder
-        t0 = time.time()
-        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # per-query delta vs the previous round's artifact, when present
+    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    if os.path.exists(prior_path):
+        try:
+            prior = json.load(open(prior_path))
+            prior = prior.get("parsed", prior)["queries"]  # driver wraps the line
+            out["vs_r01"] = {
+                q: round(t / prior[q], 2) for q, t in timings.items() if q in prior
             }
-        )
-    )
+        except Exception:
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 
