@@ -25,6 +25,63 @@ _N_HASHES = 6
 _BANDS = 3  # rows-per-band = 2
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node's label starts as itself; each round a node takes the min of
+    its own and its neighbors' labels; converges when nothing changes
+    (rounds = component diameter). Returns (node, label) where label is
+    the component's min node id.
+
+    Scale posture: each round is one shuffle join + one aggregate, with
+    an eager checkpoint so lineage stays flat; near-dup clusters have
+    tiny diameters (pairs come from a similarity threshold), so rounds
+    are few. For adversarial graphs (long chains) switch to the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds —
+    same primitive ops, more rounds-per-pass bookkeeping.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds max_iters; raise it or use "
+        "star-contraction for chain-shaped graphs"
+    )
+
+
 @register(
     "q50_dedup_exact",
     oracle="""
@@ -77,9 +134,7 @@ _SHINGLES_SQL = """
 """
 
 
-@register(
-    "q51_ngram_jaccard_pairs",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -94,7 +149,12 @@ FROM inter i
 JOIN card ca ON ca.doc_id = i.doc_a
 JOIN card cb ON cb.doc_id = i.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRESHOLD}
-""",
+"""
+
+
+@register(
+    "q51_ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_SQL,
     doc="n-gram Jaccard near-dup pairs via shingle equi-join (no cross "
     "product: the join fans out only on shared shingles).",
 )
@@ -277,4 +337,69 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("s") > 0, F.expr("shiftleft(1, bitpos)")).otherwise(0)
         ).alias("simhash")
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q54_dedup_clusters",
+    oracle=_CLUSTERS_SQL,
+    doc="Duplicate-cluster resolution: connected components over the "
+    "Jaccard near-dup pairs (iterative min-label propagation; the "
+    "oracle is a recursive transitive-closure CTE). Every document "
+    "gets a cluster_id = min doc_id of its component; singletons "
+    "cluster to themselves. The step AFTER pair finding in a real "
+    "dedup pipeline — pairs alone over-delete under transitivity "
+    "(a~b, b~c must not drop both b and c against different keepers).",
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
+@register(
+    "q55_dedup_canonical",
+    oracle=f"""
+WITH clusters AS ({_CLUSTERS_SQL})
+SELECT cluster_id,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_members
+FROM clusters
+GROUP BY cluster_id
+""",
+    doc="Keep-one-per-cluster materialization: the canonical document "
+    "(min doc_id) and member count per duplicate cluster — the final "
+    "shape a training-data pipeline consumes (join back on keep_doc_id "
+    "to emit the deduplicated corpus).",
+)
+def q55_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q54_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )

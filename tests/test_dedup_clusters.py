@@ -1,0 +1,57 @@
+"""Connected-components operator: correctness on known graph shapes and
+the catalog queries' transitivity property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["label"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_diameter(spark):
+    """A 9-hop chain exercises multi-round propagation (one hop per
+    round) well past the trivial 1-2 round cases."""
+    got = _cc(spark, [(i, i + 1) for i in range(1, 10)])
+    assert set(got.values()) == {1} and len(got) == 10
+
+
+def test_cycle_and_cross_edges(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 2), (2, 9)])
+    assert set(got.values()) == {2} and len(got) == 5
+
+
+def test_min_label_is_component_min(spark):
+    """Label must be the component MIN even when the min node sits at
+    the far end from high-degree nodes."""
+    got = _cc(spark, [(100, 50), (50, 75), (75, 1)])
+    assert got == {100: 1, 50: 1, 75: 1, 1: 1}
+
+
+def test_transitivity_of_cluster_query(spark):
+    """q54 semantics: if (a,b) and (b,c) are near-dup pairs, all three
+    share one cluster — the property raw pairs don't give you."""
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = REGISTRY["q51_ngram_jaccard_pairs"].builder(spark, sf_dir)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["q54_dedup_clusters"].builder(spark, sf_dir).collect()
+    }
+    for r in pairs.collect():
+        assert clusters[r["doc_a"]] == clusters[r["doc_b"]], (r["doc_a"], r["doc_b"])
