@@ -1,0 +1,192 @@
+"""Training-data curation operators: deterministic stratified sampling,
+greedy sequence packing (context-window budgeting), and benchmark
+decontamination. No counterpart in the reference (its pipeline stops at
+BI outputs); these are the ops a pretraining-data pipeline runs after
+dedup, expressed Spark-first.
+
+Scale notes:
+- Sampling is a pure filter on a content hash — no shuffle, fully
+  pushdown-friendly, and reproducible across runs/retries (same property
+  the salting fix needed: hash of row content, never rand()).
+- Packing is sequential per source (bin state carries doc-to-doc), so it
+  uses the same partition-sorted single-pass ``mapInPandas`` shape as
+  the allocation operator: one shuffle on source, state across Arrow
+  batches, task count = shuffle width. Sources are the natural packing
+  unit at 100 TB (you pack within a corpus slice, not across the world).
+- Decontamination is a shingle equi-join against the (small) eval set —
+  broadcast the eval shingles; no pair space materializes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etl_pipeline_candy_store_spark.operators.dedup import _SHINGLES_SQL, _shingles
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+_PACK_BUDGET = 128  # tokens per context window
+_EVAL_MAX_DOC = 10  # doc_id < 10 plays the held-out benchmark set
+_CONTAM_MIN_OVERLAP = 3
+
+# Portable 8-bit content hash: both engines index the same md5 hex chars
+# (1-based instr/strpos arithmetic; no hex→int casts, which differ).
+_HEXPOS = "instr('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
+_H256_SQL = f"(({_HEXPOS.format(i=1)}) * 16 + ({_HEXPOS.format(i=2)}))"
+
+
+@register(
+    "q56_stratified_sample",
+    oracle=f"""
+SELECT doc_id, source, CAST({_H256_SQL} AS BIGINT) AS h
+FROM documents
+WHERE {_H256_SQL} < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                         THEN 77 ELSE 128 END
+""",
+    doc="Deterministic stratified sampling: keep a doc iff an 8-bit "
+    "content hash clears the stratum's rate (~30% for even-numbered "
+    "sources, 50% for odd). Pure filter — no shuffle, no RNG state, "
+    "identical sample on every run/retry/engine; the way a 100 TB "
+    "pipeline downsamples a stratum without a sort or a count.",
+)
+def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("text").cast("binary")), 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("text").cast("binary")), 2, 1)) - 1)
+    )
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(77)
+    ).otherwise(F.lit(128))
+    return d.select("doc_id", "source", h.cast("long").alias("h")).filter(
+        F.col("h") < rate
+    )
+
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("source", StringType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("bin_id", LongType(), False),
+    ]
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = _PACK_BUDGET,
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing: walk each group's
+    docs in order, filling context windows of ``budget`` tokens; a doc
+    that would overflow starts the next bin (an oversized doc occupies
+    a bin alone). Sequential per group ⇒ partition-sorted single-pass
+    ``mapInPandas`` with bin state carried across Arrow batches —
+    the allocation operator's physical shape (allocation.py:39).
+    """
+
+    def _pack(batches):
+        state: dict = {}  # group -> (bin_id, fill); groups never span partitions
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_bin = []
+            for g, n in zip(pdf[group_col], pdf[tokens_col]):
+                bin_id, fill = state.get(g, (0, 0))
+                n = int(n)
+                if fill > 0 and fill + n > budget:
+                    bin_id, fill = bin_id + 1, 0
+                fill += n
+                state[g] = (bin_id, fill)
+                out_bin.append(bin_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[order_col].astype("int64"),
+                    "source": pdf[group_col],
+                    "n_tokens": pdf[tokens_col].astype("int64"),
+                    "bin_id": pd.Series(out_bin, dtype="int64"),
+                }
+            )
+
+    return (
+        docs.repartition(group_col)
+        .sortWithinPartitions(group_col, order_col)
+        .mapInPandas(_pack, schema=_PACK_SCHEMA)
+    )
+
+
+@register(
+    "q57_sequence_packing",
+    oracle=f"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id FROM pack
+""",
+    doc="Greedy sequence packing into 128-token context windows per "
+    "source (first-fit in doc order; oversized docs get their own bin) "
+    "— the pretraining batch-prep step. Spark side is the partition-"
+    "sorted mapInPandas shape; the oracle is a per-group linear "
+    "recursive CTE.",
+)
+def q57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(d)
+
+
+@register(
+    "q58_decontamination",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_EVAL_MAX_DOC})
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+WHERE s.doc_id >= {_EVAL_MAX_DOC}
+GROUP BY s.doc_id
+HAVING COUNT(*) >= {_CONTAM_MIN_OVERLAP}
+""",
+    doc="Benchmark decontamination: flag training docs sharing >= 3 "
+    "distinct 3-token shingles with the held-out eval set (doc_id < "
+    "10). Shingle equi-join against the broadcast eval side — the "
+    "standard n-gram-overlap decontamination pass, linear in corpus "
+    "size.",
+)
+def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    eval_sh = (
+        sh.filter(F.col("doc_id") < _EVAL_MAX_DOC).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
+        .select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
+    )

@@ -1,0 +1,57 @@
+"""Curation operators: packing edge cases, sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.curation import pack_sequences
+
+
+def _pack(spark, rows, budget):
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    return {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+
+
+def test_pack_greedy_first_fit(spark):
+    rows = [(1, "a", 50), (2, "a", 60), (3, "a", 30), (4, "a", 10)]
+    # budget 100: [50], +60 overflows -> bin1 [60, 30, 10 = 100 exact]
+    assert _pack(spark, rows, 100) == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_pack_oversized_doc_own_bin(spark):
+    rows = [(1, "a", 10), (2, "a", 500), (3, "a", 10)]
+    got = _pack(spark, rows, 100)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_pack_groups_independent(spark):
+    rows = [(1, "a", 90), (2, "a", 90), (10, "b", 90), (11, "b", 5)]
+    got = _pack(spark, rows, 100)
+    assert got == {1: 0, 2: 1, 10: 0, 11: 0}
+
+
+def test_pack_state_spans_arrow_batches(spark):
+    """One group larger than maxRecordsPerBatch (10k in the engine
+    session): the (bin, fill) state must carry across batches — bin ids
+    stay monotone with no reset."""
+    n = 25000
+    rows = [(i, "a", 40) for i in range(n)]  # 3 docs per 128-token bin
+    got = _pack(spark, rows, 128)
+    assert got[0] == 0
+    assert got[n - 1] == (n - 1) // 3
+    assert all(got[i] == i // 3 for i in range(0, n, 997))
+
+
+def test_sample_deterministic_and_stratified(spark):
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.001"
+    b = REGISTRY["q56_stratified_sample"].builder
+    a = sorted(map(tuple, b(spark, sf_dir).collect()))
+    bb = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert a == bb and len(a) > 0
+    assert all(h < 128 for *_, h in a)
