@@ -190,3 +190,54 @@ def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
         .select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
     )
+
+
+_STOPWORDS = "'the','of','and','a','to','in','is','it','that','for'"
+
+
+@register(
+    "q59_quality_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> lower(t) IN ({_STOPWORDS}))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop, n_alpha, n_chars,
+       CAST(CASE WHEN n_tokens BETWEEN 10 AND 1000
+                  AND n_alpha * 2 >= n_chars
+                  AND n_chars BETWEEN n_tokens * 2 AND n_tokens * 12
+             THEN 1 ELSE 0 END AS INTEGER) AS passed
+FROM m
+""",
+    doc="Gopher-style quality gate per document: token-count bounds, "
+    "alphabetic-character fraction >= 50%, and mean word length within "
+    "[2, 12] chars — all as INTEGER cross-multiplications (no float "
+    "ratios, so both engines hash identically). One scan, no shuffle; "
+    "the canonical cheap first filter of a pretraining pipeline.",
+)
+def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.expr(f"filter(split(text, ' '), t -> lower(t) IN ({_STOPWORDS}))")
+        ).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    passed = (
+        F.col("n_tokens").between(10, 1000)
+        & (F.col("n_alpha") * 2 >= F.col("n_chars"))
+        & (F.col("n_chars") >= F.col("n_tokens") * 2)
+        & (F.col("n_chars") <= F.col("n_tokens") * 12)
+    )
+    return m.select(
+        "*", F.when(passed, F.lit(1)).otherwise(F.lit(0)).alias("passed")
+    )

@@ -295,9 +295,7 @@ _BUCKET_SQL = (
 )
 
 
-@register(
-    "q64_lsh_neardup",
-    oracle=f"""
+_LSH_NEARDUP_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm,
          {_BUCKET_SQL} AS bucket FROM embeddings
@@ -308,7 +306,12 @@ scored AS (
   FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, bucket, cos_micros FROM scored WHERE cos_micros >= 100000
-""",
+"""
+
+
+@register(
+    "q64_lsh_neardup",
+    oracle=_LSH_NEARDUP_SQL,
     doc="Vector near-dup at scale: LSH bucket equi-join prunes the pair "
     "space (same 8 sign bits), then exact cosine verifies survivors — "
     "the end-to-end scale path whose recall baseline is brute-force q61. "
@@ -417,3 +420,40 @@ def q65_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_micros").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "q66_vector_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_LSH_NEARDUP_SQL}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    doc="Embedding near-dup CLUSTER resolution: connected components "
+    "over the LSH-bucketed pair graph (q64) — the vector-side analog of "
+    "q54. Completes the production dedup path end-to-end: bucket → "
+    "verify pairs → resolve transitive clusters → keep one per cluster; "
+    "every vector (incl. singletons) gets cluster_id = min vec_id of "
+    "its component.",
+)
+def q66_vector_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.dedup import connected_components
+
+    pairs = q64_lsh_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id")
+    return vecs.join(cc, vecs["vec_id"] == cc["node"], "left").select(
+        "vec_id",
+        F.coalesce(F.col("label"), F.col("vec_id")).cast("long").alias("cluster_id"),
+    )
