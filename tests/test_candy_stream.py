@@ -145,9 +145,16 @@ def test_stream_crash_recovery_carries_state(spark, tmp_path):
         q.awaitTermination(180)
         return q
 
+    def feed(files, t0):
+        # distinct ascending mtimes: the file source's processing order is
+        # mtime-based, and day order is what makes stream ≡ batch
+        for i, f in enumerate(files):
+            dst = os.path.join(watch, os.path.basename(f))
+            shutil.copy(f, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
     # phase 1: first half of the days, then the query dies
-    for f in day_files[:split]:
-        shutil.copy(f, watch)
+    feed(day_files[:split], 1_000_000_000)
     q1 = run_until_drained()
     phase1 = spark.read.parquet(out_dir)
     rows_phase1 = phase1.count()
@@ -157,8 +164,7 @@ def test_stream_crash_recovery_carries_state(spark, tmp_path):
 
     # phase 2: remaining days appear while the query is down; restart
     # from the same checkpoint
-    for f in day_files[split:]:
-        shutil.copy(f, watch)
+    feed(day_files[split:], 1_000_001_000)
     q2 = run_until_drained()
     processed_files = sum(
         p["numInputRows"] > 0 for p in q2.recentProgress
