@@ -124,6 +124,28 @@ def extract_media_features(
     return df.mapInPandas(_batches, schema=MEDIA_FEATURES)
 
 
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+
+@register(
+    "q67_multimodal_features",
+    oracle=None,  # embedding derivation is numpy-specific → rows-only check
+    doc="Multimodal feature extraction end-to-end on driver-visible "
+    "data: documents.text bytes as the opaque binary payload, wrapped "
+    "in the media-column convention, streamed through the Arrow "
+    "mapInPandas extractor (deterministic fake decoder standing in for "
+    "the absent codecs). Rows-only driver check by design — the sha256-"
+    "seeded embedding is not SQL-expressible; digest/byte-count columns "
+    "are additionally pinned exactly in tests/test_multimodal.py.",
+)
+def q67_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_media_features(attach_media_columns(d, "payload", "image"))
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
 ) -> DataFrame:

@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         curation,
         dedup,
         merge_query,
+        multimodal,
         similarity,
         sketch,
         text,

@@ -58,3 +58,32 @@ def test_partial_aggregation_present(spark):
 def test_no_cartesian_in_multi_join(spark):
     plan = _plan(spark, "q04_multi_join_region")
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_pure_scan(spark):
+    """q56 must stay a scan+filter+project: no Exchange means the sample
+    runs map-side at any scale with zero shuffle bytes."""
+    plan = _plan(spark, "q56_stratified_sample")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the filter
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """q58: the eval shingle set must broadcast — a shuffle join here
+    would repartition the full corpus against a tiny benchmark set."""
+    plan = _plan(spark, "q58_decontamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """q50: one Exchange (the digest groupBy) and nothing else — the
+    canonical 100 TB dedup plan."""
+    import re
+
+    plan = _plan(spark, "q50_dedup_exact")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_quality_filter_no_shuffle(spark):
+    plan = _plan(spark, "q59_quality_filter")
+    assert "Exchange" not in plan
