@@ -45,6 +45,34 @@ def test_pack_state_spans_arrow_batches(spark):
     assert all(got[i] == i // 3 for i in range(0, n, 997))
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _docs = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 200)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(docs=_docs)
+    @settings(max_examples=10, deadline=None)
+    def test_pack_property_matches_python(spark, docs):
+        rows = [(i, g, n) for i, (g, n) in enumerate(docs)]
+        got = _pack(spark, rows, 100)
+        # independent python greedy per group, in doc_id order
+        state = {}
+        want = {}
+        for i, g, n in rows:
+            bin_id, fill = state.get(g, (0, 0))
+            if fill > 0 and fill + n > 100:
+                bin_id, fill = bin_id + 1, 0
+            state[g] = (bin_id, fill + n)
+            want[i] = bin_id
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_sample_deterministic_and_stratified(spark):
     from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
 

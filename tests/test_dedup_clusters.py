@@ -41,6 +41,42 @@ def test_min_label_is_component_min(spark):
     assert got == {100: 1, 50: 1, 75: 1, 1: 1}
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_cc_matches_union_find(spark, edges):
+        got = _cc(spark, [(a, b) for a, b in edges])
+        # driver-side union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        want = {n: min(mem) for mem in comp.values() for n in mem}
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_transitivity_of_cluster_query(spark):
     """q54 semantics: if (a,b) and (b,c) are near-dup pairs, all three
     share one cluster — the property raw pairs don't give you."""

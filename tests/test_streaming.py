@@ -171,6 +171,76 @@ def test_stream_daily_summary(spark, tmp_path):
     assert len(got) >= len(want) - 3
 
 
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event arriving AFTER the watermark passed its window must be
+    dropped (append mode): the closed window is emitted once with the
+    on-time count only, and never re-emitted."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_chunk(rows, name, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "ts timestamp, v int").coalesce(1).write.parquet(d)
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(glob.glob(d + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    day1 = dt.datetime(2024, 1, 1, 10)
+    # chunk 1: three day-1 events + a day-4 event that pushes the
+    # watermark (delay "1 day") past day 1's window end
+    write_chunk(
+        [
+            (day1, 1),
+            (day1 + dt.timedelta(minutes=5), 1),
+            (day1 + dt.timedelta(minutes=10), 1),
+            (day1 + dt.timedelta(days=3), 1),
+        ],
+        "c1",
+        1_000_000_000,
+    )
+    # chunk 2: a benign fresh event. Needed because Spark's late-record
+    # filter uses the PREVIOUS batch's watermark (watermark propagation,
+    # SPARK-40925) while state eviction uses the current one — the late
+    # event must arrive two batches after the watermark-pusher to sit
+    # behind the *filter* watermark, not just the eviction watermark.
+    write_chunk(
+        [(day1 + dt.timedelta(days=3, hours=1), 1)],
+        "c2",
+        1_000_000_100,
+    )
+    # chunk 3: a LATE day-1 event (behind the filter watermark) + a fresh one
+    write_chunk(
+        [(day1 + dt.timedelta(hours=1), 1), (day1 + dt.timedelta(days=4), 1)],
+        "c3",
+        1_000_000_200,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_daily_summary(stream, ts_col="ts", value_col="v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_stream").collect()
+    day1_rows = [r for r in rows if str(r["date"]) == "2024-01-01"]
+    # exactly one emission for day 1, counting only the 3 on-time events
+    assert len(day1_rows) == 1
+    assert day1_rows[0]["n_events"] == 3
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Stream-stream interval join with watermarks: purchases joined to
     error events of the same user within +/- 30 minutes."""
