@@ -38,6 +38,16 @@ _HEXPOS = "instr('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
 _H256_SQL = f"(({_HEXPOS.format(i=1)}) * 16 + ({_HEXPOS.format(i=2)}))"
 
 
+def _h256(col: str = "text"):
+    """The portable 8-bit content hash as a Spark Column (see
+    ``_H256_SQL`` for the identical DuckDB arithmetic)."""
+    md5 = F.md5(F.col(col).cast("binary"))
+    return (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(md5, 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(md5, 2, 1)) - 1)
+    )
+
+
 @register(
     "q56_stratified_sample",
     oracle=f"""
@@ -54,10 +64,7 @@ WHERE {_H256_SQL} < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
 )
 def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    h = (
-        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("text").cast("binary")), 1, 1)) - 1) * 16
-        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("text").cast("binary")), 2, 1)) - 1)
-    )
+    h = _h256()
     rate = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(77)
     ).otherwise(F.lit(128))
@@ -240,4 +247,89 @@ def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "*", F.when(passed, F.lit(1)).otherwise(F.lit(0)).alias("passed")
+    )
+
+
+@register(
+    "q80_hash_split",
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN {_H256_SQL} < 230 THEN 'train'
+              WHEN {_H256_SQL} < 243 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+    doc="Deterministic train/val/test assignment by content hash "
+    "(~90/5/5): a pure stateless filter expression, so the split is "
+    "identical on every run, every engine, and every retry — no RNG, "
+    "no global sort, no coordination; exactly how a 100 TB corpus is "
+    "split without ever collecting it. Emits per-split doc and char "
+    "totals.",
+)
+def q80_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = _h256()
+    split = (
+        F.when(h < 230, F.lit("train")).when(h < 243, F.lit("val")).otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q81_source_mix_rebalance",
+    oracle=f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_src,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 3 ELSE 1 END AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n_src) AS n_tot, SUM(w) AS sum_w FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+WHERE ({_H256_SQL}) * t.sum_w * c.n_src < 256 * t.n_tot * c.w
+""",
+    doc="Source-mix rebalancing: given per-source target weights (even-"
+    "numbered sources 3x odd), compute each source's keep-rate = "
+    "target_share * total / source_count and keep docs whose content "
+    "hash clears it. Two cheap aggregates produce a tiny rate table "
+    "(broadcast), then one stateless filter pass — the deterministic "
+    "way to hit a domain mix at 100 TB. The rate comparison is integer "
+    "cross-multiplied, so both engines agree bit-for-bit.",
+)
+def q81_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .withColumn(
+            "w",
+            F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3))
+            .otherwise(F.lit(1)),
+        )
+    )
+    t = c.agg(
+        F.sum("n_src").alias("n_tot"), F.sum("w").alias("sum_w")
+    )
+    return (
+        d.join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .filter(
+            _h256() * F.col("sum_w") * F.col("n_src")
+            < 256 * F.col("n_tot") * F.col("w")
+        )
+        .select("doc_id", "source")
     )

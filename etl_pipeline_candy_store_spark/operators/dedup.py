@@ -403,3 +403,144 @@ def q55_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+# --- Bloom-filter incremental dedup -----------------------------------
+
+_BLOOM_M_BITS = 1 << 17  # bitmap bits (2048 longs); ~0.1% fpp at 10k keys, k=5
+_BLOOM_K = 5
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K
+) -> list[int]:
+    """Build a Bloom-filter bitmap over ``df[col]`` as a list of
+    ``m_bits/64`` longs. Construction is fully distributed: each value
+    maps to ``k`` bit positions (``xxhash64(j, value) mod m``), positions
+    aggregate into 64-bit words with ``bit_or`` (map-side combinable),
+    and only the tiny word table (``m_bits/64`` rows) reaches the driver.
+    The bitmap then travels to executors as a broadcast literal — the
+    same artifact-size story as Spark's own runtime bloom join filters,
+    which Catalyst cannot inject for anti-joins (a probe-side bloom may
+    only discard rows that *would have matched*; an anti-join keeps
+    exactly the non-matching rows, so the split must be explicit — see
+    :func:`incremental_dedup`).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = [
+        F.pmod(F.xxhash64(F.lit(j), F.col(col)), F.lit(m_bits)).alias(f"p{j}")
+        for j in range(k)
+    ]
+    words = (
+        df.select(F.explode(F.array(*pos)).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) as int)))").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    return bitmap
+
+
+def bloom_might_contain(
+    col: str, bitmap: list[int], k: int = _BLOOM_K
+) -> "F.Column":
+    """Boolean column: does the Bloom filter possibly contain ``col``?
+    Pure JVM bit arithmetic against the broadcast bitmap literal — no
+    Python in the row path, whole-stage-codegen friendly. False
+    negatives are impossible (membership => every probed bit is set)."""
+    m_bits = len(bitmap) * 64
+    arr = F.lit(bitmap)
+    conds = None
+    for j in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(j), F.col(col)), F.lit(m_bits))
+        word = F.element_at(arr, ((pos / 64).cast("long") + 1).cast("int"))
+        bit = F.pmod(pos, F.lit(64)).cast("int")
+        c = F.call_function("getbit", word, bit) == 1
+        conds = c if conds is None else (conds & c)
+    return conds
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key: str,
+    m_bits: int = _BLOOM_M_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Incremental dedup: rows of ``batch`` whose ``key`` does NOT occur
+    in ``corpus`` — without ever shuffling the corpus.
+
+    The naive plan is ``batch ANTI JOIN corpus`` — one full shuffle of
+    BOTH sides on the key, and the corpus is the 100 TB side. Instead:
+
+    1. one corpus scan builds a Bloom bitmap (distributed ``bit_or``
+       aggregation, driver sees ``m_bits/64`` longs);
+    2. bloom-NEGATIVE batch rows are definitely new — they bypass any
+       join entirely (at steady state most of a fresh crawl is new, so
+       this is most of the batch);
+    3. only bloom-POSITIVE keys (true dups + fpp·|batch| false
+       positives — a small set) are checked exactly: they broadcast to
+       a second corpus scan (map-side semi join, shuffle-free), and the
+       confirmed-dup keys broadcast back to filter the batch.
+
+    Total: two corpus scans, zero corpus shuffles, and the only shuffle
+    anywhere is the ``distinct`` over the small maybe-set. Assumes the
+    bloom-positive key set fits a broadcast (size it via ``m_bits`` /
+    fpp); when it doesn't, fall back to the plain anti-join.
+    Result-identical to the anti-join: bloom has no false negatives.
+    """
+    bitmap = bloom_bitmap(corpus, key, m_bits, k)
+    maybe = bloom_might_contain(key, bitmap, k)
+    definite_new = batch.filter(~maybe)
+    maybe_keys = batch.filter(maybe).select(key).distinct()
+    dup_keys = corpus.join(F.broadcast(maybe_keys), key, "left_semi").select(key).distinct()
+    checked_new = batch.filter(maybe).join(F.broadcast(dup_keys), key, "left_anti")
+    return definite_new.unionByName(checked_new)
+
+
+@register(
+    "q77_bloom_incremental_dedup",
+    oracle="""
+WITH corpus AS (SELECT md5(text) AS digest FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT b.doc_id,
+         md5(CASE WHEN b.doc_id % 5 = 0 THEN d.text ELSE b.text END) AS digest
+  FROM documents b
+  LEFT JOIN documents d ON d.doc_id = b.doc_id - 400
+  WHERE b.doc_id >= 400
+)
+SELECT doc_id, digest FROM batch
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = batch.digest)
+""",
+    doc="Incremental (batch-vs-corpus) exact dedup via a Bloom pre-"
+    "filter: docs >= 400 play the incoming batch (every 5th carries a "
+    "corpus doc's text, so real dups exist), docs < 400 the existing "
+    "corpus. Bloom-negative rows ship straight through; only the "
+    "bloom-positive handful takes the exact broadcast check — no "
+    "corpus shuffle anywhere. Oracle is the plain anti-join, which the "
+    "bloom split provably equals (no false negatives).",
+)
+def q77_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400).select(
+        F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    donor = docs.select(
+        (F.col("doc_id") + 400).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 5 == 0, F.col("donor_text"))
+                .otherwise(F.col("text"))
+                .cast("binary")
+            ).alias("digest"),
+        )
+    )
+    return incremental_dedup(batch, corpus, "digest")

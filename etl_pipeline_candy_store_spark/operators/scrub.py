@@ -1,0 +1,141 @@
+"""Text scrubbing operators: PII redaction and repetition profiling.
+No counterpart in the reference (its pipeline is BI over candy orders);
+these are the scrubbing passes a pretraining-data pipeline runs between
+ingestion and dedup, expressed as single-scan JVM column expressions.
+
+Scale notes:
+- Redaction is a chain of ``regexp_replace`` calls — one scan, zero
+  shuffles, whole-stage codegen keeps it JVM-side; regex cost is linear
+  per row and embarrassingly parallel.
+- Repetition profiling is explode → two map-side-combinable aggregates
+  (per-(doc,word) count, then per-doc max/sum). The shuffle key is
+  (doc_id, word), which is near-unique — no skew; output is integers
+  only so cross-engine hashing is exact.
+- Patterns stay inside the Java-regex ∩ RE2 common subset so the DuckDB
+  oracles run the *same* pattern strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+# Java ∩ RE2 portable patterns (no lookbehind, no backrefs).
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# The synthetic corpus carries no PII, so both engines synthesize the
+# same PII-bearing text (emails/IP/phone derived from doc_id; every
+# third doc gets a second email to prove global replacement).
+_PII_TEXT_TMPL = (
+    "text || ' reach doc' || CAST(doc_id AS {s}) || '@mail.example.com'"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN ' cc doc' || CAST(doc_id AS {s}) || '@alt.example.org'"
+    "         ELSE '' END"
+    " || ' from 10.0.' || CAST(doc_id % 200 AS {s}) || '.7"
+    " call 555-867-5309'"
+)
+_PII_TEXT_SQL = _PII_TEXT_TMPL.format(s="VARCHAR")  # DuckDB oracle
+_PII_TEXT_SPARK = _PII_TEXT_TMPL.format(s="STRING")  # Spark builder
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers
+    with typed placeholder tokens, and count each kind (pre-redaction).
+    Order matters: emails first, so the IP pattern never fires inside a
+    dotted e-mail domain."""
+    c = F.col(text_col)
+    out = df.withColumn("n_emails", F.regexp_count(c, F.lit(_RE_EMAIL)).cast("long"))
+    out = out.withColumn("n_ips", F.regexp_count(c, F.lit(_RE_IPV4)).cast("long"))
+    out = out.withColumn("n_phones", F.regexp_count(c, F.lit(_RE_PHONE)).cast("long"))
+    clean = F.regexp_replace(c, _RE_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, _RE_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, _RE_PHONE, "<PHONE>")
+    return out.withColumn("clean_text", clean)
+
+
+@register(
+    "q78_pii_redaction",
+    oracle=f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_RE_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+           '{_RE_IPV4}', '<IP>', 'g'),
+         '{_RE_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM pii
+""",
+    doc="PII redaction: emails, IPv4s, and phone numbers replaced with "
+    "typed placeholders, with per-kind counts. Single scan, pure JVM "
+    "regexp chain (emails redacted before IPs so dotted domains can't "
+    "half-match); the corpus is synthetic so both engines splice in "
+    "identical deterministic PII first. Oracle runs the same patterns "
+    "under RE2 with global replace.",
+)
+def q78_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT_SPARK).alias("text")
+    )
+    return redact_pii(d).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-repetition metrics (the Gopher repetition
+    rules' cheap core): total words, distinct words, and the count of
+    the single most frequent word. Integer outputs only."""
+    words = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    per_word = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.max("cnt").cast("long").alias("top_word_count"),
+    )
+
+
+@register(
+    "q79_repetition_profile",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(MAX(cnt) AS BIGINT) AS top_word_count,
+       CAST(CASE WHEN MAX(cnt) * 5 > SUM(cnt) THEN 1 ELSE 0 END
+            AS INTEGER) AS repetitive
+FROM c GROUP BY doc_id
+""",
+    doc="Word-repetition profile per document: total/distinct word "
+    "counts, the most-frequent word's count, and a 'repetitive' flag "
+    "when one word exceeds 20% of the doc (integer cross-multiply, no "
+    "float ratio). Explode + two map-side-combinable aggregates on a "
+    "near-unique (doc, word) key — linear, skew-free, the repetition "
+    "half of the Gopher quality rules (q59 covers the length/alpha "
+    "half).",
+)
+def q79_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = repetition_profile(load(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        (F.col("top_word_count") * 5 > F.col("n_words"))
+        .cast("int")
+        .alias("repetitive"),
+    )

@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
         dedup,
         merge_query,
         multimodal,
+        scrub,
         similarity,
         sketch,
         text,
