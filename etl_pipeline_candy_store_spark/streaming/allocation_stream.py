@@ -125,3 +125,27 @@ def stream_daily_summary(
             "value_sum",
         )
     )
+
+
+def stream_dedup_events(
+    event_stream: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    exactly-once ingestion front of a streaming training-data pipeline,
+    where at-least-once sources (Kafka, file drops, retried crawls)
+    re-emit events.
+
+    Scale posture: state is one entry per key seen inside the horizon,
+    partitioned by key across executors, and — unlike a plain
+    ``dropDuplicates`` on a stream — the watermark EVICTS state, so
+    memory is bounded by arrival rate x horizon instead of growing with
+    the whole stream's key cardinality forever.
+    """
+    return event_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -301,3 +301,59 @@ def test_stream_stream_join(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event id in a later
+    micro-batch (inside the horizon) is emitted exactly once."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_dedup_events,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+
+    def write_chunk(rows, name, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, v int"
+        ).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(glob.glob(d + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    write_chunk(
+        [(1, t0, 10), (2, t0 + dt.timedelta(minutes=1), 20)],
+        "c1",
+        1_000_000_000,
+    )
+    # batch 2: event 1 re-delivered (same id, later ts) + a fresh event
+    write_chunk(
+        [(1, t0 + dt.timedelta(minutes=5), 10), (3, t0 + dt.timedelta(minutes=6), 30)],
+        "c2",
+        1_000_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup_events(stream, key_cols=("event_id",), ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id, v from dedup_stream").collect()
+    got = sorted((r["event_id"], r["v"]) for r in rows)
+    assert got == [(1, 10), (2, 20), (3, 30)]
