@@ -292,42 +292,20 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q53_simhash",
-    oracle="""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-),
-bits AS (
-  SELECT doc_id, u.bitpos,
-         CASE WHEN (instr('0123456789abcdef', substr(md5(tok), u.bitpos + 1, 1)) - 1) % 2 = 1
-              THEN 1 ELSE -1 END AS vote
-  FROM toks, unnest(range(0, 16)) AS u(bitpos)
-),
-sums AS (
-  SELECT doc_id, bitpos, SUM(vote) AS s FROM bits GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
-FROM sums GROUP BY doc_id
-""",
-    doc="16-bit SimHash per document from distinct-token md5 bits — "
-    "pure integer arithmetic, identical across engines.",
-)
-def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def _simhash_df(d: DataFrame, n_bits: int) -> DataFrame:
+    """n-bit SimHash per doc: bit i is the sign of the vote sum over
+    distinct tokens, where a token votes +1/-1 by the parity of hex
+    digit i of its md5 (n_bits <= 32; md5 has 32 hex digits)."""
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
     bits = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bitpos"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bitpos"),
         F.md5(F.col("tok").cast("binary")).alias("h"),
     ).select(
         "doc_id",
         "bitpos",
         F.when(
-            (
-                F.expr("instr('0123456789abcdef', substr(h, bitpos + 1, 1))") - 1
-            ) % 2
+            (F.expr("instr('0123456789abcdef', substr(h, bitpos + 1, 1))") - 1) % 2
             == 1,
             1,
         )
@@ -337,8 +315,98 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = bits.groupBy("doc_id", "bitpos").agg(F.sum("vote").alias("s"))
     return sums.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, bitpos)")).otherwise(0)
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bitpos)")).otherwise(0)
         ).alias("simhash")
+    )
+
+
+def _simhash_sql(n_bits: int) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, u.bitpos,
+         CASE WHEN (instr('0123456789abcdef', substr(md5(tok), u.bitpos + 1, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM toks, unnest(range(0, {n_bits})) AS u(bitpos)
+),
+sums AS (
+  SELECT doc_id, bitpos, SUM(vote) AS s FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+@register(
+    "q53_simhash",
+    oracle=_simhash_sql(16),
+    doc="16-bit SimHash per document from distinct-token md5 bits — "
+    "pure integer arithmetic, identical across engines.",
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(load(spark, sf_dir, "documents"), 16)
+
+
+_SIMHASH_BANDS = 8  # q68: 8 bands x 4 bits over a 32-bit simhash
+_HAMMING_MAX = 3
+
+
+@register(
+    "q68_simhash_neardup",
+    oracle=f"""
+WITH sims AS ({_simhash_sql(32)}),
+bands AS (
+  SELECT doc_id, simhash, u.band_idx,
+         (simhash >> (u.band_idx * 4)) & 15 AS band_val
+  FROM sims, unnest(range(0, {_SIMHASH_BANDS})) AS u(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
+""",
+    doc="SimHash banded near-dup: 32-bit simhash split into 8 x 4-bit "
+    "bands; pairs sharing >=1 band are candidates, verified by hamming "
+    "distance. EXACT for this radius, not approximate: any pair within "
+    f"hamming {_HAMMING_MAX} (< #bands) must agree on a full band "
+    "(pigeonhole), so banding finds every qualifying pair while the "
+    "quadratic pair space never materializes — same shuffle shape as "
+    "MinHash-LSH but for bit-signature similarity.",
+)
+def q68_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = _simhash_df(load(spark, sf_dir, "documents"), 32)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band_idx"),
+    ).withColumn("band_val", F.expr("(simhash >> (band_idx * 4)) & 15"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -330,3 +330,49 @@ def q48_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wmin").alias("min_fp"),
         F.max("wmin").alias("max_fp"),
     )
+
+
+_CHUNK_W = 64  # tokens per training chunk
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+@register(
+    "q49_token_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, u.s
+  FROM t, unnest(range(0, len(toks), {_CHUNK_S})) AS u(s)
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, s + 1, s + {_CHUNK_W})) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {_CHUNK_W}), ' ') AS chunk_text
+FROM starts
+""",
+    doc="Context-window chunking: split each document into overlapping "
+    f"{_CHUNK_W}-token windows at stride {_CHUNK_S} (the doc->training-"
+    "sample fan-out of an LLM data pipeline). Pure explode + slice on "
+    "the token array — fan-out is row-local (no shuffle at all; chunking "
+    "100 TB is embarrassingly parallel and this plan keeps it that way).",
+)
+def q49_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST(s div {_CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.size(F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_W))).alias(
+            "n_chunk_tokens"
+        ),
+        F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_W))).alias(
+            "chunk_text"
+        ),
+    )
