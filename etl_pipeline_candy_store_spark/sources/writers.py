@@ -66,3 +66,61 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_shards: int,
+    order_cols: list[str] | None = None,
+    compression: str = "zstd",
+) -> dict:
+    """Training-data shard export: hash-shard rows into ``n_shards``
+    stable buckets (``shard = pmod(xxhash64(key_cols), n)``), write as
+    hive-partitioned parquet (``shard=K/`` directories), and return a
+    manifest ``{shard: {n_rows, n_bytes, n_files}, total_rows}`` built
+    from parquet FOOTERS only (no data re-read).
+
+    Scale posture: shard assignment is a row-local hash (no shuffle for
+    the assignment itself; ``partitionBy`` lets every task fan out its
+    slice of each shard, so no shard is a single-task bottleneck, unlike
+    repartition(n)-one-file-per-shard). Assignment is content-derived,
+    so re-running the export reproduces identical shard membership —
+    what a resumable 100 TB export needs. ``order_cols`` sorts within
+    partitions for read locality (e.g. group docs by source).
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).cast("int")
+    )
+    if order_cols:
+        out = out.repartition(F.col("shard")).sortWithinPartitions(*order_cols)
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+    import pyarrow.parquet as pq
+
+    manifest: dict = {"path": path, "n_shards": n_shards, "shards": {}, "total_rows": 0}
+    for shard_dir in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        manifest["shards"][shard] = {
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "n_files": len(files),
+        }
+        manifest["total_rows"] += n_rows
+
+    import json
+
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
