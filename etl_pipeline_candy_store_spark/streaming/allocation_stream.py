@@ -149,3 +149,41 @@ def stream_dedup_events(
     return event_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_session_rollup(
+    event_stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization: ``session_window`` merges events closer
+    than ``gap`` into one session per key; the watermark closes (and
+    emits) a session once no in-horizon event can extend it — the
+    incremental counterpart of the batch gap-based sessionize (q34).
+
+    Scale posture: state is one open session per active key (merged
+    in-place by the state store), partitioned by key; the watermark
+    bounds both state size and result latency.
+    """
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("value_sum"),
+        )
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -357,3 +357,71 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     rows = spark.sql("select event_id, v from dedup_stream").collect()
     got = sorted((r["event_id"], r["v"]) for r in rows)
     assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_stream_session_rollup(spark, tmp_path):
+    """session_window: events within the gap merge into one session per
+    key; a later batch past the watermark closes and emits them."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_session_rollup,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def write_chunk(rows, name, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, v int"
+        ).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(glob.glob(d + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    # user 1: two bursts 2h apart -> two sessions; user 2: one event
+    write_chunk(
+        [
+            (1, t0, 1),
+            (1, t0 + dt.timedelta(minutes=10), 2),
+            (1, t0 + dt.timedelta(hours=2), 4),
+            (2, t0 + dt.timedelta(minutes=5), 8),
+        ],
+        "c1",
+        1_000_000_000,
+    )
+    # far-future event advances the watermark past every session above
+    write_chunk(
+        [(9, t0 + dt.timedelta(days=3), 0)], "c2", 1_000_000_100
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_session_rollup(stream, key_col="user_id", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, session_start, n_events, value_sum from sess_stream"
+    ).collect()
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+        for r in rows
+    }
+    # user 1 burst 1: 2 events merged (10:00-10:10+gap); burst 2 separate
+    assert got[(1, t0)] == (2, 3)
+    assert got[(1, t0 + dt.timedelta(hours=2))] == (1, 4)
+    assert got[(2, t0 + dt.timedelta(minutes=5))] == (1, 8)
