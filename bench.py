@@ -30,6 +30,9 @@ HEADLINE = [
     "q52_minhash_lsh_pairs",    # MinHash-LSH dedup pipeline
     "q60_cosine_topk",          # brute-force similarity baseline
     "q64_lsh_neardup",          # LSH-bucketed vector near-dup (scale path)
+    "q49_token_chunking",       # context-window chunking (shuffle-free fan-out)
+    "q68_simhash_neardup",      # banded simhash near-dup (bit-signature path)
+    "q69_sq8_search",           # int8-quantized similarity search
 ]
 
 

@@ -87,3 +87,40 @@ def test_exact_dedup_single_shuffle(spark):
 def test_quality_filter_no_shuffle(spark):
     plan = _plan(spark, "q59_quality_filter")
     assert "Exchange" not in plan
+
+
+def test_chunking_no_shuffle(spark):
+    """q49: chunking is a row-local explode+slice — zero Exchange at any
+    scale (chunking 100 TB must stay embarrassingly parallel)."""
+    plan = _plan(spark, "q49_token_chunking")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode fan-out
+
+
+def test_sq8_search_broadcasts_both_small_sides(spark):
+    """q69: the 64-row quantization stats AND the 5-row query-code set
+    must broadcast; a shuffle join on either would repartition the full
+    embedding corpus against tiny build sides."""
+    plan = _plan(spark, "q69_sq8_search")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_neardup_no_pair_scan(spark):
+    """q68: candidates come from the band equi-join (shuffle hash or
+    sort-merge on band keys is fine) — never a cartesian pair scan."""
+    plan = _plan(spark, "q68_simhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_single_perdoc_aggregation(spark):
+    """q52 rewrite contract: the shingle relation is aggregated ONCE
+    (signature+cardinality+set in one groupBy); the plan must not
+    contain a shingle-level pair join (join keyed on the shingle
+    string), only the band-key candidate join."""
+    plan = _plan(spark, "q52_minhash_lsh_pairs")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
