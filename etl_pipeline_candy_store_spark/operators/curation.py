@@ -228,7 +228,13 @@ FROM m
     "the canonical cheap first filter of a pretraining pipeline.",
 )
 def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return quality_gate(load(spark, sf_dir, "documents"))
+
+
+def quality_gate(d: DataFrame) -> DataFrame:
+    """Per-doc quality metrics + integer ``passed`` flag over any
+    documents frame with (doc_id, text) — the reusable stage behind q59
+    and the curation pipeline."""
     toks = F.split("text", " ")
     m = d.select(
         "doc_id",

@@ -159,10 +159,19 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRES
     "product: the join fans out only on shared shingles).",
 )
 def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(
+    d: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, n_common, n_union) over any
+    documents frame with (doc_id, text) — the reusable stage behind q51
+    and the curation pipeline."""
     # no cache(): materializing the shingle set costs more than the ~3
     # recomputations of this cheap projection (measured 5s vs 0.5s at
     # sf0.1); cache only when the shingle build itself dominates
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    sh = _shingles(d)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -179,7 +188,7 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "doc_b")
         .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_common")).cast("long"))
         .filter(
-            F.col("n_common").cast("double") / F.col("n_union") >= _JACCARD_THRESHOLD
+            F.col("n_common").cast("double") / F.col("n_union") >= threshold
         )
         .select("doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common"), "n_union")
     )

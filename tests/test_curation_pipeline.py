@@ -1,0 +1,49 @@
+"""End-to-end curation funnel: stage invariants on real test data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.curation import _EVAL_MAX_DOC
+from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_funnel_and_export(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    report = curate(spark, SF, out, n_shards=2)
+
+    f = report["funnel"]
+    # the funnel only ever shrinks
+    assert (
+        f["input"]
+        >= f["after_exact_dedup"]
+        >= f["after_near_dedup"]
+        >= f["after_quality_gate"]
+        >= f["after_decontamination"]
+        > 0
+    )
+    # the synthetic corpus has no exact dups but does have near-dups ->
+    # the near-dedup stage must actually drop cluster members
+    assert f["after_near_dedup"] < f["after_exact_dedup"]
+
+    # exported docs = decontaminated survivors, partitioned by split
+    exported = sum(s["n_docs"] for s in report["splits"].values())
+    assert exported == f["after_decontamination"]
+
+    back = spark.read.parquet(out + "/split=train")
+    # no exact duplicates survive in the export
+    n = back.count()
+    assert back.select(F.md5(F.col("text").cast("binary"))).distinct().count() == n
+    # eval docs never leak into training output
+    assert back.filter(F.col("doc_id") < _EVAL_MAX_DOC).count() == 0
+
+
+def test_curate_is_deterministic(spark, tmp_path):
+    r1 = curate(spark, SF, str(tmp_path / "a"), n_shards=2)
+    r2 = curate(spark, SF, str(tmp_path / "b"), n_shards=2)
+    assert r1["funnel"] == r2["funnel"]
+    assert {k: v["n_docs"] for k, v in r1["splits"].items()} == {
+        k: v["n_docs"] for k, v in r2["splits"].items()
+    }
