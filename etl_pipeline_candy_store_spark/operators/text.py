@@ -376,3 +376,32 @@ def q49_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@register(
+    "q82_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok AS token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM toks GROUP BY tok
+""",
+    doc="Inverted-index build: token -> document frequency + sorted "
+    "posting list. One shuffle on the token (the index's natural "
+    "partition key at scale: postings for a token co-locate, and "
+    "collect_list is bounded by the token's df, not corpus size). The "
+    "search-side primitive a retrieval/RAG data pipeline builds from "
+    "the same corpus it trains on.",
+)
+def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )

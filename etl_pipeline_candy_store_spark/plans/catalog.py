@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         asof_query,
         curation,
         dedup,
+        layout,
         merge_query,
         multimodal,
         scrub,
