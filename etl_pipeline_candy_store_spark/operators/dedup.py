@@ -421,16 +421,16 @@ def q68_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
         "band_idx", "band_val",
     )
-    cand = (
+    # hamming is a per-row function of (sa, sb), so the radius filter can
+    # run BEFORE the multi-band dedup: the distinct then shuffles only
+    # qualifying pairs instead of every band collision.
+    return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -124,3 +124,120 @@ from etl_pipeline_candy_store_spark.plans.catalog import load, register  # noqa:
 def q37_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return hll_distinct(o, F.col("o_custkey"), group_by=["o_orderstatus"])
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 512  # counters per row
+
+
+def _hex_digit(h: str, i: int) -> str:
+    """SQL for the value of hex digit ``i`` (1-based) of column ``h`` —
+    identical text works in Spark SQL and DuckDB."""
+    return f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _cms_col(h: str, j: int) -> str:
+    """SQL for CMS hash row ``j``: hex digits 4j+1..4j+4 of md5 → 16-bit
+    int → mod width. The four rows read disjoint md5 slices, giving the
+    d pairwise-independent-ish hashes CMS needs."""
+    i = 4 * j + 1
+    return (
+        f"((({_hex_digit(h, i)} * 16 + {_hex_digit(h, i + 1)}) * 16"
+        f" + {_hex_digit(h, i + 2)}) * 16 + {_hex_digit(h, i + 3)}) % {_CMS_W}"
+    )
+
+
+def _cms_sql() -> str:
+    cols = ", ".join(f"{_cms_col('h', j)} AS c{j}" for j in range(_CMS_D))
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, c{j} AS col FROM keyed" for j in range(_CMS_D)
+    )
+    est_joins = "\n".join(
+        f"JOIN sketch s{j} ON s{j}.j = {j} AND s{j}.col = t.c{j}"
+        for j in range(_CMS_D)
+    )
+    least = "least(" + ", ".join(f"s{j}.cnt" for j in range(_CMS_D)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+keyed AS (
+  SELECT tok, {cols} FROM (SELECT tok, md5(tok) AS h FROM toks) x
+),
+sketch AS (
+  SELECT j, col, COUNT(*) AS cnt FROM ({sketch_rows}) r GROUP BY j, col
+),
+truth AS (
+  SELECT tok, c0, c1, c2, c3, COUNT(*) AS true_count
+  FROM keyed GROUP BY tok, c0, c1, c2, c3
+)
+SELECT tok, est_count, true_count, est_count - true_count AS overcount
+FROM (
+  SELECT t.tok, CAST({least} AS BIGINT) AS est_count, t.true_count
+  FROM truth t
+  {est_joins}
+) z
+ORDER BY est_count DESC, tok
+LIMIT 50
+"""
+
+
+@register(
+    "q86_count_min_topk",
+    oracle=_cms_sql(),
+    doc="Count-Min sketch heavy hitters: token frequencies estimated "
+    f"from a fixed {_CMS_D}x{_CMS_W} counter grid (md5-slice hashes), "
+    "top-50 by estimate with the exact count joined alongside — the "
+    "CMS guarantee est >= true is visible in the overcount column. "
+    "The sketch build is one map-side-combinable groupBy of a 4x "
+    "fan-out (<= 2048 result rows regardless of corpus size — the "
+    "mergeable fixed-size state that makes frequency estimation free "
+    "at 100 TB); estimates come from four broadcast joins against the "
+    "tiny sketch, no extra shuffle.",
+)
+def q86_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    keyed = toks.select(
+        "tok",
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+    ).select(
+        "tok",
+        *[F.expr(_cms_col("h", j)).alias(f"c{j}") for j in range(_CMS_D)],
+    )
+    # build: 4x fan-out -> ONE count agg (map-side combinable) -> <=2048 rows
+    rows = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"c{j}").alias("col")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.col")
+    sketch = rows.groupBy("j", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = keyed.groupBy("tok", "c0", "c1", "c2", "c3").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    est = truth
+    for j in range(_CMS_D):
+        sj = sketch.filter(F.col("j") == j).select(
+            F.col("col").alias(f"col{j}"), F.col("cnt").alias(f"cnt{j}")
+        )
+        est = est.join(F.broadcast(sj), F.col(f"c{j}") == F.col(f"col{j}"))
+    least = F.least(*[F.col(f"cnt{j}") for j in range(_CMS_D)])
+    return (
+        est.select(
+            "tok",
+            least.cast("long").alias("est_count"),
+            "true_count",
+            (least.cast("long") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(50)
+    )

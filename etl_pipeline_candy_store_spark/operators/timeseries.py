@@ -1,0 +1,150 @@
+"""Time-series operators: dense-spine gap fill with forward fill, and
+windowed anomaly flagging — the hypertable-style surface a metrics
+pipeline needs on top of the relational core.
+
+Spark-first shape: the per-key date spine is generated with
+``F.sequence`` + ``explode`` (a narrow fan-out, no shuffle), densified
+by ONE left join on (key, day), and forward-filled with
+``last(ignorenulls=True)`` over a bounded window — all JVM-side, no
+Python in the path. At 100 TB the join shuffles on (key, day) which is
+near-unique (no skew) and the window partitions by key only; spine
+fan-out is bounded by the key's own date range so no key explodes
+beyond its real span.
+
+Money-typed sums route through DECIMAL before the final double cast so
+both engines agree bit-exactly (same rule as plans/relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+
+@register(
+    "q84_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value_sum
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(u.d AS DATE) AS day
+  FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+),
+j AS (
+  SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events, d.value_sum
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       CAST(n_events AS BIGINT) AS n_events,
+       value_sum,
+       LAST_VALUE(value_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value_sum,
+       value_sum IS NULL AS is_gap
+FROM j
+""",
+    doc="Dense-calendar gap fill: per-user daily purchase totals on a "
+    "generated date spine (per-user min..max), missing days zero-counted "
+    "and forward-filled from the last observed day. The hypertable "
+    "densify/locf primitive, expressed as sequence-explode + one left "
+    "join + last(ignorenulls) window.",
+)
+def q84_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("value_sum"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_sum",
+        F.last("value_sum", ignorenulls=True).over(w).alias("ff_value_sum"),
+        F.col("value_sum").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "q85_window_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(15,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT day, event_type, cents,
+         COUNT(*) OVER w AS n,
+         SUM(cents) OVER w AS s1,
+         SUM(cents * cents) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, event_type, cents,
+       n >= 7 AND (n * cents - s1) * (n * cents - s1) > 9 * (n * s2 - s1 * s1)
+         AS is_anomaly
+FROM stats
+""",
+    doc="Trailing-window anomaly flag on the daily per-type series: "
+    "|x - mean| > 3*stddev over a 7-day trailing window, evaluated as "
+    "the cross-multiplied integer inequality "
+    "(n*x - s1)^2 > 9*(n*s2 - s1^2) on exact cent sums — no float "
+    "division, so both engines agree bit-exactly. Sliding sums are "
+    "single-pass window aggregates (one shuffle on event_type).",
+)
+def q85_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(15,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    var9 = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return stats.select(
+        "day",
+        "event_type",
+        "cents",
+        ((F.col("n") >= 7) & (dev * dev > var9)).alias("is_anomaly"),
+    )

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         similarity,
         sketch,
         text,
+        timeseries,
     )
 
     _LOADED = True
