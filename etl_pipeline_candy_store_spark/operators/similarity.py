@@ -561,3 +561,107 @@ def q69_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qdot").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "q87_ivf_multiprobe",
+    oracle=f"""
+WITH e AS ({_E_NORMED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e WHERE vec_id < 10),
+cent_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_cos_micros_prenorm_sql('e.embedding', 'c.embedding', 'e.nrm', 'c.nrm')} AS cos_micros,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_micros_prenorm_sql('e.embedding', 'c.embedding', 'e.nrm', 'c.nrm')} DESC,
+                      c.centroid_id) AS rn
+  FROM e JOIN cents c ON true
+),
+assign AS (SELECT vec_id, centroid_id FROM cent_scored WHERE rn = 1),
+probes AS (SELECT vec_id, centroid_id, CAST(rn AS INTEGER) AS probe FROM cent_scored WHERE rn <= 2),
+queries AS (
+  SELECT p.vec_id AS query_id, p.centroid_id, p.probe, q.embedding AS q_emb, q.nrm AS q_nrm
+  FROM probes p JOIN e q ON q.vec_id = p.vec_id
+  WHERE p.vec_id >= 490 AND p.vec_id < 495
+),
+scored AS (
+  SELECT qu.query_id, a.vec_id AS neighbor_id, qu.probe,
+         {_cos_micros_prenorm_sql('qu.q_emb', 'e.embedding', 'qu.q_nrm', 'e.nrm')} AS cos_micros
+  FROM queries qu
+  JOIN assign a ON a.centroid_id = qu.centroid_id AND a.vec_id <> qu.query_id
+  JOIN e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_micros, probe, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_micros DESC, neighbor_id) AS INTEGER) AS rn
+  FROM scored) t
+WHERE rn <= 3
+""",
+    doc="IVF multi-probe (probe=2) search: each query scans its TWO "
+    "nearest cells instead of one — the standard recall knob for "
+    "IVF ANN (probe count trades scan width for recall; the probe "
+    "column shows which cell each surviving neighbor came from). Same "
+    "partition-pruned shape as q65: candidate set is bounded by cell "
+    "sizes, never the corpus; at 100 TB probes-many is a multi-partition "
+    "pruned scan, not a shuffle.",
+)
+def q87_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cent_scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        _cos_micros(
+            _dot(F.col("embedding"), F.col("c_emb")), F.col("nrm"), F.col("c_nrm")
+        ).alias("cos_micros"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_micros").desc(), F.col("centroid_id")
+    )
+    ranked = cent_scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    probes = ranked.filter(F.col("rn") <= 2).select(
+        "vec_id", "centroid_id", F.col("rn").cast("int").alias("probe")
+    )
+    queries = (
+        probes.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 495))
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            "probe",
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    members = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        queries.join(members, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe",
+            _cos_micros(
+                _dot(F.col("q_emb"), F.col("n_emb")),
+                F.col("q_nrm"),
+                F.col("n_nrm"),
+            ).alias("cos_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_micros", "probe", "rn")
+    )
