@@ -107,3 +107,31 @@ def read_mongo(
         .option("collection", collection)
         .load()
     )
+
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+):
+    """Generic format-dispatched scan over Spark's builtin columnar/text
+    sources. Parquet and ORC carry their own schema (and support
+    predicate pushdown + column pruning at the scan); CSV/JSON should be
+    given an explicit ``schema`` — inference is a whole extra pass over
+    the data, unacceptable at scale.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)

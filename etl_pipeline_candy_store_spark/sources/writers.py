@@ -75,12 +75,17 @@ def write_training_shards(
     n_shards: int,
     order_cols: list[str] | None = None,
     compression: str = "zstd",
+    fmt: str = "parquet",
 ) -> dict:
     """Training-data shard export: hash-shard rows into ``n_shards``
     stable buckets (``shard = pmod(xxhash64(key_cols), n)``), write as
-    hive-partitioned parquet (``shard=K/`` directories), and return a
-    manifest ``{shard: {n_rows, n_bytes, n_files}, total_rows}`` built
-    from parquet FOOTERS only (no data re-read).
+    hive-partitioned files (``shard=K/`` directories), and return a
+    manifest ``{shard: {n_rows, n_bytes, n_files}, total_rows}``.
+    For ``fmt="parquet"`` the manifest comes from parquet FOOTERS only
+    (no data re-read); ``fmt="jsonl"`` emits gzip json-lines — the
+    training-data interchange format — and counts rows by re-reading
+    the written text (the one place a re-read is unavoidable: gzip
+    text has no footer metadata).
 
     Scale posture: shard assignment is a row-local hash (no shuffle for
     the assignment itself; ``partitionBy`` lets every task fan out its
@@ -92,25 +97,31 @@ def write_training_shards(
     """
     from pyspark.sql import functions as F
 
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     out = df.withColumn(
         "shard", F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).cast("int")
     )
     if order_cols:
         out = out.repartition(F.col("shard")).sortWithinPartitions(*order_cols)
-    (
-        out.write.mode("overwrite")
-        .option("compression", compression)
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if fmt == "parquet":
+        writer.option("compression", compression).parquet(path)
+        ext = "*.parquet"
+    else:
+        writer.option("compression", "gzip").json(path)
+        ext = "*.json.gz"
 
     import pyarrow.parquet as pq
 
     manifest: dict = {"path": path, "n_shards": n_shards, "shards": {}, "total_rows": 0}
     for shard_dir in sorted(glob.glob(os.path.join(path, "shard=*"))):
         shard = int(shard_dir.rsplit("=", 1)[1])
-        files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
-        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        files = sorted(glob.glob(os.path.join(shard_dir, ext)))
+        if fmt == "parquet":
+            n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        else:
+            n_rows = df.sparkSession.read.text(shard_dir).count()
         n_bytes = sum(os.path.getsize(f) for f in files)
         manifest["shards"][shard] = {
             "n_rows": n_rows,
@@ -124,3 +135,26 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Generic format-dispatched sink (parquet / orc / json / csv).
+    Columnar formats (parquet, orc) preserve types and enable scan-side
+    pushdown on read-back; text formats are for interchange only."""
+    from etl_pipeline_candy_store_spark.sources.readers import _FORMATS
+
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)

@@ -54,3 +54,27 @@ def test_shard_assignment_is_content_stable(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "a")).select("doc_id", "shard")
     b = spark.read.parquet(str(tmp_path / "b")).select("doc_id", "shard")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_jsonl_shards_match_parquet_membership(spark, tmp_path):
+    """jsonl export: same content-derived shard membership as parquet,
+    manifest row counts agree, and rows round-trip through json."""
+    docs = load(spark, SF, "documents").select("doc_id", "source", "text")
+    total = docs.count()
+    ppath = str(tmp_path / "shards_parquet")
+    jpath = str(tmp_path / "shards_jsonl")
+    pman = write_training_shards(docs, ppath, key_cols=["doc_id"], n_shards=4)
+    jman = write_training_shards(
+        docs, jpath, key_cols=["doc_id"], n_shards=4, fmt="jsonl"
+    )
+    assert jman["total_rows"] == total
+    assert {k: v["n_rows"] for k, v in jman["shards"].items()} == {
+        k: v["n_rows"] for k, v in pman["shards"].items()
+    }
+    back = spark.read.json(jpath)
+    assert back.count() == total
+    assert back.select("doc_id").distinct().count() == total
+    # identical membership row-by-row, not just counts
+    pq_pairs = spark.read.parquet(ppath).select("doc_id", "shard")
+    j_pairs = back.select("doc_id", "shard")
+    assert pq_pairs.exceptAll(j_pairs).count() == 0
