@@ -241,3 +241,90 @@ def q86_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "tok")
         .limit(50)
     )
+
+
+# --- fixed-bin histogram quantile sketch -----------------------------------
+
+_HQ_BINS = 256
+_HQ_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "q88_histogram_quantile",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+stats AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx, COUNT(*) AS n FROM c),
+hist AS (
+  SELECT ((cents - mn) * {_HQ_BINS}) // (mx - mn + 1) AS bin, COUNT(*) AS cnt
+  FROM c, stats GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+ps AS (SELECT unnest(ARRAY[{", ".join(map(str, _HQ_PCTS))}]) AS p),
+hit AS (
+  SELECT p, MIN(bin) AS bin
+  FROM ps JOIN cum ON cum >= (SELECT (n * p + 99) // 100 FROM stats)
+  GROUP BY p
+)
+SELECT CAST(p AS INTEGER) AS p, CAST(bin AS BIGINT) AS bin,
+       CAST(mn + ((bin + 1) * (mx - mn + 1)) // {_HQ_BINS} AS BIGINT)
+         AS est_upper_cents
+FROM hit, stats
+""",
+    doc=f"Histogram quantile sketch: prices binned into {_HQ_BINS} fixed "
+    "buckets between the global min/max (integer arithmetic in cents), "
+    "quantile p estimated as the upper edge of the first bin whose "
+    "cumulative count reaches ceil(n*p/100) — the mergeable "
+    "fixed-size-state pattern (t-digest/KLL role) in pure relational "
+    "algebra. Error is bounded by bin width; exact percentiles (q29) "
+    "are the correctness foil. Scale shape: one stats agg broadcast "
+    "back, one map-side-combinable groupBy to <= 256 rows; the "
+    "cumulative window runs on the 256-row histogram, never the data.",
+)
+def q88_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    stats = li.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = li.join(F.broadcast(stats)).select(
+        F.expr(f"((cents - mn) * {_HQ_BINS}) div (mx - mn + 1)").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    cum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ps = stats.select(
+        "mn",
+        "mx",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("p"),
+    ).withColumn("target", F.expr("(n * p + 99) div 100"))
+    return (
+        cum.join(F.broadcast(ps), F.col("cum") >= F.col("target"))
+        .groupBy("p", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            F.col("p").cast("int").alias("p"),
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_HQ_BINS}")
+            .cast("long")
+            .alias("est_upper_cents"),
+        )
+    )
