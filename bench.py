@@ -33,6 +33,9 @@ HEADLINE = [
     "q49_token_chunking",       # context-window chunking (shuffle-free fan-out)
     "q68_simhash_neardup",      # banded simhash near-dup (bit-signature path)
     "q69_sq8_search",           # int8-quantized similarity search
+    "q84_gap_fill",             # date-spine densify + forward fill
+    "q86_count_min_topk",       # Count-Min sketch heavy hitters
+    "q88_histogram_quantile",   # mergeable quantile sketch
 ]
 
 

@@ -124,3 +124,36 @@ def test_minhash_single_perdoc_aggregation(spark):
     plan = _plan(spark, "q52_minhash_lsh_pairs")
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_no_cartesian(spark):
+    # spine generation is sequence-explode per key, densify is ONE
+    # equi-join on (user_id, day) — never a calendar cross product
+    plan = _plan(spark, "q84_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+
+def test_count_min_sketch_broadcasts(spark):
+    # the <=2048-row sketch must come back via broadcast joins, and the
+    # build must partial-aggregate map-side
+    plan = _plan(spark, "q86_count_min_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_histogram_quantile_broadcasts_stats(spark):
+    # stats row and percentile spine are broadcast; the single wide-data
+    # operation is one map-side-combinable groupBy — no full sort of the
+    # fact table (the only Sort allowed is the 256-row histogram window)
+    plan = _plan(spark, "q88_histogram_quantile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_multiprobe_prunes_to_cells(spark):
+    # candidate scoring joins probe cells to members on centroid_id —
+    # an equi-join, never an all-pairs nested loop over the corpus
+    plan = _plan(spark, "q87_ivf_multiprobe")
+    assert "CartesianProduct" not in plan
