@@ -339,3 +339,68 @@ def q81_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@register(
+    "q90_negative_sampling",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (SELECT doc_id, source FROM documents),
+pairs AS (
+  SELECT a.doc_id,
+         u.j,
+         CAST((a.doc_id * 7919 + u.j * 104729 + 17) % n.n_docs AS BIGINT) AS neg_id
+  FROM anchors a, n, unnest(range(0, 4)) AS u(j)
+),
+kept AS (SELECT * FROM pairs WHERE neg_id <> doc_id)
+SELECT k.doc_id, CAST(k.j AS INTEGER) AS j, k.neg_id,
+       d.source AS neg_source,
+       a.source = d.source AS same_source
+FROM kept k
+JOIN documents d ON d.doc_id = k.neg_id
+JOIN anchors a ON a.doc_id = k.doc_id
+""",
+    doc="Deterministic negative sampling for contrastive training: each "
+    "anchor doc gets 4 pseudo-random negatives via modular hashing "
+    "(doc_id*7919 + j*104729 + 17 mod N) — no RNG, so resampling on "
+    "task retry reproduces identical pairs (the property rand() "
+    "sampling loses under speculative re-execution). Accidental "
+    "self-pairs are dropped; negatives materialize through one "
+    "equi-join on neg_id (shuffle bounded by 4x corpus, never a cross "
+    "product); same_source flags in-domain negatives for curriculum "
+    "filtering. Assumes contiguous doc_ids (the corpus contract); for "
+    "sparse ids, rank first with zipWithIndex-free row_number over a "
+    "stable sort.",
+)
+def q90_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = d.select("doc_id", "source")
+    pairs = (
+        anchors.join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "j",
+            F.expr("(doc_id * 7919 + j * 104729 + 17) % n_docs")
+            .cast("long")
+            .alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    negs = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return pairs.join(negs, "neg_id").select(
+        "doc_id",
+        F.col("j").cast("int").alias("j"),
+        "neg_id",
+        "neg_source",
+        (F.col("source") == F.col("neg_source")).alias("same_source"),
+    )

@@ -405,3 +405,61 @@ def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+@register(
+    "q89_vocab_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS n_types FROM counts),
+ranked AS (
+  SELECT tok, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cum * 1000000 // n_total AS BIGINT) AS coverage_ppm,
+       CAST(n_types AS BIGINT) AS n_types
+FROM ranked, total
+WHERE rank <= 32
+""",
+    doc="Tokenizer-vocabulary coverage curve: rank tokens by corpus "
+    "frequency and report each prefix vocabulary's cumulative corpus "
+    "coverage (ppm, integer division — exact cross-engine). The "
+    "build-a-vocab primitive: pick V by reading coverage at rank V. "
+    "Scale shape: one map-side-combinable token count; the sort+cumsum "
+    "runs over the VOCABULARY (types, not corpus tokens), which is "
+    "Heaps-law sublinear in corpus size, and only the top-32 rows "
+    "materialize.",
+)
+def q89_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("n_types")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = counts.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rank") <= 32)
+    return ranked.join(F.broadcast(total)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "tok",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cum * 1000000 div n_total").cast("long").alias("coverage_ppm"),
+        F.col("n_types").cast("long").alias("n_types"),
+    )
