@@ -1,0 +1,173 @@
+"""Corpus-level curation metrics: cross-document duplicated-n-gram
+fraction, boilerplate prefix clustering, deterministic epoch shuffle,
+and the source-by-cluster mixture matrix. No counterpart in the
+reference (its pipeline stops at BI outputs); these are the corpus
+hygiene / training-order ops a pretraining pipeline runs between dedup
+and shard export.
+
+Scale notes:
+- Duplicated-shingle fraction reuses the dedup module's shingle
+  relation: one aggregate over shingles (map-side combinable) + one
+  equi-join back on the shingle key + one per-doc aggregate. Linear in
+  corpus shingle count; no pair space ever materializes.
+- Prefix clustering groups on a tiny derived key (first k normalized
+  tokens) — one shuffle on that key; the standard cheap pre-filter for
+  boilerplate before the expensive near-dup passes.
+- Epoch shuffle is RNG-free: shard and in-shard position derive from
+  md5 of a seed + the doc key, so every run/retry/engine produces the
+  identical training order. At cluster scale this is
+  ``repartition(shard)`` + ``sortWithinPartitions(key)`` — embarrassingly
+  parallel, one shuffle; the window form here is the same logical plan.
+- Mixture matrix composes the IVF assignment (broadcast join, q62) with
+  one join to documents and a count — the report a data-mixing step
+  reads to rebalance sources per semantic cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.dedup import _SHINGLES_SQL, _shingles
+from etl_pipeline_candy_store_spark.operators.similarity import q62_ivf_assign
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, load, register
+
+_STOPWORDS = ("the", "a")
+_PREFIX_K = 3
+_N_SHARDS = 8
+_EPOCH_SEED = "ep0:"
+
+
+@register(
+    "q91_dup_shingle_fraction",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+freq AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE f.n_docs >= 2) AS BIGINT) AS n_dup_shingles
+FROM sh JOIN freq f USING (shingle)
+GROUP BY sh.doc_id
+""",
+    doc="Cross-document duplicated-n-gram profile (RefinedWeb-style): "
+    "per doc, how many of its distinct 3-gram shingles occur in at "
+    "least one OTHER document. Shingle-frequency aggregate + equi-join "
+    "back on the shingle key + per-doc aggregate — linear, no pair "
+    "space. Integer counts only; consumers threshold the ratio.",
+)
+def q91_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_shingles"),
+        )
+    )
+
+
+_NORM_TOKS_SPARK = (
+    f"filter(split(text, ' '), t -> t NOT IN {str(tuple(_STOPWORDS))})"
+)
+_NORM_TOKS_SQL = (
+    f"list_filter(string_split(text, ' '), t -> t NOT IN {str(tuple(_STOPWORDS))})"
+)
+
+
+@register(
+    "q92_prefix_cluster",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(({_NORM_TOKS_SQL})[1:{_PREFIX_K}], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+""",
+    doc="Boilerplate prefix clustering: group documents by their first "
+    "3 stopword-stripped tokens and report multi-doc groups with a "
+    "deterministic keeper. One shuffle on a tiny derived key — the "
+    "cheap pre-filter that catches templated/boilerplate openings "
+    "before the quadratic-ish near-dup passes run.",
+)
+def q92_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.expr(_NORM_TOKS_SPARK), 1, _PREFIX_K), " "
+    ).alias("prefix")
+    return (
+        d.select("doc_id", prefix)
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Portable md5-of-string: Spark's md5 takes binary (utf8 bytes of the
+# string); DuckDB's takes varchar — identical digests for ASCII input.
+_SHUF_KEY_SQL = f"md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR))"
+_SHARD_SQL = f"(instr('0123456789abcdef', substr({_SHUF_KEY_SQL}, 1, 1)) - 1) % {_N_SHARDS}"
+
+
+@register(
+    "q93_epoch_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_SHARD_SQL} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {_SHARD_SQL}
+                               ORDER BY {_SHUF_KEY_SQL}) AS BIGINT) AS pos
+FROM documents
+""",
+    doc="Deterministic epoch shuffle: shard and in-shard position derive "
+    "from md5(seed || doc_id) — no RNG state, so every run, retry, and "
+    "engine produces the identical training order, and epoch N+1 is just "
+    "a different seed. At cluster scale: repartition(shard) + "
+    "sortWithinPartitions(key) — one shuffle, no global sort.",
+)
+def q93_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string")).cast("binary")
+    )
+    keyed = d.select(
+        "doc_id",
+        key.alias("_k"),
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(key, 1, 1)) - 1)
+         % _N_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_k")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+@register(
+    "q94_cluster_source_mix",
+    oracle=f"""
+WITH assign AS ({REGISTRY["q62_ivf_assign"].oracle})
+SELECT d.source, a.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+GROUP BY d.source, a.centroid_id
+""",
+    doc="Source-by-semantic-cluster mixture matrix: IVF-assign every "
+    "embedding to its centroid (broadcast join, q62), join back to the "
+    "document's source, and count the cells. The report a data-mixing "
+    "step reads to rebalance sources within each semantic cluster "
+    "(q81 rebalances on source alone).",
+)
+def q94_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = q62_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        assign.join(d, assign["vec_id"] == d["doc_id"])
+        .groupBy("source", "centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_candy_store_spark.operators import (  # noqa: F401
         allocation_query,
         asof_query,
+        corpus_curation,
         curation,
         dedup,
         layout,

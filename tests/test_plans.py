@@ -157,3 +157,26 @@ def test_ivf_multiprobe_prunes_to_cells(spark):
     # an equi-join, never an all-pairs nested loop over the corpus
     plan = _plan(spark, "q87_ivf_multiprobe")
     assert "CartesianProduct" not in plan
+
+
+def test_dup_shingle_fraction_equi_join_only(spark):
+    # shingle-frequency join must be an equi-join on the shingle key;
+    # the pair space must never materialize
+    plan = _plan(spark, "q91_dup_shingle_fraction")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    # one hashpartitioning exchange on shard, then an in-partition sort —
+    # never a global (range) sort of the corpus
+    plan = _plan(spark, "q93_epoch_shuffle")
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cluster_source_mix_broadcasts_centroids(spark):
+    # centroid assignment must keep q62's broadcast shape when composed
+    plan = _plan(spark, "q94_cluster_source_mix")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
