@@ -36,6 +36,8 @@ HEADLINE = [
     "q84_gap_fill",             # date-spine densify + forward fill
     "q86_count_min_topk",       # Count-Min sketch heavy hitters
     "q88_histogram_quantile",   # mergeable quantile sketch
+    "q91_dup_shingle_fraction", # cross-doc duplicated-n-gram profile
+    "q93_epoch_shuffle",        # deterministic training-order shuffle
 ]
 
 

@@ -421,16 +421,24 @@ def q68_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
         "band_idx", "band_val",
     )
-    # hamming is a per-row function of (sa, sb), so the radius filter can
-    # run BEFORE the multi-band dedup: the distinct then shuffles only
-    # qualifying pairs instead of every band collision.
+    # A pair sharing k bands collides k times in the join; instead of a
+    # distinct() (a full shuffle of every qualifying pair), keep the pair
+    # only at its FIRST agreeing band — a per-row filter, computable here
+    # because both full signatures ride along in the joined row. The
+    # hamming radius filter also runs per-row, before anything shuffles.
+    first_band = F.expr(
+        "case when ((sa ^ sb) & 255) = 0 then 0 "
+        "when (((sa ^ sb) >> 8) & 255) = 0 then 1 "
+        "when (((sa ^ sb) >> 16) & 255) = 0 then 2 "
+        "else 3 end"
+    )
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band_idx") == first_band)
         .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
 
 

@@ -207,8 +207,17 @@ def q86_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         *[F.expr(_cms_col("h", j)).alias(f"c{j}") for j in range(_CMS_D)],
     )
-    # build: 4x fan-out -> ONE count agg (map-side combinable) -> <=2048 rows
-    rows = keyed.select(
+    # ONE pass over the corpus: the token-frequency relation (map-side
+    # combinable groupBy, <= vocab rows) is checkpointed, and the sketch
+    # is DERIVED from it — each cell's count is the sum of true_count
+    # over tokens hashing there. The 4x fan-out and the cell aggregation
+    # run over vocab-sized rows, never over the corpus again.
+    truth = (
+        keyed.groupBy("tok", "c0", "c1", "c2", "c3")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .localCheckpoint(eager=False)
+    )
+    cells = truth.select(
         F.explode(
             F.array(
                 *[
@@ -218,12 +227,10 @@ def q86_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for j in range(_CMS_D)
                 ]
             )
-        ).alias("s")
-    ).select("s.j", "s.col")
-    sketch = rows.groupBy("j", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    truth = keyed.groupBy("tok", "c0", "c1", "c2", "c3").agg(
-        F.count(F.lit(1)).alias("true_count")
-    )
+        ).alias("s"),
+        "true_count",
+    ).select("s.j", "s.col", "true_count")
+    sketch = cells.groupBy("j", "col").agg(F.sum("true_count").alias("cnt"))
     est = truth
     for j in range(_CMS_D):
         sj = sketch.filter(F.col("j") == j).select(
