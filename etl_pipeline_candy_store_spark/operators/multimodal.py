@@ -164,3 +164,33 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+@register(
+    "q95_payload_manifest",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
+FROM documents
+""",
+    doc="Binary payload manifest, fully JVM-side and oracle-exact: byte "
+    "length, md5 digest, and 64-byte chunk count over the opaque binary "
+    "column (the codec-free half of multimodal processing — what a "
+    "shard writer or transfer planner reads). Spark computes on the "
+    "binary payload (length/md5 of bytes); the oracle computes the "
+    "identical values from the utf8 source text. Only the decode step "
+    "(q67's embedding) needs the pluggable codec; everything up to it "
+    "is exact, distributed column arithmetic — no Python, no collect.",
+)
+def q95_payload_manifest(spark, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.expr("(length(payload) + 63) div 64").cast("long").alias("n_chunks"),
+    )
