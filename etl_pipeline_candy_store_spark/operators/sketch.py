@@ -28,8 +28,12 @@ _SCALE = 2**_MAX_RANK  # exact integer scale for 2^-rank sums
 _ALPHA = 0.7213 / (1 + 1.079 / _M)  # standard HLL bias constant
 
 
-def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None) -> DataFrame:
-    """Estimate COUNT(DISTINCT value), optionally per group."""
+def hll_project(df: DataFrame, value: Column, keep: list[str] | None = None) -> DataFrame:
+    """Project each row to its HLL (bucket, rank) contribution, keeping
+    ``keep`` columns alongside — the shared front half of the batch
+    estimator and the streaming windowed estimator (register merge is
+    max(rank), so any grouping downstream yields a mergeable sketch)."""
+    keep = list(keep or [])
     h = F.md5(value.cast("string").cast("binary"))
     bucket = (
         (F.expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16
@@ -50,10 +54,15 @@ def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None
         .otherwise(3)
     )
     rank = F.least(zeros * 4 + extra + 1, F.lit(_MAX_RANK))
-    keys = list(group_by or [])
-    hashed = df.select(*keys, h.alias("h")).select(
-        *keys, bucket.alias("bucket"), rank.alias("rank")
+    return df.select(*keep, h.alias("h")).select(
+        *keep, bucket.alias("bucket"), rank.alias("rank")
     )
+
+
+def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None) -> DataFrame:
+    """Estimate COUNT(DISTINCT value), optionally per group."""
+    keys = list(group_by or [])
+    hashed = hll_project(df, value, keep=keys)
     per_bucket = hashed.groupBy(*keys, "bucket").agg(F.max("rank").alias("max_rank"))
     agg = per_bucket.groupBy(*keys).agg(
         F.sum(F.expr(f"CAST({_SCALE} / power(2, max_rank) AS BIGINT)")).alias(

@@ -187,3 +187,54 @@ def stream_session_rollup(
             "value_sum",
         )
     )
+
+
+def stream_hll_daily_distinct(
+    event_stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    window: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window distinct-count estimate with mergeable HLL
+    state: each window's state is the fixed 256-register sketch (one
+    conditional ``max(rank)`` per register inside a SINGLE windowed
+    aggregation — register merge is max, so micro-batch updates compose
+    associatively), and the estimate is a pure projection over the
+    registers. Produces bit-identical estimates to the batch
+    ``hll_distinct`` (q37) on the same data — same hash, same registers,
+    same integer-scaled harmonic sum.
+
+    Scale posture: state per window is 256 small integers regardless of
+    cardinality — the property that makes distinct-counting viable on an
+    unbounded stream; a plain streaming count-distinct would keep one
+    state entry per key forever.
+    """
+    from etl_pipeline_candy_store_spark.operators.sketch import (
+        _ALPHA,
+        _M,
+        _SCALE,
+        hll_project,
+    )
+
+    reg = hll_project(
+        event_stream.withWatermark(ts_col, watermark), F.col(key_col), keep=[ts_col]
+    )
+    per_win = reg.groupBy(F.window(F.col(ts_col), window).alias("win")).agg(
+        *[
+            F.max(F.when(F.col("bucket") == i, F.col("rank"))).alias(f"r{i}")
+            for i in range(_M)
+        ]
+    )
+    # harmonic sum over all 256 registers; an absent register has rank 0
+    # and contributes the full _SCALE — identical arithmetic to the batch
+    # estimator's present/absent split
+    sum_scaled = " + ".join(
+        f"CAST({_SCALE} / power(2, coalesce(r{i}, 0)) AS BIGINT)" for i in range(_M)
+    )
+    est = f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)} / ({sum_scaled})) AS BIGINT)"
+    return per_win.select(
+        F.col("win.start").cast("date").alias("date"),
+        F.expr(est).alias("distinct_estimate"),
+    )

@@ -425,3 +425,57 @@ def test_stream_session_rollup(spark, tmp_path):
     assert got[(1, t0)] == (2, 3)
     assert got[(1, t0 + dt.timedelta(hours=2))] == (1, 4)
     assert got[(2, t0 + dt.timedelta(minutes=5))] == (1, 8)
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    # per-day distinct-user estimates from the streaming mergeable-HLL
+    # rollup must be BIT-IDENTICAL to the batch estimator (q37's
+    # hll_distinct grouped by day): same hash, same registers, same
+    # integer-scaled harmonic sum — merging per-micro-batch is lossless.
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.sketch import hll_distinct
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_hll_daily_distinct,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_hll")
+    months = sorted(
+        r["m"]
+        for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    )
+    for m in months:
+        ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_hll_daily_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["date"]): r["distinct_estimate"]
+        for r in spark.sql("select * from hll_stream").collect()
+    }
+    assert got, "watermark emitted no closed windows"
+    batch = hll_distinct(
+        ev.select(F.col("ts").cast("date").alias("date"), "user_id"),
+        F.col("user_id"),
+        group_by=["date"],
+    )
+    want = {str(r["date"]): r["distinct_estimate"] for r in batch.collect()}
+    # append mode emits only watermark-closed windows; every emitted one
+    # must match the batch estimate exactly
+    for day, est in got.items():
+        assert est == want[day], (day, est, want[day])
+    # and the stream must have closed nearly all windows (all but the tail)
+    assert len(got) >= len(want) - 2
