@@ -646,3 +646,95 @@ def q77_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_dedup(batch, corpus, "digest")
+
+
+_SPARSE_IDF_SCALE = 100  # integer idf units; w = tf * ((N*100) div df) stays well under int64
+_SPARSE_COS_THRESHOLD = 900000  # micro-units
+
+
+@register(
+    "q96_sparse_cosine_pairs",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * ((n.n_docs * {_SPARSE_IDF_SCALE}) // dfreq.df) AS w
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micros
+FROM dots
+JOIN nrm na ON na.doc_id = dots.doc_a
+JOIN nrm nb ON nb.doc_id = dots.doc_b
+WHERE CAST(floor(CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+      * CAST(1000000 AS DOUBLE)) AS BIGINT) >= {_SPARSE_COS_THRESHOLD}
+""",
+    doc="Sparse TF-IDF cosine similarity join: per-(doc, token) integer "
+    "weights (tf x integer-scaled inverse document frequency — no "
+    "floats until the final cosine, so cross-engine exact), pairwise "
+    "dot products via ONE equi-join on the token key, norms precomputed "
+    "per doc. The classic sparse-vector similarity path, complementing "
+    "the dense-embedding path (q60-q66): shuffle on token, pair space "
+    "bounded by shared-token fan-out. NOTE: this synthetic corpus has a "
+    "~31-word vocabulary, so nearly all pairs share tokens and fan-out "
+    "is quadratic-ish HERE; on a Zipfian real corpus the standard "
+    "df-cap prefilter (drop tokens with df > cap before the join) "
+    "bounds it — semantics kept exact in this catalog query so the "
+    "oracle stays hash-comparable.",
+)
+def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {_SPARSE_IDF_SCALE}) div df")
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("nsq_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nsq_b"))
+    cos = F.floor(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double")))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_micros"))
+        .filter(F.col("cos_micros") >= _SPARSE_COS_THRESHOLD)
+    )

@@ -463,3 +463,52 @@ def q89_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cum * 1000000 div n_total").cast("long").alias("coverage_ppm"),
         F.col("n_types").cast("long").alias("n_types"),
     )
+
+
+@register(
+    "q97_context_pairs",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pairs AS (
+  SELECT least(t.toks[i], t.toks[i + d]) AS tok_a,
+         greatest(t.toks[i], t.toks[i + d]) AS tok_b
+  FROM t,
+       unnest(range(1, 3)) AS dd(d),
+       unnest(range(1, greatest(len(t.toks) - d + 1, 1))) AS u(i)
+)
+SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+FROM pairs GROUP BY tok_a, tok_b
+ORDER BY n_cooccur DESC, tok_a, tok_b
+LIMIT 50
+""",
+    doc="Skip-gram context-pair counts (word2vec-style training-pair "
+    "extraction): for every token, its unordered pairs with neighbors "
+    "at distance 1 and 2, counted corpus-wide; top-50 with "
+    "deterministic tiebreak. Row-local explode (the pair fan-out is "
+    "2 rows per token position — linear, zero joins) into ONE "
+    "map-side-combinable aggregate on the pair key; the co-occurrence "
+    "statistic PMI, GloVe, and embedding-training pipelines consume.",
+)
+def q97_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # one array expression emitting both distance-1 and distance-2
+    # pairs per position, canonically ordered within each pair
+    # guard short docs: Spark's sequence(0, n) DESCENDS when n < 0
+    # (unlike DuckDB's empty range), so emit an empty array explicitly
+    pairs = F.expr(
+        "flatten(transform(sequence(1, 2), d -> "
+        " CASE WHEN size(toks) > d THEN "
+        "  transform(sequence(0, size(toks) - 1 - d), i -> "
+        "   struct(least(toks[i], toks[i + d]) AS tok_a, "
+        "          greatest(toks[i], toks[i + d]) AS tok_b)) "
+        " ELSE array() END))"
+    )
+    return (
+        d.select(F.split("text", " ").alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .orderBy(F.col("n_cooccur").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

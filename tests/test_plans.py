@@ -180,3 +180,19 @@ def test_cluster_source_mix_broadcasts_centroids(spark):
     plan = _plan(spark, "q94_cluster_source_mix")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sparse_cosine_equi_join_only(spark):
+    # pairwise dots come from ONE equi-join on the token key (plus a
+    # 1-row broadcast for the corpus count); never a cartesian pair scan
+    plan = _plan(spark, "q96_sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_context_pairs_no_join(spark):
+    # pair extraction is a row-local explode into one aggregate — the
+    # whole plan must be join-free with a top-k tail
+    plan = _plan(spark, "q97_context_pairs")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
