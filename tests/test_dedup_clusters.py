@@ -91,3 +91,26 @@ def test_transitivity_of_cluster_query(spark):
     }
     for r in pairs.collect():
         assert clusters[r["doc_a"]] == clusters[r["doc_b"]], (r["doc_a"], r["doc_b"])
+
+
+def test_blocked_cosine_subset_of_exact(spark):
+    # q98 (rare-token blocking + exact verify) must return a SUBSET of
+    # q96 (exact all-shared-token join) with identical scores on the
+    # pairs it keeps — blocking may lose recall, never precision
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cos_micros"]
+        for r in REGISTRY["q96_sparse_cosine_pairs"].builder(spark, sf).collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["cos_micros"]
+        for r in REGISTRY["q98_blocked_cosine_pairs"].builder(spark, sf).collect()
+    }
+    assert blocked, "blocking pruned everything"
+    for pair, score in blocked.items():
+        assert pair in exact and exact[pair] == score
+    # and on this corpus the rare-token blocks retain most of the pairs
+    assert len(blocked) >= len(exact) // 2

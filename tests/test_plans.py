@@ -196,3 +196,10 @@ def test_context_pairs_no_join(spark):
     plan = _plan(spark, "q97_context_pairs")
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_cosine_no_pair_scan(spark):
+    # candidate generation joins on the rare-token key; verification
+    # joins candidates to per-doc weights — never a cartesian pair scan
+    plan = _plan(spark, "q98_blocked_cosine_pairs")
+    assert "CartesianProduct" not in plan
