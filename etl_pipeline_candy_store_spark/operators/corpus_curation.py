@@ -171,3 +171,136 @@ def q94_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "centroid_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_DECILE_BINS = 256
+
+
+@register(
+    "q99_length_deciles",
+    oracle=f"""
+WITH stats AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n
+               FROM documents),
+binned AS (
+  SELECT doc_id, ((n_chars - mn) * {_DECILE_BINS}) // (mx - mn + 1) AS bin
+  FROM documents, stats
+),
+hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+edges AS (
+  SELECT d.d, MIN(bin) AS edge
+  FROM cum CROSS JOIN stats, unnest(range(1, 10)) AS d(d)
+  WHERE cum * 10 >= d.d * n
+  GROUP BY d.d
+),
+earr AS (SELECT list(edge ORDER BY edge) AS arr FROM edges)
+SELECT b.doc_id, CAST(b.bin AS BIGINT) AS bin,
+       CAST(len(list_filter(earr.arr, e -> e <= b.bin)) AS INTEGER) AS decile
+FROM binned b CROSS JOIN earr
+""",
+    doc="Curriculum length-decile assignment WITHOUT a global sort: a "
+    f"fixed {_DECILE_BINS}-bin histogram of n_chars (map-side "
+    "combinable, mergeable) yields cumulative decile edges (9 small "
+    "integers, broadcast); each doc's decile is a pure projection "
+    "against the edge array. ntile(10) gives the exact answer with a "
+    "full sort of the corpus — this plan touches the corpus twice with "
+    "ZERO wide sorts, the only viable shape at 100 TB. Bin-granular "
+    "(ties within a bin share a decile), deterministic, "
+    "integer-exact.",
+)
+def q99_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy().agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = d.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.expr(f"((n_chars - mn) * {_DECILE_BINS}) div (mx - mn + 1)").alias("bin"),
+        "n",
+    )
+    hist = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "n", F.sum("cnt").over(w).alias("cum"))
+    # 9 decile edges from the <=256-row cumulative histogram
+    edges = (
+        cum.select(
+            "bin",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+            "cum",
+            "n",
+        )
+        .filter(F.col("cum") * 10 >= F.col("d") * F.col("n"))
+        .groupBy("d")
+        .agg(F.min("bin").alias("edge"))
+    )
+    earr = edges.groupBy().agg(F.sort_array(F.collect_list("edge")).alias("arr"))
+    return (
+        binned.crossJoin(F.broadcast(earr))
+        .select(
+            "doc_id",
+            F.col("bin").cast("long").alias("bin"),
+            F.expr("size(filter(arr, e -> e <= bin))").cast("int").alias("decile"),
+        )
+    )
+
+
+_STRIDE_SCALE = 3000  # virtual-time units; divisible by every weight below
+
+
+@register(
+    "q100_weighted_interleave",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)))
+           AS pos_in_source,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 3 ELSE 1 END
+           AS weight
+  FROM documents
+)
+SELECT doc_id, source, CAST(pos_in_source AS BIGINT) AS pos_in_source,
+       CAST(pos_in_source * ({_STRIDE_SCALE} / weight) AS BIGINT) AS virtual_time
+FROM pos
+""",
+    doc="Deterministic weighted source interleaving (stride scheduling): "
+    "docs get an RNG-free within-source order (md5-keyed, as q93), and "
+    "a virtual_time = position x (scale/weight); reading in "
+    "(virtual_time, source, pos) order emits sources proportionally to "
+    "weight (even-numbered sources 3x) with no coordinator and no "
+    "global shuffle — sorting stays within shards exactly as q93. The "
+    "op a mixing-aware training loader uses to draw from N corpora at "
+    "target rates deterministically.",
+)
+def q100_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string")).cast("binary")
+    )
+    weight = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3)
+    ).otherwise(F.lit(1))
+    w = Window.partitionBy("source").orderBy("_k")
+    return (
+        d.select("doc_id", "source", key.alias("_k"), weight.alias("weight"))
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("pos_in_source"),
+            "weight",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "pos_in_source",
+            (F.col("pos_in_source") * (_STRIDE_SCALE / F.col("weight")))
+            .cast("long")
+            .alias("virtual_time"),
+        )
+    )

@@ -203,3 +203,18 @@ def test_blocked_cosine_no_pair_scan(spark):
     # joins candidates to per-doc weights — never a cartesian pair scan
     plan = _plan(spark, "q98_blocked_cosine_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_length_deciles_no_corpus_sort(spark):
+    # the only Sort permitted is over the <=256-row histogram (single
+    # partition); the corpus itself is never range-partitioned/sorted
+    plan = _plan(spark, "q99_length_deciles")
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_weighted_interleave_partitions_by_source(spark):
+    # one hash exchange on source; never a global ordering of the corpus
+    plan = _plan(spark, "q100_weighted_interleave")
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
