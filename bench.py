@@ -38,6 +38,7 @@ HEADLINE = [
     "q88_histogram_quantile",   # mergeable quantile sketch
     "q91_dup_shingle_fraction", # cross-doc duplicated-n-gram profile
     "q93_epoch_shuffle",        # deterministic training-order shuffle
+    "q98_blocked_cosine_pairs", # rare-token-blocked sparse similarity
 ]
 
 
