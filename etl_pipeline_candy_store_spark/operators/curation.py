@@ -404,3 +404,87 @@ def q90_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_source",
         (F.col("source") == F.col("neg_source")).alias("same_source"),
     )
+
+
+@register(
+    "q101_contrastive_triplets",
+    oracle=None,  # composed below from q52's oracle at registration time
+    doc="Contrastive training triplets (anchor, positive, negative): "
+    "positives are the MinHash-LSH near-dup pairs (q52 — semantically "
+    "close by construction), negatives come from the q90 modular-hash "
+    "scheme with three stepped candidates so the first one distinct "
+    "from BOTH pair members is chosen deterministically (three "
+    "candidates mod N are pairwise distinct, so one always survives). "
+    "RNG-free end to end: retry/speculation replays produce identical "
+    "triplets. One equi-join materializes negative text metadata; "
+    "fan-out is exactly one negative per positive pair.",
+)
+def q101_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q52_minhash_lsh_pairs,
+    )
+
+    pairs = q52_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents")
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    cands = pairs.crossJoin(F.broadcast(n)).select(
+        "doc_a",
+        "doc_b",
+        *[
+            (
+                (F.col("doc_a") * 7919 + F.col("doc_b") * 104729 + 31 + j * 7)
+                % F.col("n_docs")
+            ).alias(f"c{j}")
+            for j in range(3)
+        ],
+    )
+    neg = F.when(
+        (F.col("c0") != F.col("doc_a")) & (F.col("c0") != F.col("doc_b")),
+        F.col("c0"),
+    ).when(
+        (F.col("c1") != F.col("doc_a")) & (F.col("c1") != F.col("doc_b")),
+        F.col("c1"),
+    ).otherwise(F.col("c2"))
+    trip = cands.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("positive_id"),
+        neg.cast("long").alias("negative_id"),
+    )
+    negsrc = d.select(
+        F.col("doc_id").alias("negative_id"), F.col("source").alias("neg_source")
+    )
+    return trip.join(negsrc, "negative_id").select(
+        "anchor_id", "positive_id", "negative_id", "neg_source"
+    )
+
+
+def _q101_oracle() -> str:
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    q52 = REGISTRY["q52_minhash_lsh_pairs"].oracle
+    cand = "CAST((p.doc_a * 7919 + p.doc_b * 104729 + 31 + {j} * 7) % n.n_docs AS BIGINT)"
+    c0, c1, c2 = (cand.format(j=j) for j in range(3))
+    return f"""
+WITH p AS ({q52}),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+trip AS (
+  SELECT p.doc_a AS anchor_id, p.doc_b AS positive_id,
+         CASE WHEN {c0} <> p.doc_a AND {c0} <> p.doc_b THEN {c0}
+              WHEN {c1} <> p.doc_a AND {c1} <> p.doc_b THEN {c1}
+              ELSE {c2} END AS negative_id
+  FROM p CROSS JOIN n
+)
+SELECT t.anchor_id, t.positive_id, t.negative_id, d.source AS neg_source
+FROM trip t JOIN documents d ON d.doc_id = t.negative_id
+"""
+
+
+# the oracle composes q52's registered SQL — import its module first so
+# this file works when imported standalone, not only via the catalog
+from etl_pipeline_candy_store_spark.operators import dedup as _dedup  # noqa: F401
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY as _REG
+import dataclasses as _dc
+
+_REG["q101_contrastive_triplets"] = _dc.replace(
+    _REG["q101_contrastive_triplets"], oracle=_q101_oracle()
+)
