@@ -304,3 +304,57 @@ def q100_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("virtual_time"),
         )
     )
+
+
+@register(
+    "q102_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
+    doc="Corpus snapshot diff — the data-versioning primitive between "
+    "two crawls/exports: FULL OUTER join on the doc key, content "
+    "digests compared for survivors; emits added/removed/changed/"
+    "unchanged per doc. One shuffle on the key (or zero with both "
+    "snapshots bucketed by doc_id); digests mean the wide text column "
+    "never travels through the join. The two snapshots here are "
+    "deterministic derivations of the documents table (old drops "
+    "doc_id%7==0, new drops %11==0 and rewrites %13==0) so the oracle "
+    "is self-contained.",
+)
+def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(new_text.cast("binary")).alias("fp")
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("fp").alias("o_fp"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("fp").alias("n_fp"))
+    joined = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        status.alias("status"),
+    )
