@@ -704,6 +704,8 @@ def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # checkpoint: three consumers (norms + both join sides) would each
+    # re-tokenize the corpus; materialize the weight relation once
     w = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
@@ -715,6 +717,7 @@ def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.expr(f"(n_docs * {_SPARSE_IDF_SCALE}) div df")
             ).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
     a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
@@ -802,6 +805,8 @@ def q98_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # checkpoint: four consumers (norms, rare blocks, both verify sides)
+    # would each re-tokenize the corpus; materialize the weights once
     w = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
@@ -812,6 +817,7 @@ def q98_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             "n_docs",
         )
+        .localCheckpoint(eager=False)
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
     rare = w.filter(F.col("df") * _RARE_DF_FRACTION <= F.col("n_docs")).select(
