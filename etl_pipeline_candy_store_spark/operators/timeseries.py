@@ -148,3 +148,77 @@ def q85_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         ((F.col("n") >= 7) & (dev * dev > var9)).alias("is_anomaly"),
     )
+
+
+@register(
+    "q103_event_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+""",
+    doc="Ordered conversion funnel (view -> click -> purchase): each "
+    "stage's timestamp must be STRICTLY after the previous stage's "
+    "first occurrence — the semantics product-analytics engines "
+    "implement natively (windowFunnel) and plain SQL gets wrong with "
+    "independent per-type mins. Three chained filtered aggregates, all "
+    "keyed on user_id: one partitioning reused across every stage "
+    "(co-partitioned joins, no re-shuffle under AQE), stage filters "
+    "pushed to the scan.",
+)
+def q103_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .when(F.col("t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select("user_id", stage.cast("int").alias("stage"))
+    )
