@@ -222,3 +222,49 @@ def q103_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3.select("user_id", "t3"), "user_id", "left")
         .select("user_id", stage.cast("int").alias("stage"))
     )
+
+
+@register(
+    "q104_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.week - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+""",
+    doc="Retention cohort matrix: users cohorted by the ISO week of "
+    "their first event; each cell counts cohort members active N weeks "
+    "later. Two aggregates and one equi-join, all keyed on user_id — "
+    "the same single partitioning end to end (AQE reuses it), distinct "
+    "collapses before the join so the join input is (user, week) not "
+    "raw events. The report behind every growth dashboard, here as a "
+    "first-class distributed op.",
+)
+def q104_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
