@@ -268,3 +268,41 @@ def q104_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "q105_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+    doc="Event-type transition matrix (user path analysis): consecutive "
+    "event pairs per user via one LEAD window (single shuffle on "
+    "user_id, in-partition sort by (ts, event_id) — the unique id "
+    "breaks timestamp ties so the sequence is deterministic), then a "
+    "map-side-combinable count on the 25-cell pair key. The Markov "
+    "first-order input behind next-action models and funnel discovery; "
+    "composes with q103 (a funnel is a path through this matrix).",
+)
+def q105_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
