@@ -39,6 +39,7 @@ HEADLINE = [
     "q91_dup_shingle_fraction", # cross-doc duplicated-n-gram profile
     "q93_epoch_shuffle",        # deterministic training-order shuffle
     "q98_blocked_cosine_pairs", # rare-token-blocked sparse similarity
+    "q103_event_funnel",        # ordered-stage conversion funnel
 ]
 
 
