@@ -413,8 +413,9 @@ def q90_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "positives are the MinHash-LSH near-dup pairs (q52 — semantically "
     "close by construction), negatives come from the q90 modular-hash "
     "scheme with three stepped candidates so the first one distinct "
-    "from BOTH pair members is chosen deterministically (three "
-    "candidates mod N are pairwise distinct, so one always survives). "
+    "from BOTH pair members is chosen deterministically (consecutive "
+    "offsets 0/1/2 are pairwise distinct mod N for any N >= 3, so "
+    "with only two forbidden values one candidate always survives). "
     "RNG-free end to end: retry/speculation replays produce identical "
     "triplets. One equi-join materializes negative text metadata; "
     "fan-out is exactly one negative per positive pair.",
@@ -432,7 +433,7 @@ def q101_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         *[
             (
-                (F.col("doc_a") * 7919 + F.col("doc_b") * 104729 + 31 + j * 7)
+                (F.col("doc_a") * 7919 + F.col("doc_b") * 104729 + 31 + j)
                 % F.col("n_docs")
             ).alias(f"c{j}")
             for j in range(3)
@@ -462,7 +463,7 @@ def _q101_oracle() -> str:
     from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
 
     q52 = REGISTRY["q52_minhash_lsh_pairs"].oracle
-    cand = "CAST((p.doc_a * 7919 + p.doc_b * 104729 + 31 + {j} * 7) % n.n_docs AS BIGINT)"
+    cand = "CAST((p.doc_a * 7919 + p.doc_b * 104729 + 31 + {j}) % n.n_docs AS BIGINT)"
     c0, c1, c2 = (cand.format(j=j) for j in range(3))
     return f"""
 WITH p AS ({q52}),

@@ -651,27 +651,24 @@ def q77_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPARSE_IDF_SCALE = 100  # integer idf units; w = tf * ((N*100) div df) stays well under int64
 _SPARSE_COS_THRESHOLD = 900000  # micro-units
 
-
-@register(
-    "q96_sparse_cosine_pairs",
-    oracle=f"""
-WITH tf AS (
+# shared oracle fragments for the sparse-cosine family (q96 all-pairs /
+# q98 blocked): one copy of the weight relation and the final cosine
+# select, so a scaling or threshold change can't diverge the two
+_SPARSE_W_CTES = f"""tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 w AS (
-  SELECT tf.doc_id, tf.tok, tf.tf * ((n.n_docs * {_SPARSE_IDF_SCALE}) // dfreq.df) AS w
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ((n.n_docs * {_SPARSE_IDF_SCALE}) // dfreq.df) AS w,
+         dfreq.df, n.n_docs
   FROM tf JOIN dfreq USING (tok) CROSS JOIN n
 ),
-nrm AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id),
-dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
-  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
+nrm AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id)"""
+
+_SPARSE_COS_SELECT = f"""SELECT doc_a, doc_b,
        CAST(floor(CAST(dot AS DOUBLE)
             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micros
@@ -680,23 +677,14 @@ JOIN nrm na ON na.doc_id = dots.doc_a
 JOIN nrm nb ON nb.doc_id = dots.doc_b
 WHERE CAST(floor(CAST(dot AS DOUBLE)
       / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-      * CAST(1000000 AS DOUBLE)) AS BIGINT) >= {_SPARSE_COS_THRESHOLD}
-""",
-    doc="Sparse TF-IDF cosine similarity join: per-(doc, token) integer "
-    "weights (tf x integer-scaled inverse document frequency — no "
-    "floats until the final cosine, so cross-engine exact), pairwise "
-    "dot products via ONE equi-join on the token key, norms precomputed "
-    "per doc. The classic sparse-vector similarity path, complementing "
-    "the dense-embedding path (q60-q66): shuffle on token, pair space "
-    "bounded by shared-token fan-out. NOTE: this synthetic corpus has a "
-    "~31-word vocabulary, so nearly all pairs share tokens and fan-out "
-    "is quadratic-ish HERE; on a Zipfian real corpus the standard "
-    "df-cap prefilter (drop tokens with df > cap before the join) "
-    "bounds it — semantics kept exact in this catalog query so the "
-    "oracle stays hash-comparable.",
-)
-def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+      * CAST(1000000 AS DOUBLE)) AS BIGINT) >= {_SPARSE_COS_THRESHOLD}"""
+
+
+def _tfidf_weights(d: DataFrame) -> DataFrame:
+    """Integer tf-idf weight relation (doc_id, tok, w, df, n_docs),
+    localCheckpointed once: every consumer (norms, join sides, rare
+    blocks) would otherwise re-tokenize the corpus. Shared by q96/q98 —
+    the Spark twin of ``_SPARSE_W_CTES``."""
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -704,30 +692,25 @@ def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # checkpoint: three consumers (norms + both join sides) would each
-    # re-tokenize the corpus; materialize the weight relation once
-    w = (
+    return (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "tok",
-            (
-                F.col("tf")
-                * F.expr(f"(n_docs * {_SPARSE_IDF_SCALE}) div df")
-            ).alias("w"),
+            (F.col("tf") * F.expr(f"(n_docs * {_SPARSE_IDF_SCALE}) div df")).alias("w"),
+            "df",
+            "n_docs",
         )
         .localCheckpoint(eager=False)
     )
+
+
+def _cosine_pairs(dots: DataFrame, w: DataFrame) -> DataFrame:
+    """Join per-doc norms onto (doc_a, doc_b, dot) and emit the
+    thresholded integer-micro cosine — the Spark twin of
+    ``_SPARSE_COS_SELECT``."""
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
-    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("nsq_a"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nsq_b"))
     cos = F.floor(
@@ -743,25 +726,50 @@ def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q96_sparse_cosine_pairs",
+    oracle=f"""
+WITH {_SPARSE_W_CTES},
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+{_SPARSE_COS_SELECT}
+""",
+    doc="Sparse TF-IDF cosine similarity join: per-(doc, token) integer "
+    "weights (tf x integer-scaled inverse document frequency — no "
+    "floats until the final cosine, so cross-engine exact), pairwise "
+    "dot products via ONE equi-join on the token key, norms precomputed "
+    "per doc. The classic sparse-vector similarity path, complementing "
+    "the dense-embedding path (q60-q66): shuffle on token, pair space "
+    "bounded by shared-token fan-out. NOTE: this synthetic corpus has a "
+    "~31-word vocabulary, so nearly all pairs share tokens and fan-out "
+    "is quadratic-ish HERE; on a Zipfian real corpus the standard "
+    "df-cap prefilter (drop tokens with df > cap before the join) "
+    "bounds it — semantics kept exact in this catalog query so the "
+    "oracle stays hash-comparable.",
+)
+def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _tfidf_weights(load(spark, sf_dir, "documents"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return _cosine_pairs(dots, w)
+
+
 _RARE_DF_FRACTION = 5  # blocking tokens: df * 5 <= n_docs (rarest ~20%)
 
 
 @register(
     "q98_blocked_cosine_pairs",
     oracle=f"""
-WITH tf AS (
-  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2
-),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-w AS (
-  SELECT tf.doc_id, tf.tok,
-         tf.tf * ((n.n_docs * {_SPARSE_IDF_SCALE}) // dfreq.df) AS w,
-         dfreq.df, n.n_docs
-  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
-),
-nrm AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id),
+WITH {_SPARSE_W_CTES},
 rare AS (SELECT doc_id, tok FROM w WHERE df * {_RARE_DF_FRACTION} <= n_docs),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -774,16 +782,7 @@ dots AS (
   JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       CAST(floor(CAST(dot AS DOUBLE)
-            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micros
-FROM dots
-JOIN nrm na ON na.doc_id = dots.doc_a
-JOIN nrm nb ON nb.doc_id = dots.doc_b
-WHERE CAST(floor(CAST(dot AS DOUBLE)
-      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-      * CAST(1000000 AS DOUBLE)) AS BIGINT) >= {_SPARSE_COS_THRESHOLD}
+{_SPARSE_COS_SELECT}
 """,
     doc="Rare-token-blocked sparse cosine — q96's production path: "
     "candidate pairs must share at least one BLOCKING token (df in the "
@@ -797,29 +796,7 @@ WHERE CAST(floor(CAST(dot AS DOUBLE)
     "the vocabulary and recall is far higher.",
 )
 def q98_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # checkpoint: four consumers (norms, rare blocks, both verify sides)
-    # would each re-tokenize the corpus; materialize the weights once
-    w = (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "tok",
-            (F.col("tf") * F.expr(f"(n_docs * {_SPARSE_IDF_SCALE}) div df")).alias("w"),
-            "df",
-            "n_docs",
-        )
-        .localCheckpoint(eager=False)
-    )
-    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    w = _tfidf_weights(load(spark, sf_dir, "documents"))
     rare = w.filter(F.col("df") * _RARE_DF_FRACTION <= F.col("n_docs")).select(
         "doc_id", "tok"
     )
@@ -838,16 +815,4 @@ def q98_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("nsq_a"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nsq_b"))
-    cos = F.floor(
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double")))
-        * F.lit(1000000.0)
-    ).cast("long")
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", cos.alias("cos_micros"))
-        .filter(F.col("cos_micros") >= _SPARSE_COS_THRESHOLD)
-    )
+    return _cosine_pairs(dots, w)

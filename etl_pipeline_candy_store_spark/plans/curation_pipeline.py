@@ -107,10 +107,13 @@ def curate(
     """Run the full curation funnel and export per-split shards.
 
     Returns a report: per-stage survivor counts plus each split's shard
-    manifest. The input frame is cached once (every stage would other-
-    wise rescan parquet); stage counts are aggregates, never collects.
+    manifest. The input and every stage output are cached (each stage
+    consumes its input more than once — e.g. exact dedup scans docs for
+    the digest groupBy AND the semi-join back — so the source parquet
+    would otherwise be rescanned per consumer); stage counts are
+    aggregates, never collects.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").cache()
     report: dict = {"funnel": {"input": docs.count()}}
 
     d1 = dedup_exact(docs).cache()
@@ -141,6 +144,6 @@ def curate(
             "n_docs": manifest["total_rows"],
             "manifest": manifest,
         }
-    for df in (d1, d2, d3, d4):
+    for df in (docs, d1, d2, d3, d4):
         df.unpersist()
     return report

@@ -92,8 +92,13 @@ def write_training_shards(
     slice of each shard, so no shard is a single-task bottleneck, unlike
     repartition(n)-one-file-per-shard). Assignment is content-derived,
     so re-running the export reproduces identical shard membership —
-    what a resumable 100 TB export needs. ``order_cols`` sorts within
-    partitions for read locality (e.g. group docs by source).
+    what a resumable 100 TB export needs. ``order_cols`` clusters rows
+    for read locality via ONE range repartition on (shard, order_cols):
+    a big shard spans many range partitions (parallel writes are kept),
+    and pre-sorting each partition on (shard, order_cols) means the
+    dynamic-partition writer's required per-task ordering on ``shard``
+    is already satisfied — no second sort, and the clustering survives
+    into the files.
     """
     from pyspark.sql import functions as F
 
@@ -103,7 +108,9 @@ def write_training_shards(
         "shard", F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).cast("int")
     )
     if order_cols:
-        out = out.repartition(F.col("shard")).sortWithinPartitions(*order_cols)
+        out = out.repartitionByRange(
+            F.col("shard"), *[F.col(c) for c in order_cols]
+        ).sortWithinPartitions("shard", *order_cols)
     writer = out.write.mode("overwrite").partitionBy("shard")
     if fmt == "parquet":
         writer.option("compression", compression).parquet(path)

@@ -31,17 +31,50 @@ from pyspark.sql.window import Window
 from etl_pipeline_candy_store_spark.operators.merge import merge_upsert
 
 
-def _fs_swap(spark, tmp: str, target: str) -> None:
-    """Replace ``target`` with ``tmp`` through the Hadoop FileSystem API
-    (FS-agnostic: local, HDFS, s3a all honor delete+rename)."""
+def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    uri = jvm.java.net.URI.create(target)
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
-    target_p = jvm.org.apache.hadoop.fs.Path(target)
-    if fs.exists(target_p):
-        fs.delete(target_p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target_p)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+    return jvm, fs
+
+
+def _fs_swap(spark, tmp: str, target: str) -> None:
+    """Replace ``target`` with ``tmp`` via a two-rename protocol: the
+    current version is moved aside to ``<target>._old`` before ``tmp``
+    is renamed in, and ``._old`` is deleted only once the new version
+    is in place. Every rename's return value is checked; a failed
+    rename-in restores ``._old`` so readers never lose the target.
+
+    A crash between the two renames leaves ``._old`` but no ``target``;
+    ``_fs_recover`` (run at the head of every batch apply) completes
+    that swap by restoring ``._old``, and the interrupted batch replays
+    from the stream checkpoint. Plain delete+rename would instead lose
+    the whole target if the process died in the gap.
+    """
+    jvm, fs = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    target_p, tmp_p, old_p = P(target), P(tmp), P(target + "._old")
+    if fs.exists(old_p):
+        fs.delete(old_p, True)  # leftover from a completed prior swap
+    if fs.exists(target_p) and not fs.rename(target_p, old_p):
+        raise IOError(f"rename {target} -> {target}._old failed")
+    if not fs.rename(tmp_p, target_p):
+        if fs.exists(old_p):  # put the previous version back for readers
+            fs.rename(old_p, target_p)
+        raise IOError(f"rename {tmp} -> {target} failed")
+    fs.delete(old_p, True)
+
+
+def _fs_recover(spark, target: str) -> None:
+    """If a prior swap crashed between its two renames (``._old``
+    present, ``target`` absent), restore the previous version; the
+    batch that was being applied replays from the checkpoint."""
+    jvm, fs = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    target_p, old_p = P(target), P(target + "._old")
+    if not fs.exists(target_p) and fs.exists(old_p):
+        if not fs.rename(old_p, target_p):
+            raise IOError(f"recovery rename {target}._old -> {target} failed")
 
 
 def _last_per_key(batch: DataFrame, keys: Sequence[str], seq_col: str) -> DataFrame:
@@ -70,11 +103,8 @@ def stream_upsert_sink(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         updates = _last_per_key(batch, keys, seq_col)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(target_path), conf
-        )
+        _fs_recover(spark, target_path)
+        jvm, fs = _hadoop_fs(spark, target_path)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(target_path)):
             target = spark.read.parquet(target_path)
             # cross-batch "latest wins" needs the target's own seq too:

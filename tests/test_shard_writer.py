@@ -56,6 +56,35 @@ def test_shard_assignment_is_content_stable(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_ordered_export_keeps_write_parallelism(spark, tmp_path):
+    """order_cols must not collapse a shard to one task: the range
+    repartition on (shard, order_cols) splits a big shard across many
+    partitions, so a single hot shard still gets parallel writers."""
+    docs = load(spark, SF, "documents")
+    out = docs.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int")
+    ).repartitionByRange(8, F.col("shard"), F.col("source"), F.col("doc_id"))
+    n_parts_per_shard = (
+        out.withColumn("part", F.spark_partition_id())
+        .groupBy("shard")
+        .agg(F.countDistinct("part").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] > 1 for r in n_parts_per_shard), n_parts_per_shard
+    # and the real writer produces multiple files per shard directory
+    # (AQE rightly coalesces this tiny shuffle to one partition, which
+    # would mask the old one-task-per-shard bug — hold it off here)
+    path = str(tmp_path / "shards")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        man = write_training_shards(
+            docs, path, key_cols=["doc_id"], n_shards=2, order_cols=["source", "doc_id"]
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert all(s["n_files"] > 1 for s in man["shards"].values()), man["shards"]
+
+
 def test_jsonl_shards_match_parquet_membership(spark, tmp_path):
     """jsonl export: same content-derived shard membership as parquet,
     manifest row counts agree, and rows round-trip through json."""

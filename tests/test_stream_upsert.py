@@ -119,3 +119,54 @@ def test_stream_upsert_idempotent_reapply(spark, tmp_path):
     # fresh checkpoint => the same file is delivered again as a new batch
     run(str(tmp_path / "ckpt2"))
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == first
+
+
+def test_stream_upsert_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between the swap's two renames leaves ``<target>._old``
+    and no ``target``; the next batch apply must restore the previous
+    version before merging, so no previously-committed key is lost."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+
+    _write_batch(
+        str(src), "b1.json", [{"k": 1, "v": "a", "seq": 10}, {"k": 2, "v": "b", "seq": 10}]
+    )
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            stream_upsert_sink(
+                stream,
+                target_path=target,
+                checkpoint_path=ckpt,
+                keys=["k"],
+                seq_col="seq",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+
+    # simulate the crash window: target renamed aside, new version never
+    # arrived (the batch that was mid-apply will be redelivered)
+    shutil.move(target, target + "._old")
+    assert not os.path.exists(target)
+
+    _write_batch(str(src), "b2.json", [{"k": 3, "v": "c", "seq": 20}])
+    run(str(tmp_path / "ckpt1"))  # SAME checkpoint: only b2 is new
+
+    got = {
+        r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(target).collect()
+    }
+    # k=1/k=2 came back via recovery, k=3 merged on top
+    assert got == {1: ("a", 10), 2: ("b", 10), 3: ("c", 20)}
+    assert not os.path.exists(target + "._old")
