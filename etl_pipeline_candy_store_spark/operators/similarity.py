@@ -665,3 +665,63 @@ def q87_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos_micros", "probe", "rn")
     )
+
+
+# --- k-means centroid update (one Lloyd iteration) ------------------------
+
+# q62's registered oracle doubles as the assignment CTE here, exactly as
+# q101 composes q52's — one copy of the assignment semantics
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY as _REGISTRY
+
+_ASSIGN_SQL = _REGISTRY["q62_ivf_assign"].oracle
+
+
+@register(
+    "q106_kmeans_update",
+    oracle=f"""
+WITH assign AS ({_ASSIGN_SQL}),
+comps AS (
+  SELECT a.centroid_id, CAST(t.i AS INTEGER) AS dim,
+         CAST(floor(CAST(e.embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+              * 1000000) AS BIGINT) AS c
+  FROM assign a, embeddings e, range({_DIM}) t(i)
+  WHERE e.vec_id = a.vec_id
+)
+SELECT centroid_id, dim,
+       CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_micros,
+       COUNT(*) AS n_members
+FROM comps GROUP BY 1, 2
+""",
+    doc="One Lloyd iteration of k-means: q62's broadcast centroid "
+    "assignment, then the centroid UPDATE step — per-(cluster, dim) "
+    "mean of member components. Components are floored to integer "
+    "micro-units BEFORE the sum so the aggregate is associative and "
+    "order-independent (a raw double sum over a shuffle is not), and "
+    "the mean is integer division — cross-engine exact. The iterative-"
+    "ML shape at scale: assignment is a broadcast join (no shuffle of "
+    "the corpus), the update is ONE groupBy on (centroid_id, dim) with "
+    "map-side partial aggregation; k x d result rows are tiny, so "
+    "iterating = re-broadcasting a small frame. Long (cluster, dim, "
+    "value) format avoids shuffling wide arrays.",
+)
+def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = q62_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    e = load(spark, sf_dir, "embeddings")
+    comps = (
+        assign.join(e, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode("embedding").alias("dim", "comp"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            F.floor(F.col("comp").cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    return comps.groupBy("centroid_id", "dim").agg(
+        F.expr("sum(c) div count(1)").alias("mean_micros"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

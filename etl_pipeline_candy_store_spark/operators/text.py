@@ -512,3 +512,71 @@ def q97_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_cooccur").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+@register(
+    "q107_bigram_lm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+big AS (
+  SELECT w1, w2 FROM (
+    SELECT tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) t
+  WHERE w2 IS NOT NULL
+),
+bc AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM big GROUP BY 1, 2),
+hc AS (SELECT w1, SUM(n_bigram) AS n_history FROM bc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks)
+SELECT bc.w1, bc.w2, bc.n_bigram,
+       CAST(hc.n_history AS BIGINT) AS n_history,
+       ((bc.n_bigram + 1) * 1000000) // (CAST(hc.n_history AS BIGINT) + v.vocab)
+         AS p_add1_micros
+FROM bc JOIN hc USING (w1) CROSS JOIN v
+""",
+    doc="Add-one-smoothed bigram language model: per ordered token pair "
+    "(w1, w2), P(w2|w1) = (c(w1,w2)+1) / (c(w1,*)+V) in integer "
+    "micro-units — the n-gram LM table perplexity filters and "
+    "classical LM quality scoring consume. Bigram extraction is "
+    "row-local (one array transform per doc, zero shuffles before the "
+    "count); the corpus touches exactly ONE map-side-combinable "
+    "aggregate on the bigram key, history counts fold from the bigram "
+    "counts (no second corpus pass), and V is a scalar broadcast. "
+    "All-integer probabilities: associative, retry-stable, "
+    "cross-engine exact.",
+)
+def q107_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(toks) > 1 THEN "
+        " transform(sequence(0, size(toks) - 2), i -> "
+        "  struct(toks[i] AS w1, toks[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    toks = d.select(F.split("text", " ").alias("toks"))
+    bc = (
+        toks.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+    hc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_history"))
+    v = toks.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    return (
+        bc.join(hc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_history",
+            F.expr("((n_bigram + 1) * 1000000) div (n_history + vocab)").alias(
+                "p_add1_micros"
+            ),
+        )
+    )
