@@ -580,3 +580,75 @@ def q107_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# q107's registered oracle doubles as the probability-table CTE here —
+# one copy of the LM semantics (same composition pattern as q101/q106)
+def _q109_oracle() -> str:
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    q107 = REGISTRY["q107_bigram_lm"].oracle
+    return f"""
+WITH p AS ({q107}),
+toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) t
+  WHERE w2 IS NOT NULL
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(p.p_add1_micros) AS BIGINT) // COUNT(*) AS avg_p_micros,
+       (CAST(SUM(p.p_add1_micros) AS BIGINT) // COUNT(*)) < 33000 AS low_quality
+FROM big b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "q109_lm_quality_score",
+    oracle=None,  # composed from q107's registered SQL below
+    doc="LM-based quality scoring (the perplexity-filter analog, "
+    "integer-exact): every doc's bigrams are scored against the "
+    "corpus-wide add-one bigram table (q107) and averaged; docs whose "
+    "mean bigram probability falls below 33000 micro-units are flagged "
+    "low-quality — improbable token sequences are exactly what "
+    "perplexity filters remove from training corpora. The probability "
+    "table is corpus-derived but tiny relative to the corpus "
+    "(observed-bigram-count rows), so the score join is an equi-join "
+    "on the bigram key against a broadcastable side; per-doc "
+    "aggregation is map-side combinable. All-integer micro-unit "
+    "arithmetic keeps it associative and cross-engine exact.",
+)
+def q109_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = q107_bigram_lm(spark, sf_dir).select("w1", "w2", "p_add1_micros")
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(toks) > 1 THEN "
+        " transform(sequence(0, size(toks) - 2), i -> "
+        "  struct(toks[i] AS w1, toks[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    big = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    scored = big.join(F.broadcast(p), ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(p_add1_micros) div count(1)").alias("avg_p_micros"),
+        (F.expr("sum(p_add1_micros) div count(1)") < 33000).alias("low_quality"),
+    )
+
+
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY as _TEXT_REG
+import dataclasses as _dc_text
+
+_TEXT_REG["q109_lm_quality_score"] = _dc_text.replace(
+    _TEXT_REG["q109_lm_quality_score"], oracle=_q109_oracle()
+)

@@ -306,3 +306,50 @@ def q105_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "q108_rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day,
+       COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+       COUNT(DISTINCT u.user_id) AS wau_7d
+FROM days d
+JOIN ud u ON u.day <= d.day AND u.day >= d.day - 6
+GROUP BY d.day
+""",
+    doc="Rolling active users: per calendar day, distinct users that "
+    "day (DAU) and in the trailing 7 days (7-day WAU) — the growth "
+    "metric pair behind every engagement dashboard. Raw events first "
+    "COLLAPSE to distinct (user, day) — the only corpus-wide shuffle — "
+    "then a tiny broadcast day spine joins each (user, day) to at most "
+    "7 report days (bounded fan-out, no re-scan of raw events per "
+    "window, unlike a naive per-day subquery), and one distinct "
+    "aggregate per day cell finishes it. Rolling DISTINCT cannot fold "
+    "from daily counts (users overlap days), which is exactly why the "
+    "collapse-then-bounded-fanout shape matters at scale; the HLL "
+    "register-merge (q37/stream rollup) is the approximate alternative "
+    "when exactness is negotiable.",
+)
+def q108_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    joined = F.broadcast(days.select(F.col("day").alias("rday"))).join(
+        ud,
+        (F.col("day") <= F.col("rday")) & (F.col("day") >= F.date_sub(F.col("rday"), 6)),
+    )
+    return (
+        joined.groupBy("rday")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("rday"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau_7d"),
+        )
+        .select(F.col("rday").alias("day"), "dau", "wau_7d")
+    )
