@@ -40,6 +40,9 @@ HEADLINE = [
     "q93_epoch_shuffle",        # deterministic training-order shuffle
     "q98_blocked_cosine_pairs", # rare-token-blocked sparse similarity
     "q103_event_funnel",        # ordered-stage conversion funnel
+    "q106_kmeans_update",       # k-means Lloyd iteration (assign + update)
+    "q107_bigram_lm",           # smoothed bigram LM table
+    "q108_rolling_active_users",  # DAU / trailing-7d WAU
 ]
 
 
