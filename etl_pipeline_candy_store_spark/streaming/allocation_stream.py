@@ -238,3 +238,43 @@ def stream_hll_daily_distinct(
         F.col("win.start").cast("date").alias("date"),
         F.expr(est).alias("distinct_estimate"),
     )
+
+
+def stream_rolling_actives(
+    event_stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    days: int = 7,
+) -> DataFrame:
+    """Streaming trailing-N-day distinct actives — the incremental
+    counterpart of the batch rolling WAU (q108). Exact (not sketched):
+    each event fans out row-locally to the ``days`` report days it can
+    influence, ``dropDuplicatesWithinWatermark`` keeps ONE row per
+    (user, report day) — rolling DISTINCT cannot fold from daily
+    counts, so the dedup must key on the (user, window) pair — and a
+    plain count per report day finishes it. Chained stateful operators
+    (dedup then agg), supported since Spark 3.5.
+
+    Scale posture: the fan-out is a bounded x``days`` row-local
+    transform (no join, no rescan); dedup state is one entry per
+    (user, report day) inside the watermark horizon and is EVICTED at
+    the horizon; the count's grouping key is calendar days — trivially
+    small forever. Use update/complete output: a report day keeps
+    refining until its last contributing event passes the watermark.
+    """
+    fan = event_stream.withWatermark(ts_col, watermark).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {days - 1}),"
+                f" k -> date_add(cast({ts_col} as date), k))"
+            )
+        ).alias("day_end"),
+    )
+    dedup = fan.dropDuplicatesWithinWatermark([user_col, "day_end"])
+    return dedup.groupBy("day_end").agg(
+        F.count(F.lit(1)).alias(f"active_{days}d")
+    )

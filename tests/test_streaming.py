@@ -479,3 +479,56 @@ def test_stream_hll_matches_batch(spark, tmp_path):
         assert est == want[day], (day, est, want[day])
     # and the stream must have closed nearly all windows (all but the tail)
     assert len(got) >= len(want) - 2
+
+
+def test_stream_rolling_actives_matches_batch_q108(spark, tmp_path):
+    """Trailing-7-day distinct actives from the chained dedup->count
+    stream must EQUAL the batch q108 WAU on every day the batch
+    reports (the stream also emits tail days beyond the data's last
+    event day; those are correct-but-partial windows and not compared).
+    Data arrives in two ordered chunks to prove cross-batch dedup."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.timeseries import (
+        q108_rolling_active_users,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_rolling_actives,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_roll")
+    months = sorted(
+        r["m"]
+        for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    )
+    for m in months:
+        ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_rolling_actives(stream)
+        .writeStream.format("memory")
+        .queryName("roll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["day_end"]): r["active_7d"]
+        for r in spark.sql("select * from roll_stream").collect()
+    }
+    want = {
+        str(r["day"]): r["wau_7d"]
+        for r in q108_rolling_active_users(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert want, "batch q108 returned nothing"
+    for day, wau in want.items():
+        assert got.get(day) == wau, (day, got.get(day), wau)
