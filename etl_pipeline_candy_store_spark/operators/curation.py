@@ -489,3 +489,49 @@ import dataclasses as _dc
 _REG["q101_contrastive_triplets"] = _dc.replace(
     _REG["q101_contrastive_triplets"], oracle=_q101_oracle()
 )
+
+
+@register(
+    "q111_token_dropout",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text_aug,
+         COUNT(*) AS n_kept
+  FROM toks
+  WHERE (doc_id * 31 + (pos - 1) * 7919) % 10 <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_orig,
+       CAST(COALESCE(k.n_kept, 0) AS INTEGER) AS n_kept,
+       COALESCE(k.text_aug, '') AS text_aug
+FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+""",
+    doc="Deterministic token-dropout augmentation: ~10% of each doc's "
+    "tokens are dropped by POSITION-derived arithmetic "
+    "((doc_id*31 + pos*7919) % 10 == 0) — no RNG, so task retries and "
+    "re-runs emit byte-identical augmented text (the property that "
+    "makes augmented corpora reproducible and dedup-able), and "
+    "different docs drop different positions. Entirely row-local: one "
+    "array filter + join per document, zero shuffles, zero joins on "
+    "the Spark side — the ideal 100 TB shape (map-only over the "
+    "corpus).",
+)
+def q111_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kept = F.filter(
+        toks, lambda x, i: ((F.col("doc_id") * 31 + i * 7919) % 10) != 0
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_orig"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_aug"),
+    )

@@ -725,3 +725,81 @@ def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(c) div count(1)").alias("mean_micros"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register(
+    "q110_feature_covariance",
+    oracle=f"""
+WITH cm AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+xy AS (
+  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+         SUM(cm.c[CAST(a.i + 1 AS INTEGER)] * cm.c[CAST(b.j + 1 AS INTEGER)]) AS sxy
+  FROM cm, range({_DIM}) a(i), range({_DIM}) b(j)
+  WHERE b.j >= a.i
+  GROUP BY 1, 2
+),
+sx AS (
+  SELECT CAST(t.i AS INTEGER) AS dim, SUM(cm.c[CAST(t.i + 1 AS INTEGER)]) AS s
+  FROM cm, range({_DIM}) t(i) GROUP BY 1
+)
+SELECT xy.i, xy.j,
+       (n.n * CAST(xy.sxy AS BIGINT) - CAST(si.s AS BIGINT) * CAST(sj.s AS BIGINT))
+         // (n.n * n.n) AS cov_milli2
+FROM xy
+JOIN sx si ON si.dim = xy.i
+JOIN sx sj ON sj.dim = xy.j
+CROSS JOIN n
+""",
+    doc="Feature covariance matrix over the embedding columns — the "
+    "input to whitening / PCA / decorrelation diagnostics. Components "
+    "are floored to integer MILLI-units so every sum is associative "
+    "and int64-safe (milli^2 cross-products x corpus size stay well "
+    "under 2^63; micro-units would overflow), and "
+    "cov = (n*Sxy - Sx*Sy) / n^2 is evaluated in exact integer "
+    "arithmetic with one truncating division. The upper triangle's "
+    "d(d+1)/2 cross-products fan out ROW-LOCALLY (one array transform "
+    "per vector, zero joins before the aggregate), then ONE map-side-"
+    "combinable groupBy on (i, j) collapses the corpus to d^2/2 tiny "
+    "rows; per-dim sums are a 64-row broadcast. The corpus is scanned "
+    "once and never shuffled by key.",
+)
+def q110_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cm = e.select(
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("c")
+    )
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {_DIM - 1}), i -> "
+        f" transform(sequence(i, {_DIM - 1}), j -> "
+        f"  struct(i, j, c[i] * c[j] AS xy))))"
+    )
+    xy = (
+        cm.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"))
+    )
+    sx = (
+        cm.select(F.posexplode("c").alias("dim", "comp"))
+        .groupBy("dim")
+        .agg(F.sum("comp").alias("s"))
+    )
+    n = e.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        xy.join(F.broadcast(sx.select(F.col("dim").alias("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(sx.select(F.col("dim").alias("j"), F.col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.expr("(n * sxy - si * sj) div (n * n)").alias("cov_milli2"),
+        )
+    )
