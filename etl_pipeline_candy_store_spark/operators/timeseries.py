@@ -353,3 +353,46 @@ def q108_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("rday").alias("day"), "dau", "wau_7d")
     )
+
+
+@register(
+    "q112_trailing_window_sum",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(v_cents) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sum_3d_cents
+FROM v
+""",
+    doc="Per-user trailing-3-day value sum with a time-RANGE window "
+    "frame — the frame variant ROWS-based windows cannot express when "
+    "events are irregularly spaced (the lookback is wall-clock time, "
+    "not row count). Ordering key is integer epoch microseconds and "
+    "the frame bound is an integer offset, so Spark's rangeBetween and "
+    "the SQL RANGE INTERVAL agree exactly (timestamp peers are frame "
+    "peers in both engines); values are floored to integer cents so "
+    "the frame sum is order-independent. One shuffle on user_id, "
+    "in-partition sort — the same single partitioning the other event "
+    "analytics reuse.",
+)
+def q112_trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100).cast("long").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-259200000000, 0)
+    )
+    return ev.select("event_id", F.sum("v_cents").over(w).alias("sum_3d_cents"))
