@@ -218,3 +218,35 @@ def test_weighted_interleave_partitions_by_source(spark):
     plan = _plan(spark, "q100_weighted_interleave")
     assert plan.count("+- Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_token_dropout_is_map_only(spark):
+    # q111 is a pure map over the corpus: any Exchange in the plan means
+    # the row-local array filter silently grew a shuffle
+    plan = _plan(spark, "q111_token_dropout")
+    assert "Exchange" not in plan, plan
+
+
+def test_rolling_actives_broadcasts_day_spine(spark):
+    # q108's non-equi day-spine join must be a broadcast nested-loop
+    # (tiny spine side), never a cartesian over the corpus
+    plan = _plan(spark, "q108_rolling_active_users")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_no_join_before_agg(spark):
+    # q110's cross-products fan out row-locally; the only joins in the
+    # plan are the tiny broadcast per-dim sums AFTER the aggregate
+    plan = _plan(spark, "q110_feature_covariance")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_single_corpus_aggregate(spark):
+    # q107: histories fold from bigram counts — exactly one exchange
+    # keyed on the bigram pair should touch corpus-sized data; the
+    # history re-agg happens on the already-tiny pair table
+    plan = _plan(spark, "q107_bigram_lm")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") <= 2  # bigrams + vocab, no extra fan-outs
