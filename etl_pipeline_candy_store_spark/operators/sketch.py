@@ -59,11 +59,20 @@ def hll_project(df: DataFrame, value: Column, keep: list[str] | None = None) -> 
     )
 
 
-def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None) -> DataFrame:
-    """Estimate COUNT(DISTINCT value), optionally per group."""
-    keys = list(group_by or [])
-    hashed = hll_project(df, value, keep=keys)
-    per_bucket = hashed.groupBy(*keys, "bucket").agg(F.max("rank").alias("max_rank"))
+_SMALL_RANGE = int(2.5 * _M)  # below this, raw HLL is biased high
+
+
+def hll_estimate(per_bucket: DataFrame, keys: list[str]) -> DataFrame:
+    """Finish an HLL estimate from a (keys..., bucket, max_rank) register
+    relation — the shared back half of every estimator here (plain q37,
+    the rolling-window merge, the streaming rollup's batch twin).
+
+    Applies the standard small-range correction: when the raw estimate
+    is <= 2.5m and empty registers remain, switch to linear counting
+    (m * ln(m / empty)) — raw HLL overestimates badly in that regime.
+    Cross-engine floor safety: m*ln(m/V) for V in 1..255 is never
+    closer than 3.8e-4 to an integer, so a last-ulp ln() difference
+    between engines cannot flip the floor."""
     agg = per_bucket.groupBy(*keys).agg(
         F.sum(F.expr(f"CAST({_SCALE} / power(2, max_rank) AS BIGINT)")).alias(
             "present_sum"
@@ -71,22 +80,64 @@ def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None
         F.count(F.lit(1)).alias("n_present"),
     )
     sum_scaled = F.col("present_sum") + (F.lit(_M) - F.col("n_present")) * F.lit(_SCALE)
-    estimate = F.lit(_ALPHA * _M * _M * float(_SCALE)) / sum_scaled.cast("double")
-    return agg.select(*keys, F.floor(estimate).cast("long").alias("distinct_estimate"))
+    raw = F.floor(
+        F.lit(_ALPHA * _M * _M * float(_SCALE)) / sum_scaled.cast("double")
+    ).cast("long")
+    n_empty = F.lit(_M) - F.col("n_present")
+    small = F.floor(
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / n_empty.cast("double"))
+    ).cast("long")
+    est = F.when((raw <= _SMALL_RANGE) & (n_empty > 0), small).otherwise(raw)
+    return agg.select(*keys, est.alias("distinct_estimate"))
 
 
-def hll_sql(value_expr: str, table: str, group_by: str | None = None) -> str:
-    """The DuckDB-dialect twin of :func:`hll_distinct`."""
-    keys = f"{group_by}, " if group_by else ""
-    keysel = f"{group_by}," if group_by else ""
-    grp1 = f"GROUP BY {group_by}, bucket" if group_by else "GROUP BY bucket"
-    grp2 = f"GROUP BY {group_by}" if group_by else ""
-    return f"""
-WITH hashed AS (
+def hll_distinct(df: DataFrame, value: Column, group_by: list[str] | None = None) -> DataFrame:
+    """Estimate COUNT(DISTINCT value), optionally per group."""
+    keys = list(group_by or [])
+    hashed = hll_project(df, value, keep=keys)
+    per_bucket = hashed.groupBy(*keys, "bucket").agg(F.max("rank").alias("max_rank"))
+    return hll_estimate(per_bucket, keys)
+
+
+def hll_estimate_sql(keys: str, from_cte: str) -> str:
+    """DuckDB twin of :func:`hll_estimate`: the agg + final-projection
+    SQL over a (keys..., bucket, max_rank) CTE named ``from_cte``."""
+    keysel = f"{keys}," if keys else ""
+    grp = f"GROUP BY {keys}" if keys else ""
+    raw = (
+        f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r}"
+        f" / CAST(present_sum + ({_M} - n_present) * {_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+    small = (
+        f"CAST(floor({float(_M)!r}"
+        f" * ln({float(_M)!r} / CAST({_M} - n_present AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""agg AS (
+  SELECT {keysel}
+         SUM(CAST({_SCALE} / power(2, max_rank) AS BIGINT)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM {from_cte} {grp}
+)
+SELECT {keysel}
+       CASE WHEN {raw} <= {_SMALL_RANGE} AND {_M} - n_present > 0
+            THEN {small} ELSE {raw} END AS distinct_estimate
+FROM agg"""
+
+
+def hll_ranked_sql(
+    value_expr: str, table: str, keysel: str = "", keysel_inner: str | None = None
+) -> str:
+    """DuckDB twin of :func:`hll_project`: the hashed + ranked CTE pair
+    (bucket and bit-level rank per row), keeping ``keysel`` columns.
+    When ``keysel`` computes an aliased expression (e.g. ``CAST(ts AS
+    DATE) AS day,``), pass the bare output names as ``keysel_inner``."""
+    if keysel_inner is None:
+        keysel_inner = keysel
+    return f"""hashed AS (
   SELECT {keysel} md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table}
 ),
 ranked AS (
-  SELECT {keysel}
+  SELECT {keysel_inner}
          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
            + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
          least((length(substr(h, 3))
@@ -99,21 +150,21 @@ ranked AS (
                         substr(trim(LEADING '0' FROM substr(h, 3)), 1, 1)) - 1 >= 2 THEN 2
                        ELSE 3 END) + 1, {_MAX_RANK}) AS rank
   FROM hashed
-),
+)"""
+
+
+def hll_sql(value_expr: str, table: str, group_by: str | None = None) -> str:
+    """The DuckDB-dialect twin of :func:`hll_distinct` — composed from
+    the shared ranked-projection and estimate fragments."""
+    keys = group_by or ""
+    keysel = f"{keys}," if keys else ""
+    grp1 = f"GROUP BY {keys}, bucket" if keys else "GROUP BY bucket"
+    return f"""
+WITH {hll_ranked_sql(value_expr, table, keysel)},
 per_bucket AS (
-  SELECT {keys} bucket, MAX(rank) AS max_rank FROM ranked {grp1}
+  SELECT {keysel} bucket, MAX(rank) AS max_rank FROM ranked {grp1}
 ),
-agg AS (
-  SELECT {keys}
-         SUM(CAST({_SCALE} / power(2, max_rank) AS BIGINT)) AS present_sum,
-         COUNT(*) AS n_present
-  FROM per_bucket {grp2}
-)
-SELECT {keys}
-       CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r}
-            / CAST(present_sum + ({_M} - n_present) * {_SCALE} AS DOUBLE)) AS BIGINT)
-         AS distinct_estimate
-FROM agg
+{hll_estimate_sql(keys, "per_bucket")}
 """
 
 
@@ -343,4 +394,56 @@ def q88_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("est_upper_cents"),
         )
+    )
+
+
+@register(
+    "q113_rolling_hll_actives",
+    oracle=f"""
+WITH {hll_ranked_sql("user_id", "events", "CAST(ts AS DATE) AS day,", "day,")},
+daily AS (
+  SELECT day, bucket, MAX(rank) AS max_rank FROM ranked GROUP BY day, bucket
+),
+days AS (SELECT DISTINCT day FROM daily),
+merged AS (
+  SELECT d.day, r.bucket, MAX(r.max_rank) AS max_rank
+  FROM days d JOIN daily r ON r.day <= d.day AND r.day >= d.day - 6
+  GROUP BY d.day, r.bucket
+),
+{hll_estimate_sql("day", "merged")}
+""",
+    doc="Trailing-7-day distinct-actives ESTIMATE via register-merged "
+    "HLL — the approximate counterpart of exact q108, and the shape "
+    "that wins at 100 TB: raw events collapse ONCE to daily 256-"
+    "register sketches (map-side combinable, <=256 rows/day forever), "
+    "and every rolling window is a max-merge of 7 tiny register sets — "
+    "no per-window rescan of events, no (user, day) state at all. "
+    "Exact rolling distinct (q108) must carry every (user, day) pair "
+    "through the window; the sketch carries 256 integers per day at a "
+    "~6% relative-error price. Same bit-exact estimator arithmetic as "
+    "q37/the streaming rollup (shared fragments), so Spark and DuckDB "
+    "agree to the bit.",
+)
+def q113_rolling_hll_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = (
+        hll_project(ev, F.col("user_id"), keep=["day"])
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        F.broadcast(days.select(F.col("day").alias("rday")))
+        .join(
+            daily,
+            (F.col("day") <= F.col("rday"))
+            & (F.col("day") >= F.date_sub(F.col("rday"), 6)),
+        )
+        .groupBy("rday", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    return hll_estimate(
+        merged.select(F.col("rday").alias("day"), "bucket", "max_rank"), ["day"]
     )

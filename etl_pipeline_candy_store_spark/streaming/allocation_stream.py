@@ -215,6 +215,7 @@ def stream_hll_daily_distinct(
         _ALPHA,
         _M,
         _SCALE,
+        _SMALL_RANGE,
         hll_project,
     )
 
@@ -229,11 +230,23 @@ def stream_hll_daily_distinct(
     )
     # harmonic sum over all 256 registers; an absent register has rank 0
     # and contributes the full _SCALE — identical arithmetic to the batch
-    # estimator's present/absent split
+    # estimator's present/absent split, INCLUDING the small-range
+    # linear-counting switch (raw <= 2.5m with empty registers left)
     sum_scaled = " + ".join(
         f"CAST({_SCALE} / power(2, coalesce(r{i}, 0)) AS BIGINT)" for i in range(_M)
     )
-    est = f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)} / ({sum_scaled})) AS BIGINT)"
+    n_empty = "(" + " + ".join(
+        f"CASE WHEN r{i} IS NULL THEN 1 ELSE 0 END" for i in range(_M)
+    ) + ")"
+    raw = f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r} / ({sum_scaled})) AS BIGINT)"
+    small = (
+        f"CAST(floor({float(_M)!r}"
+        f" * ln({float(_M)!r} / CAST({n_empty} AS DOUBLE))) AS BIGINT)"
+    )
+    est = (
+        f"CASE WHEN {raw} <= {_SMALL_RANGE} AND {n_empty} > 0"
+        f" THEN {small} ELSE {raw} END"
+    )
     return per_win.select(
         F.col("win.start").cast("date").alias("date"),
         F.expr(est).alias("distinct_estimate"),
