@@ -396,3 +396,62 @@ def q112_trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-259200000000, 0)
     )
     return ev.select("event_id", F.sum("v_cents").over(w).alias("sum_3d_cents"))
+
+
+@register(
+    "q114_trend_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM daily
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ((CAST(n AS BIGINT) * CAST(sxy AS BIGINT) - CAST(sx AS BIGINT) * CAST(sy AS BIGINT)) * 1000000)
+         // (CAST(n AS BIGINT) * CAST(sxx AS BIGINT) - CAST(sx AS BIGINT) * CAST(sx AS BIGINT))
+         AS slope_micros_per_day
+FROM s WHERE n >= 2
+""",
+    doc="Per-key linear trend: the OLS slope of daily event counts over "
+    "time, in integer micro-units per day — trend detection / "
+    "drift-alerting over grouped time series without fitting loops. "
+    "slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) evaluated entirely in "
+    "int64 (epoch-day x keeps magnitudes bounded; one truncating "
+    "division at the end), so the result is associative, retry-stable "
+    "and cross-engine exact. Two map-side-combinable aggregates — "
+    "events collapse to (key, day) counts, then to five sums per key — "
+    "and nothing wider than the key cardinality ever shuffles.",
+)
+def q114_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    xy = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
+            "slope_micros_per_day"
+        ),
+    )
