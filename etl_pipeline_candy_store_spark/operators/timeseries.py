@@ -150,10 +150,35 @@ def q85_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q103_event_funnel",
-    oracle="""
-WITH s1 AS (
+def _funnel_stages(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The strict-order funnel stage frames (user_id, t1|t2|t3): each
+    stage's first timestamp strictly after the previous stage's — shared
+    by the stage report (q103) and time-to-convert (q115)."""
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return s1, s2, s3
+
+
+# strict-order funnel stage CTEs — one copy of the stage semantics,
+# shared by the q103 and q115 oracles (the SQL twin of _funnel_stages)
+_FUNNEL_CTES = """s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
 ),
 s2 AS (
@@ -167,7 +192,13 @@ s3 AS (
   FROM events e JOIN s2 ON s2.user_id = e.user_id
   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
   GROUP BY e.user_id
-),
+)"""
+
+
+@register(
+    "q103_event_funnel",
+    oracle=f"""
+WITH {_FUNNEL_CTES},
 u AS (SELECT DISTINCT user_id FROM events)
 SELECT u.user_id,
        CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
@@ -190,25 +221,7 @@ LEFT JOIN s3 ON s3.user_id = u.user_id
 )
 def q103_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    s1, s2, s3 = _funnel_stages(ev)
     u = ev.select("user_id").distinct()
     stage = (
         F.when(F.col("t3").isNotNull(), F.lit(3))
@@ -454,4 +467,59 @@ def q114_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
             "slope_micros_per_day"
         ),
+    )
+
+
+@register(
+    "q115_funnel_time_to_convert",
+    oracle=f"""
+WITH {_FUNNEL_CTES},
+d12 AS (
+  SELECT epoch_us(s2.t2) - epoch_us(s1.t1) AS gap
+  FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+),
+d23 AS (
+  SELECT epoch_us(s3.t3) - epoch_us(s2.t2) AS gap
+  FROM s3 JOIN s2 ON s2.user_id = s3.user_id
+)
+SELECT 'view->click' AS stage_pair, COUNT(*) AS n_users,
+       CAST(SUM(gap) AS BIGINT) // COUNT(*) AS avg_gap_us
+FROM d12 HAVING COUNT(*) > 0
+UNION ALL
+SELECT 'click->purchase' AS stage_pair, COUNT(*) AS n_users,
+       CAST(SUM(gap) AS BIGINT) // COUNT(*) AS avg_gap_us
+FROM d23 HAVING COUNT(*) > 0
+""",
+    doc="Funnel time-to-convert: mean wall-clock gap between each "
+    "adjacent funnel stage pair, over users who reached the later "
+    "stage — the latency half of the conversion report (q103 is the "
+    "breadth half; both compose the same strict-order stage relation, "
+    "one copy of the semantics). Gaps are integer epoch-microsecond "
+    "differences and the mean is one truncating division, so the "
+    "result is associative and cross-engine exact; everything after "
+    "the stage aggregates touches frames no wider than converted "
+    "users.",
+)
+def q115_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = _funnel_stages(ev)
+
+    def _pair(later, earlier, tl, te, name):
+        gaps = later.join(earlier, "user_id").select(
+            (F.unix_micros(F.col(tl)) - F.unix_micros(F.col(te))).alias("gap")
+        )
+        return (
+            gaps.agg(
+                F.count(F.lit(1)).alias("n_users"), F.sum("gap").alias("sg")
+            )
+            .filter(F.col("n_users") > 0)
+            .select(
+                F.lit(name).alias("stage_pair"),
+                "n_users",
+                F.expr("sg div n_users").alias("avg_gap_us"),
+            )
+        )
+
+    return _pair(s2, s1, "t2", "t1", "view->click").unionAll(
+        _pair(s3, s2.select("user_id", "t2"), "t3", "t2", "click->purchase")
     )
