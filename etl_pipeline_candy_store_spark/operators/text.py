@@ -652,3 +652,55 @@ import dataclasses as _dc_text
 _TEXT_REG["q109_lm_quality_score"] = _dc_text.replace(
     _TEXT_REG["q109_lm_quality_score"], oracle=_q109_oracle()
 )
+
+
+@register(
+    "q116_bpe_merge_pairs",
+    oracle="""
+WITH wc AS (
+  SELECT tok AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+pairs AS (
+  SELECT string_split(word, '')[CAST(t.i + 1 AS INTEGER)] AS sym_a,
+         string_split(word, '')[CAST(t.i + 2 AS INTEGER)] AS sym_b,
+         n
+  FROM wc, unnest(range(length(word) - 1)) AS t(i)
+)
+SELECT sym_a, sym_b, CAST(SUM(n) AS BIGINT) AS n_pair
+FROM pairs GROUP BY sym_a, sym_b
+ORDER BY n_pair DESC, sym_a, sym_b
+LIMIT 20
+""",
+    doc="BPE tokenizer training, iteration one: the top merge "
+    "candidates — adjacent symbol pairs counted across the corpus, "
+    "weighted by word frequency. The corpus collapses FIRST to the "
+    "word-frequency table (the only corpus-wide aggregate; vocabulary-"
+    "bounded), then pair extraction fans out row-locally over that "
+    "tiny table and one more aggregate on the symbol-pair key ranks "
+    "candidates with a deterministic tiebreak. This is exactly how "
+    "production BPE trainers scale: all subsequent merge iterations "
+    "operate on the word table, never re-reading the corpus.",
+)
+def q116_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.expr(
+        "transform(sequence(0, length(word) - 2), i -> "
+        " struct(substring(word, i + 1, 1) AS sym_a,"
+        "        substring(word, i + 2, 1) AS sym_b))"
+    )
+    return (
+        wc.filter(F.length("word") > 1)
+        .select(F.explode(pairs).alias("p"), "n")
+        .select("p.sym_a", "p.sym_b", "n")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("n").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "sym_a", "sym_b")
+        .limit(20)
+    )
