@@ -250,3 +250,20 @@ def test_bigram_lm_single_corpus_aggregate(spark):
     plan = _plan(spark, "q107_bigram_lm")
     assert "CartesianProduct" not in plan
     assert plan.count("Generate explode") <= 2  # bigrams + vocab, no extra fan-outs
+
+
+def test_rolling_hll_merges_registers_not_events(spark):
+    # q113: the day-spine join must see the tiny register table (<=256
+    # rows/day) through a broadcast nested-loop — raw events must never
+    # reach a non-equi join
+    plan = _plan(spark, "q113_rolling_hll_actives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_fan_out_from_word_table(spark):
+    # q116: exactly one corpus-sized explode (tokenize); the pair
+    # explode runs over the already-aggregated word table
+    plan = _plan(spark, "q116_bpe_merge_pairs")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 must not global-sort
