@@ -523,3 +523,55 @@ def q115_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair(s2, s1, "t2", "t1", "view->click").unionAll(
         _pair(s3, s2.select("user_id", "t2"), "t3", "t2", "click->purchase")
     )
+
+
+@register(
+    "q117_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+dw AS (SELECT event_type, isodow(day) - 1 AS dow, n FROM daily),
+per_dow AS (
+  SELECT event_type, dow, SUM(n) AS s_dow, COUNT(*) AS d_dow
+  FROM dw GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n) AS s_all, COUNT(*) AS d_all
+  FROM dw GROUP BY 1
+)
+SELECT p.event_type, CAST(p.dow AS INTEGER) AS dow,
+       CAST(p.d_dow AS BIGINT) AS n_days,
+       (CAST(p.s_dow AS BIGINT) * CAST(t.d_all AS BIGINT) * 1000000)
+         // (CAST(p.d_dow AS BIGINT) * CAST(t.s_all AS BIGINT)) AS index_micros
+FROM per_dow p JOIN tot t ON t.event_type = p.event_type
+""",
+    doc="Day-of-week seasonality index per event type: mean daily "
+    "volume on each weekday relative to the type's overall daily mean, "
+    "as the exact integer ratio (s_dow * d_all * 1e6) div "
+    "(d_dow * s_all) — the seasonal profile dashboards and forecast "
+    "de-seasonalizers consume. Weekday is Monday-based 0-6 on both "
+    "engines (Spark weekday() ≡ DuckDB isodow()-1 — the Sunday-based "
+    "builtins disagree between engines and are avoided). Events "
+    "collapse to (type, day) once; everything after is key-cardinality "
+    "sized.",
+)
+def q117_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dw = daily.select("event_type", F.weekday("day").alias("dow"), "n")
+    per_dow = dw.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("s_dow"), F.count(F.lit(1)).alias("d_dow")
+    )
+    tot = dw.groupBy("event_type").agg(
+        F.sum("n").alias("s_all"), F.count(F.lit(1)).alias("d_all")
+    )
+    return per_dow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("d_dow").alias("n_days"),
+        F.expr("(s_dow * d_all * 1000000) div (d_dow * s_all)").alias("index_micros"),
+    )
