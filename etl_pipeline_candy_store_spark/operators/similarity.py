@@ -771,11 +771,14 @@ CROSS JOIN n
 )
 def q110_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # materialize the integer components once: the pair products, the
+    # per-dim sums and the count all read this relation — without the
+    # checkpoint each consumer would rescan parquet and re-floor
     cm = e.select(
         F.expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
         ).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     pairs = F.expr(
         f"flatten(transform(sequence(0, {_DIM - 1}), i -> "
         f" transform(sequence(i, {_DIM - 1}), j -> "
@@ -787,12 +790,15 @@ def q110_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("xy").alias("sxy"))
     )
+    # per-dim sums carry the vector count too (it is the same for every
+    # dim), so n needs no extra pass over the corpus
     sx = (
         cm.select(F.posexplode("c").alias("dim", "comp"))
         .groupBy("dim")
-        .agg(F.sum("comp").alias("s"))
+        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
-    n = e.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    n = sx.groupBy().agg(F.max("cnt").alias("n"))
+    sx = sx.drop("cnt")
     return (
         xy.join(F.broadcast(sx.select(F.col("dim").alias("i"), F.col("s").alias("si"))), "i")
         .join(F.broadcast(sx.select(F.col("dim").alias("j"), F.col("s").alias("sj"))), "j")

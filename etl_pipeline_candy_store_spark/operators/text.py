@@ -513,21 +513,43 @@ def q97_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
 
+# row-local adjacent-bigram extraction over a `toks` array column and its
+# SQL twin — ONE copy of the pairing rule, shared by q107 (the LM table)
+# and q109 (per-doc scoring); a change to bigram semantics lands in both
+_BIGRAM_EXPR = (
+    "CASE WHEN size(toks) > 1 THEN "
+    " transform(sequence(0, size(toks) - 2), i -> "
+    "  struct(toks[i] AS w1, toks[i + 1] AS w2)) "
+    "ELSE array() END"
+)
 
-@register(
-    "q107_bigram_lm",
-    oracle="""
-WITH toks AS (
+_BIGRAM_CTES = """toks AS (
   SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS tok
   FROM documents
 ),
 big AS (
-  SELECT w1, w2 FROM (
-    SELECT tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
     FROM toks) t
   WHERE w2 IS NOT NULL
-),
+)"""
+
+
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent pairs per document — the Spark twin of
+    ``_BIGRAM_CTES``."""
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+
+
+@register(
+    "q107_bigram_lm",
+    oracle=f"""
+WITH {_BIGRAM_CTES},
 bc AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM big GROUP BY 1, 2),
 hc AS (SELECT w1, SUM(n_bigram) AS n_history FROM bc GROUP BY 1),
 v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks)
@@ -550,16 +572,9 @@ FROM bc JOIN hc USING (w1) CROSS JOIN v
 )
 def q107_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "CASE WHEN size(toks) > 1 THEN "
-        " transform(sequence(0, size(toks) - 2), i -> "
-        "  struct(toks[i] AS w1, toks[i + 1] AS w2)) "
-        "ELSE array() END"
-    )
     toks = d.select(F.split("text", " ").alias("toks"))
     bc = (
-        toks.select(F.explode(bigrams).alias("b"))
-        .select("b.w1", "b.w2")
+        _doc_bigrams(d)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_bigram"))
     )
@@ -590,17 +605,7 @@ def _q109_oracle() -> str:
     q107 = REGISTRY["q107_bigram_lm"].oracle
     return f"""
 WITH p AS ({q107}),
-toks AS (
-  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
-         unnest(string_split(text, ' ')) AS tok
-  FROM documents
-),
-big AS (
-  SELECT doc_id, w1, w2 FROM (
-    SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-    FROM toks) t
-  WHERE w2 IS NOT NULL
-)
+{_BIGRAM_CTES}
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(p.p_add1_micros) AS BIGINT) // COUNT(*) AS avg_p_micros,
        (CAST(SUM(p.p_add1_micros) AS BIGINT) // COUNT(*)) < 33000 AS low_quality
@@ -626,18 +631,7 @@ GROUP BY b.doc_id
 )
 def q109_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = q107_bigram_lm(spark, sf_dir).select("w1", "w2", "p_add1_micros")
-    d = load(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "CASE WHEN size(toks) > 1 THEN "
-        " transform(sequence(0, size(toks) - 2), i -> "
-        "  struct(toks[i] AS w1, toks[i + 1] AS w2)) "
-        "ELSE array() END"
-    )
-    big = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.explode(bigrams).alias("b"))
-        .select("doc_id", "b.w1", "b.w2")
-    )
+    big = _doc_bigrams(load(spark, sf_dir, "documents"))
     scored = big.join(F.broadcast(p), ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -420,38 +420,52 @@ WITH daily AS (
 ),
 xy AS (
   SELECT event_type,
-         CAST(day - DATE '1970-01-01' AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+         CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y
   FROM daily
 ),
 s AS (
   SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * y) AS sxy, SUM(x * x) AS sxx
   FROM xy GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         CAST(n AS BIGINT) * CAST(sxy AS BIGINT)
+           - CAST(sx AS BIGINT) * CAST(sy AS BIGINT) AS num,
+         CAST(n AS BIGINT) * CAST(sxx AS BIGINT)
+           - CAST(sx AS BIGINT) * CAST(sx AS BIGINT) AS den
+  FROM s WHERE n >= 2
 )
-SELECT event_type, CAST(n AS BIGINT) AS n_days,
-       ((CAST(n AS BIGINT) * CAST(sxy AS BIGINT) - CAST(sx AS BIGINT) * CAST(sy AS BIGINT)) * 1000000)
-         // (CAST(n AS BIGINT) * CAST(sxx AS BIGINT) - CAST(sx AS BIGINT) * CAST(sx AS BIGINT))
+SELECT event_type, n_days,
+       (num // den) * 1000000 + ((num % den) * 1000000) // den
          AS slope_micros_per_day
-FROM s WHERE n >= 2
+FROM nd
 """,
     doc="Per-key linear trend: the OLS slope of daily event counts over "
     "time, in integer micro-units per day — trend detection / "
     "drift-alerting over grouped time series without fitting loops. "
     "slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) evaluated entirely in "
-    "int64 (epoch-day x keeps magnitudes bounded; one truncating "
-    "division at the end), so the result is associative, retry-stable "
-    "and cross-engine exact. Two map-side-combinable aggregates — "
-    "events collapse to (key, day) counts, then to five sums per key — "
-    "and nothing wider than the key cardinality ever shuffles.",
+    "int64: x is offset to each key's own first day (slope is shift-"
+    "invariant; raw epoch days would push n*Sxy past 2^63 on year-"
+    "scale series with 1e9-row days), and the micro-unit scaling uses "
+    "the split form (num div den)*1e6 + ((num mod den)*1e6) div den — "
+    "exact for truncating division, and the remainder term is bounded "
+    "by den*1e6 so the scale-up can't overflow either. Associative, "
+    "retry-stable, cross-engine exact. Two map-side-combinable "
+    "aggregates — events collapse to (key, day) counts, then to five "
+    "sums per key — and nothing wider than the key cardinality ever "
+    "shuffles.",
 )
 def q114_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
+    w_min = Window.partitionBy("event_type")
     xy = daily.select(
         "event_type",
-        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        F.datediff("day", F.min("day").over(w_min)).cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
     )
     s = xy.groupBy("event_type").agg(
@@ -461,10 +475,16 @@ def q114_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    return s.filter(F.col("n") >= 2).select(
+    nd = s.filter(F.col("n") >= 2).select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    return nd.select(
+        "event_type",
+        "n_days",
+        F.expr("(num div den) * 1000000 + ((num % den) * 1000000) div den").alias(
             "slope_micros_per_day"
         ),
     )

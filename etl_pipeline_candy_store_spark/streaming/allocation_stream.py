@@ -231,25 +231,34 @@ def stream_hll_daily_distinct(
     # harmonic sum over all 256 registers; an absent register has rank 0
     # and contributes the full _SCALE — identical arithmetic to the batch
     # estimator's present/absent split, INCLUDING the small-range
-    # linear-counting switch (raw <= 2.5m with empty registers left)
+    # linear-counting switch (raw <= 2.5m with empty registers left).
+    # The 256-term sums are projected ONCE into intermediate columns:
+    # inlining them into every branch of the final CASE would put ~1000
+    # sub-expressions in one projection and break past codegen limits.
     sum_scaled = " + ".join(
         f"CAST({_SCALE} / power(2, coalesce(r{i}, 0)) AS BIGINT)" for i in range(_M)
     )
-    n_empty = "(" + " + ".join(
+    n_empty = " + ".join(
         f"CASE WHEN r{i} IS NULL THEN 1 ELSE 0 END" for i in range(_M)
-    ) + ")"
-    raw = f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r} / ({sum_scaled})) AS BIGINT)"
+    )
+    folded = per_win.select(
+        F.col("win.start").cast("date").alias("date"),
+        F.expr(
+            f"CAST(floor({_ALPHA * _M * _M * float(_SCALE)!r} / ({sum_scaled}))"
+            " AS BIGINT)"
+        ).alias("raw"),
+        F.expr(n_empty).alias("n_empty"),
+    )
     small = (
         f"CAST(floor({float(_M)!r}"
-        f" * ln({float(_M)!r} / CAST({n_empty} AS DOUBLE))) AS BIGINT)"
+        f" * ln({float(_M)!r} / CAST(n_empty AS DOUBLE))) AS BIGINT)"
     )
-    est = (
-        f"CASE WHEN {raw} <= {_SMALL_RANGE} AND {n_empty} > 0"
-        f" THEN {small} ELSE {raw} END"
-    )
-    return per_win.select(
-        F.col("win.start").cast("date").alias("date"),
-        F.expr(est).alias("distinct_estimate"),
+    return folded.select(
+        "date",
+        F.expr(
+            f"CASE WHEN raw <= {_SMALL_RANGE} AND n_empty > 0"
+            f" THEN {small} ELSE raw END"
+        ).alias("distinct_estimate"),
     )
 
 
@@ -258,7 +267,7 @@ def stream_rolling_actives(
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    watermark: str = "1 day",
+    lateness_days: int = 1,
     days: int = 7,
 ) -> DataFrame:
     """Streaming trailing-N-day distinct actives — the incremental
@@ -270,14 +279,24 @@ def stream_rolling_actives(
     plain count per report day finishes it. Chained stateful operators
     (dedup then agg), supported since Spark 3.5.
 
+    The watermark delay is ``days + lateness_days`` days, NOT the
+    lateness alone: two events (user, day X) and (user, day Y) produce
+    duplicate (user, report day) rows whenever |X - Y| < days, so the
+    dedup contract (state must outlive the max event-time spread among
+    duplicates) needs the full window span plus the out-of-order
+    allowance. A shorter delay silently double-counts users whose
+    events straddle an evicted key.
+
     Scale posture: the fan-out is a bounded x``days`` row-local
     transform (no join, no rescan); dedup state is one entry per
-    (user, report day) inside the watermark horizon and is EVICTED at
-    the horizon; the count's grouping key is calendar days — trivially
-    small forever. Use update/complete output: a report day keeps
-    refining until its last contributing event passes the watermark.
+    (user, report day) inside the ``days + lateness_days`` horizon and
+    is EVICTED at the horizon; the count's grouping key is calendar
+    days — trivially small forever. Use update/complete output: a
+    report day keeps refining until its last contributing event passes
+    the watermark.
     """
-    fan = event_stream.withWatermark(ts_col, watermark).select(
+    horizon = f"{days + lateness_days} days"
+    fan = event_stream.withWatermark(ts_col, horizon).select(
         F.col(user_col),
         F.col(ts_col),
         F.explode(

@@ -97,15 +97,20 @@ for it in range(1, MAX_ITERS + 1):
     shift = max(
         abs(v - centroids.get(key, v)) for key, (v, _n) in new.items()
     )
-    sizes = sorted({key[0] for key in new})
-    centroids = {key: v for key, (v, _n) in new.items()}
+    # a cluster that won zero members this round keeps its previous
+    # centroid (standard practice) instead of silently vanishing — k
+    # must stay k for the whole run
+    updated = {key: v for key, (v, _n) in new.items()}
+    empty = sorted({cid for cid, _d in centroids} - {cid for cid, _d in updated})
+    centroids = {**centroids, **updated}
     cent_rows = [(cid, d, v) for (cid, d), v in centroids.items()]
     n_members = {}
     for (cid, _d), (_v, n) in new.items():
         n_members[cid] = n
+    note = f" (empty clusters kept: {empty})" if empty else ""
     print(
         f"  iter {it}: max shift {shift} micro-units, "
-        f"cluster sizes {sorted(n_members.values())} ({time.time() - t0:.1f}s)"
+        f"cluster sizes {sorted(n_members.values())} ({time.time() - t0:.1f}s){note}"
     )
     if shift <= SHIFT_TOL:
         print(f"converged after {it} iterations (shift <= {SHIFT_TOL})")

@@ -486,7 +486,10 @@ def test_stream_rolling_actives_matches_batch_q108(spark, tmp_path):
     stream must EQUAL the batch q108 WAU on every day the batch
     reports (the stream also emits tail days beyond the data's last
     event day; those are correct-but-partial windows and not compared).
-    Data arrives in two ordered chunks to prove cross-batch dedup."""
+    Data arrives in WEEKLY micro-batches so duplicate (user, report
+    day) keys straddle batch boundaries with multi-day event-time
+    spread — the case a too-short dedup watermark double-counts (the
+    horizon must cover the full window span, not just lateness)."""
     import time
 
     from etl_pipeline_candy_store_spark.operators.timeseries import (
@@ -499,12 +502,12 @@ def test_stream_rolling_actives_matches_batch_q108(spark, tmp_path):
 
     ev = load(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "ev_roll")
-    months = sorted(
-        r["m"]
-        for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    weeks = sorted(
+        r["w"]
+        for r in ev.select(F.date_trunc("week", "ts").alias("w")).distinct().collect()
     )
-    for m in months:
-        ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+    for w in weeks:
+        ev.filter(F.date_trunc("week", "ts") == w).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         time.sleep(1.05)
