@@ -698,3 +698,74 @@ def q116_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "sym_a", "sym_b")
         .limit(20)
     )
+
+
+# q97's registered oracle doubles as the pair-count CTE here — one copy
+# of the co-occurrence semantics (same composition pattern as q101/q109)
+def _q118_oracle() -> str:
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    q97 = REGISTRY["q97_context_pairs"].oracle
+    return f"""
+WITH pairs AS ({q97}),
+uc AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uc)
+SELECT p.tok_a, p.tok_b, p.n_cooccur,
+       (p.n_cooccur * tot.n * 1000000) // (ca.cnt * cb.cnt) AS pmi_ratio_micros
+FROM pairs p
+JOIN uc ca ON ca.tok = p.tok_a
+JOIN uc cb ON cb.tok = p.tok_b
+CROSS JOIN tot
+"""
+
+
+@register(
+    "q118_pmi_scores",
+    oracle=None,  # composed from q97's registered SQL below
+    doc="Pointwise-mutual-information association scores for the top "
+    "co-occurring token pairs (q97's table): the monotone PMI proxy "
+    "n(a,b)*N / (n(a)*n(b)) as an exact integer micro-ratio — ln() "
+    "would only monotone-transform the ranking and would cost "
+    "cross-engine float agreement. The collocation/phrase-mining "
+    "statistic (word2vec's SGNS objective is shifted PMI). Unigram "
+    "counts are a vocabulary-bounded broadcast; the pair table is "
+    "top-50, so scoring touches nothing corpus-sized beyond q97's own "
+    "single aggregate.",
+)
+def q118_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q97_context_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    uc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uc.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(uc.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("ca"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cb"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_cooccur",
+            F.expr("(n_cooccur * n * 1000000) div (ca * cb)").alias(
+                "pmi_ratio_micros"
+            ),
+        )
+    )
+
+
+_TEXT_REG["q118_pmi_scores"] = _dc_text.replace(
+    _TEXT_REG["q118_pmi_scores"], oracle=_q118_oracle()
+)
