@@ -769,3 +769,82 @@ def q118_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_REG["q118_pmi_scores"] = _dc_text.replace(
     _TEXT_REG["q118_pmi_scores"], oracle=_q118_oracle()
 )
+
+
+@register(
+    "q119_vocab_growth",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+),
+off AS (
+  SELECT doc_id,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM lens
+),
+tp AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+fo AS (
+  SELECT tok, MIN(o.off + tp.pos) AS first_pos
+  FROM tp JOIN off o ON o.doc_id = tp.doc_id GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM lens),
+b AS (
+  SELECT CAST(u.d AS INTEGER) AS decile, (CAST(u.d AS BIGINT) * tot.t) // 10 AS corpus_tokens
+  FROM tot, unnest(range(1, 11)) AS u(d)
+)
+SELECT b.decile, b.corpus_tokens,
+       CAST(COUNT(CASE WHEN fo.first_pos < b.corpus_tokens THEN 1 END) AS BIGINT)
+         AS vocab_size
+FROM b CROSS JOIN fo
+GROUP BY b.decile, b.corpus_tokens
+""",
+    doc="Heaps'-law vocabulary growth curve: distinct-type count after "
+    "each tenth of the corpus (in canonical doc_id token order) — the "
+    "diminishing-returns diagnostic behind 'how much more data buys "
+    "how much more vocabulary'. Global token positions come from a "
+    "prefix sum over the PER-DOC length relation (doc-count-sized, "
+    "never the corpus) plus a row-local in-doc offset; first "
+    "occurrences are one corpus aggregate on the token key; the curve "
+    "itself is a 10-row broadcast against the vocabulary-bounded "
+    "first-occurrence table. All integer.",
+)
+def q119_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    off = lens.select(
+        "doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+    )
+    tp = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    fo = (
+        tp.join(off, "doc_id")
+        .groupBy("tok")
+        .agg(F.min(F.col("off") + F.col("pos")).alias("first_pos"))
+    )
+    tot = lens.agg(F.sum("n").alias("t"))
+    b = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"), "t"
+    ).select(
+        F.col("d").cast("int").alias("decile"),
+        F.expr("(CAST(d AS BIGINT) * t) div 10").alias("corpus_tokens"),
+    )
+    return (
+        F.broadcast(b)
+        .crossJoin(fo)
+        .groupBy("decile", "corpus_tokens")
+        .agg(
+            F.count(F.when(F.col("first_pos") < F.col("corpus_tokens"), 1)).alias(
+                "vocab_size"
+            )
+        )
+    )
