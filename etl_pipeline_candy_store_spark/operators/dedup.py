@@ -816,3 +816,54 @@ def q98_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     return _cosine_pairs(dots, w)
+
+
+@register(
+    "q120_source_novelty",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ds AS (
+  SELECT DISTINCT s.shingle, d.source
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+spread AS (SELECT shingle, COUNT(*) AS n_sources FROM ds GROUP BY shingle)
+SELECT ds.source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN spread.n_sources = 1 THEN 1 END) AS BIGINT)
+         AS n_unique,
+       (COUNT(CASE WHEN spread.n_sources = 1 THEN 1 END) * 1000000)
+         // COUNT(*) AS novelty_micros
+FROM ds JOIN spread ON spread.shingle = ds.shingle
+GROUP BY ds.source
+""",
+    doc="Per-source shingle novelty: the fraction of a source's "
+    "distinct 3-token shingles that appear in NO other source — the "
+    "diagnostic for 'is this crawl slice adding new content or "
+    "re-serving what other sources already contribute', which decides "
+    "whether a source earns its mixture weight (q81/q100). Shingles "
+    "collapse to distinct (shingle, source) first, the cross-source "
+    "spread is one aggregate on the shingle key, and the novelty "
+    "ratio is exact integer micro-units. Nothing wider than the "
+    "distinct shingle set moves.",
+)
+def q120_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ds = (
+        _shingles(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("shingle", "source")
+        .distinct()
+    )
+    spread = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        ds.join(spread, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("n_sources") == 1, 1)).alias("n_unique"),
+            F.expr(
+                "(count(CASE WHEN n_sources = 1 THEN 1 END) * 1000000)"
+                " div count(1)"
+            ).alias("novelty_micros"),
+        )
+    )
