@@ -310,3 +310,63 @@ def stream_rolling_actives(
     return dedup.groupBy("day_end").agg(
         F.count(F.lit(1)).alias(f"active_{days}d")
     )
+
+
+_TRANSITION_OUTPUT = "user_id BIGINT, from_type STRING, to_type STRING"
+_TRANSITION_STATE = "last_ts_us BIGINT, last_event_id BIGINT, last_type STRING"
+
+
+def stream_event_transitions(event_stream: DataFrame) -> DataFrame:
+    """Stateful streaming counterpart of the q105 transition matrix:
+    per user, every consecutive event pair (ordered by ts, tie-broken
+    by event_id) is emitted incrementally; the carried state is ONE
+    tuple per user — the last event seen — so unbounded streams cost
+    O(users) memory regardless of history length. Returns the raw
+    (user_id, from_type, to_type) pair stream; count it per pair key
+    downstream (or in batch after sinking) for the matrix.
+
+    Equivalence contract: identical to batch q105 when micro-batches
+    arrive in event-time order per user (the per-day/per-file ingestion
+    this engine uses); within a batch rows are sorted by (ts, event_id)
+    before pairing, and the cross-batch seam uses the stored last
+    event. Custom pairing logic is exactly the applyInPandasWithState
+    niche: LEAD windows cannot run on an unbounded stream.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["_us"] = pdf["ts"].astype("int64")  # epoch micros for exact order
+        pdf = pdf.sort_values(["_us", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        if state.exists:
+            _last_us, _last_eid, last_type = state.get
+        else:
+            last_type = None
+        froms, tos = [], []
+        for row in pdf.itertuples(index=False):
+            if last_type is not None:
+                froms.append(last_type)
+                tos.append(row.event_type)
+            last_type = row.event_type
+        tail = pdf.iloc[-1]
+        state.update((int(tail["_us"]), int(tail["event_id"]), str(last_type)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(froms),
+                "from_type": froms,
+                "to_type": tos,
+            }
+        )
+
+    return event_stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_TRANSITION_OUTPUT,
+        stateStructType=_TRANSITION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -535,3 +535,55 @@ def test_stream_rolling_actives_matches_batch_q108(spark, tmp_path):
     assert want, "batch q108 returned nothing"
     for day, wau in want.items():
         assert got.get(day) == wau, (day, got.get(day), wau)
+
+
+def test_stream_event_transitions_match_batch_q105(spark, tmp_path):
+    """The stateful pair stream, counted per (from, to), must equal the
+    batch q105 transition matrix when micro-batches arrive in event-time
+    order (weekly chunks here); the cross-batch seam rides on the
+    one-tuple-per-user carried state."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.timeseries import (
+        q105_event_transitions,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_event_transitions,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_trans")
+    weeks = sorted(
+        r["w"]
+        for r in ev.select(F.date_trunc("week", "ts").alias("w")).distinct().collect()
+    )
+    for w in weeks:
+        ev.filter(F.date_trunc("week", "ts") == w).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_event_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.sql(
+            "select from_type, to_type, count(*) as n from trans_stream group by 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in q105_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
