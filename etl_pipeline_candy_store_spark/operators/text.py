@@ -848,3 +848,77 @@ def q119_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q121_source_keyness",
+    oracle="""
+WITH st AS (
+  SELECT d.source, t.tok, COUNT(*) AS c_st
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+src AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+tok AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.tok, st.c_st,
+         (st.c_st * tot.n * 1000000)
+           // (CAST(tok.c_t AS BIGINT) * CAST(src.n_s AS BIGINT)) AS keyness_micros
+  FROM st
+  JOIN src ON src.source = st.source
+  JOIN tok ON tok.tok = st.tok
+  CROSS JOIN tot
+)
+SELECT source, tok AS key_token, c_st AS n_in_source, keyness_micros FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY keyness_micros DESC, tok) AS rn
+  FROM scored) t
+WHERE rn = 1
+""",
+    doc="Per-source keyness: the token most over-represented in each "
+    "source relative to the whole corpus, ranked by the exact integer "
+    "ratio p(tok|source)/p(tok) in micro-units — the "
+    "characterize-this-corpus-slice statistic (log-likelihood keyness "
+    "ranks identically for a fixed source since ln is monotone). One "
+    "corpus aggregate on the (source, token) key; the marginals fold "
+    "from it (no second corpus pass), and the top-1 window runs on the "
+    "vocabulary-x-sources table, never the corpus.",
+)
+def q121_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    src = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tok = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").cast("long").alias("n"))
+    scored = (
+        st.join(F.broadcast(src), "source")
+        .join(F.broadcast(tok), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "c_st",
+            F.expr("(c_st * n * 1000000) div (c_t * n_s)").alias("keyness_micros"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("keyness_micros").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("tok").alias("key_token"),
+            F.col("c_st").alias("n_in_source"),
+            "keyness_micros",
+        )
+    )
