@@ -771,6 +771,11 @@ _TEXT_REG["q118_pmi_scores"] = _dc_text.replace(
 )
 
 
+# q119 two-level prefix sum: docs per range bucket. At 10^10 docs this
+# leaves ~150k bucket rows for the single small unpartitioned window.
+_PREFIX_BUCKET = 65536
+
+
 @register(
     "q119_vocab_growth",
     oracle="""
@@ -819,9 +824,30 @@ def q119_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     lens = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    off = lens.select(
-        "doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+    # Two-level prefix sum: a single-task `Window.orderBy("doc_id")` over
+    # the per-doc relation would serialize the whole corpus through one
+    # task. Instead (a) a window PARTITIONED by a doc_id range bucket
+    # computes in-bucket prefix sums in parallel, and (b) the only
+    # unpartitioned window runs over the per-bucket totals — a relation
+    # 2^16x smaller than the corpus — whose cumulative offsets broadcast
+    # back. Bucketing by `doc_id div B` keeps (bkt, doc_id) order equal
+    # to global doc_id order, so the sum is exactly the q119 oracle's.
+    lens_b = lens.withColumn("bkt", F.expr(f"doc_id div {_PREFIX_BUCKET}"))
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = lens_b.select(
+        "doc_id", "bkt", F.coalesce(F.sum("n").over(w_local), F.lit(0)).alias("loc")
+    )
+    btot = lens_b.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("boff")
+    )
+    off = local.join(F.broadcast(boff), "bkt").select(
+        "doc_id", (F.col("boff") + F.col("loc")).alias("off")
     )
     tp = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")

@@ -50,10 +50,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table. Parquet supplies the schema; we avoid
     forcing ours on read so timestamp physical types stay as written.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read it as raw nanos (legacy conf) and
-    rebuild a microsecond TimestampType with integer division (epoch nanos
-    exceed 2^53, so float division would corrupt the value).
+    ``events.ts`` has shipped under multiple physical layouts across data
+    generations (TIMESTAMP(NANOS), TIMESTAMP(MICROS)/NTZ, plain MICROS).
+    At 100 TB scale a table accumulates files from different writers, so
+    the loader dispatches on the *observed* post-read dtype instead of
+    hard-coding one layout:
+
+    - ``bigint`` → the nanos-as-long legacy read (Spark's vectorized
+      reader rejects TIMESTAMP(NANOS); the legacy conf surfaces raw
+      nanos, which we floor-divide to micros — epoch nanos exceed 2^53,
+      so integer division is required to avoid float corruption);
+    - ``timestamp_ntz`` → cast to session-local TimestampType (a no-op
+      instant-wise under the UTC session pin below, but keeps downstream
+      date/window semantics uniform with the DuckDB oracle);
+    - ``timestamp`` → already the canonical type, pass through.
     """
     # Harness sessions may not pin a timezone; date/timestamp semantics in
     # the catalog (and the DuckDB oracles) assume UTC.
@@ -63,7 +73,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

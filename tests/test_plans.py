@@ -267,3 +267,14 @@ def test_bpe_pairs_fan_out_from_word_table(spark):
     plan = _plan(spark, "q116_bpe_merge_pairs")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20 must not global-sort
+
+
+def test_vocab_growth_no_corpus_global_window(spark):
+    # q119: the corpus-sized prefix sum must be partitioned by the
+    # doc_id range bucket; an unpartitioned window ordered directly by
+    # doc_id would serialize the whole corpus through one task. The
+    # only unpartitioned window allowed runs over the tiny per-bucket
+    # totals (spec starts with bkt, not doc_id).
+    plan = _plan(spark, "q119_vocab_growth")
+    assert "windowspecdefinition(doc_id" not in plan, plan
+    assert "windowspecdefinition(bkt" in plan

@@ -40,8 +40,14 @@ def canon(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from etl_pipeline_candy_store_spark.session import get_spark
@@ -55,6 +61,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, builder in qs.items():
         if only and name not in only:
             continue
@@ -64,15 +71,22 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
+            results[name] = {"status": "spark_error", "err": str(ex)[:500]}
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(sdf),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
+            results[name] = {"status": "duckdb_error", "err": str(ex)[:500]}
             continue
         issues = []
         if len(sdf) != len(odf):
@@ -84,6 +98,7 @@ def main() -> int:
         if issues:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(issues)}  ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "mismatch", "issues": issues}
             if "value-hash mismatch" in issues and len(sdf) == len(odf):
                 s = sdf[sorted(sdf.columns)].astype(str).apply("|".join, axis=1)
                 o = odf[sorted(odf.columns)].astype(str).apply("|".join, axis=1)
@@ -92,7 +107,28 @@ def main() -> int:
                 print("    duck-only: ", list(oo - ss)[:3])
         else:
             print(f"PASS  {name}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 2),
+            }
     print(f"\n{failures} failures / {len(only) if only else len(qs)} checked")
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "checked": len(results),
+            "failures": failures,
+            "pass": sum(1 for r in results.values() if r["status"] == "pass"),
+            "rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows_only"
+            ),
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
