@@ -751,7 +751,13 @@ dots AS (
     "oracle stays hash-comparable.",
 )
 def q96_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _tfidf_weights(load(spark, sf_dir, "documents"))
+    from etl_pipeline_candy_store_spark.operators.guards import guard_all_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    guard_all_pairs(
+        docs.select("doc_id"), "q96_sparse_cosine_pairs", "q98_blocked_cosine_pairs"
+    )
+    w = _tfidf_weights(docs)
     a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
     dots = (

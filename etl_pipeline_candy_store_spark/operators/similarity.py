@@ -154,7 +154,12 @@ SELECT vec_a, vec_b, cos_micros FROM scored WHERE cos_micros >= 250000
     "hoists the cosine into a subquery so it is evaluated once.",
 )
 def q61_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.guards import guard_all_pairs
+
     e = with_norm(load(spark, sf_dir, "embeddings"))
+    guard_all_pairs(
+        e.select("vec_id"), "q61_embedding_neardup", "q64_lsh_neardup / q65"
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -771,34 +776,58 @@ CROSS JOIN n
 )
 def q110_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    # materialize the integer components once: the pair products, the
-    # per-dim sums and the count all read this relation — without the
-    # checkpoint each consumer would rescan parquet and re-floor
-    cm = e.select(
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        ).alias("c")
-    ).localCheckpoint(eager=False)
-    pairs = F.expr(
-        f"flatten(transform(sequence(0, {_DIM - 1}), i -> "
-        f" transform(sequence(i, {_DIM - 1}), j -> "
-        f"  struct(i, j, c[i] * c[j] AS xy))))"
+    # Per-partition numpy Gram fold: each task accumulates X'.T @ X'
+    # over its Arrow batches, where X' is the integer milli-unit matrix
+    # augmented with a ones column — so the (d+1)x(d+1) partial carries
+    # the pair products, the per-dim sums (last column) AND the row
+    # count (corner) in one int64 matmul. Each partition emits only the
+    # (d+1)(d+2)/2 upper-triangle cells (~2k rows), so the shuffled
+    # intermediate is ~1000x smaller than the previous per-row explode
+    # of d(d+1)/2 products, and the hot loop is a vectorized integer
+    # matmul instead of a Catalyst array fan-out. Flooring to integer
+    # BEFORE the fold keeps every sum associative and cross-engine
+    # exact (float64 *1000 + floor matches Spark's DOUBLE semantics).
+    d1 = _DIM + 1
+
+    def gram_fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d1, d1), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+            ).astype(np.int64)
+            Xa = np.concatenate(
+                [X, np.ones((X.shape[0], 1), dtype=np.int64)], axis=1
+            )
+            G += Xa.T @ Xa
+        if not seen:
+            return
+        iu = np.triu_indices(d1)
+        yield pd.DataFrame(
+            {"gi": iu[0].astype("int32"), "gj": iu[1].astype("int32"), "v": G[iu]}
+        )
+
+    tot = (
+        e.select("embedding")
+        .mapInPandas(gram_fold, schema="gi int, gj int, v long")
+        .groupBy("gi", "gj")
+        .agg(F.sum("v").alias("v"))
     )
-    xy = (
-        cm.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), "p.xy")
-        .groupBy("i", "j")
-        .agg(F.sum("xy").alias("sxy"))
+    xy = tot.filter(F.col("gj") < _DIM).select(
+        F.col("gi").alias("i"), F.col("gj").alias("j"), F.col("v").alias("sxy")
     )
-    # per-dim sums carry the vector count too (it is the same for every
-    # dim), so n needs no extra pass over the corpus
-    sx = (
-        cm.select(F.posexplode("c").alias("dim", "comp"))
-        .groupBy("dim")
-        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    sx = tot.filter((F.col("gj") == _DIM) & (F.col("gi") < _DIM)).select(
+        F.col("gi").alias("dim"), F.col("v").alias("s")
     )
-    n = sx.groupBy().agg(F.max("cnt").alias("n"))
-    sx = sx.drop("cnt")
+    n = tot.filter((F.col("gi") == _DIM) & (F.col("gj") == _DIM)).select(
+        F.col("v").alias("n")
+    )
     return (
         xy.join(F.broadcast(sx.select(F.col("dim").alias("i"), F.col("s").alias("si"))), "i")
         .join(F.broadcast(sx.select(F.col("dim").alias("j"), F.col("s").alias("sj"))), "j")
