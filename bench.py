@@ -77,6 +77,54 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # hot-key allocator A/B on the 50%-hot-key shape (tools/hotkey_probe.py
+    # at full size; here a fixed 8M-row instance — near the measured
+    # local[32] crossover — so the per-round bench tracks both strategies'
+    # wall time): one key holds half the rows and exhausts ~75% through —
+    # the partition-sorted operator serializes the hot key in one task,
+    # allocate_bucketed runs contiguous sequence buckets in parallel with
+    # a one-shot suffix repair.
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_candy_store_spark.operators.allocation import (
+        allocate_bucketed,
+        allocate_sequential,
+    )
+
+    hk_total = 8_000_000
+    hk_hot = hk_total // 2
+    hk = (
+        spark.range(hk_total)
+        .select(
+            F.when(F.col("id") < hk_hot, F.lit(0))
+            .otherwise((F.col("id") % 2000) + 1)
+            .cast("int")
+            .alias("key"),
+            F.col("id").cast("long").alias("seq"),
+            (F.col("id") % 3 + 1).cast("int").alias("qty"),
+            F.when(F.col("id") < hk_hot, F.lit(int(hk_hot * 1.5)))
+            .otherwise(F.lit(10_000_000))
+            .cast("long")
+            .alias("stock"),
+        )
+        .repartition(int(cpus))
+        .localCheckpoint()
+    )
+    hk_kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    for label, fn in [
+        ("hotkey_allocate_sequential", lambda: allocate_sequential(hk, **hk_kw)),
+        (
+            "hotkey_allocate_bucketed",
+            lambda: allocate_bucketed(hk, n_buckets=16, **hk_kw),
+        ),
+    ]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[label] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",

@@ -244,7 +244,24 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 shuffles of the wide shingle relation collapse to 1 aggregation
     # + 1 band self-join + 2 key-joins on the (small) candidate set.
     # Measured at sf0.1: 2.4s → 1.6s warm, identical output.
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    per_doc = minhash_per_doc(load(spark, sf_dir, "documents"))
+    bands = minhash_band_table(per_doc)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_jaccard_pairs(cand, per_doc.select("doc_id", "n", "S"))
+
+
+def minhash_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash state in one aggregation over the shingle table:
+    signature columns h0..h{k-1}, shingle cardinality n, and the shingle
+    set S (bounded by document length). Shared by batch q52 and the
+    streaming band-bucket variant — identical hashes mean stream≡batch."""
+    sh = _shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
             f"h{i}"
@@ -254,10 +271,14 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.collect_set("shingle").alias("S"),
     ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    # unpivot bands to (doc_id, band_idx, band_key) and self-join ONCE on
-    # (band_idx, band_key) — one shuffle instead of one join per band
-    bands = per_doc.select(
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_table(per_doc: DataFrame) -> DataFrame:
+    """Unpivot the signature to (doc_id, band_idx, band_key): one
+    equi-join key per LSH band, so the candidate join is ONE shuffle on
+    (band_idx, band_key) instead of one join per band."""
+    return per_doc.select(
         "doc_id",
         F.explode(
             F.array(
@@ -275,14 +296,12 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sets = per_doc.select("doc_id", "n", "S")
+
+
+def verify_jaccard_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the per-doc shingle sets; keeps pairs at or above the q52
+    threshold."""
     pa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("S").alias("Sa")
     )

@@ -587,3 +587,57 @@ def test_stream_event_transitions_match_batch_q105(spark, tmp_path):
         for r in q105_event_transitions(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_stream_minhash_neardup_matches_batch_q52(spark, tmp_path):
+    """Incremental LSH band-bucket dedup over documents arriving in three
+    micro-batches must emit EXACTLY the batch q52 pair set (same shingle
+    hashes, same bands, same exact-Jaccard verification) — and each pair
+    exactly once, in the batch where its later endpoint arrives."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q52_minhash_lsh_pairs,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.neardup_stream import (
+        read_neardup_pairs,
+        stream_minhash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    src = str(tmp_path / "docs_src")
+    n = docs.count()
+    # three arrival chunks split by doc_id so near-dup pairs straddle
+    # micro-batch boundaries (the case that catches old-vs-new probing)
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "lsh_state")
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_minhash_neardup(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"])
+        for r in read_neardup_pairs(spark, state).collect()
+    }
+    want_rows = q52_minhash_lsh_pairs(spark, sf).collect()
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"]) for r in want_rows
+    }
+    assert want, "batch q52 found no pairs on the fixture"
+    assert got == want
+    # exactly-once: no pair row appears twice in the emitted table
+    assert read_neardup_pairs(spark, state).count() == len(got)
