@@ -948,3 +948,98 @@ def q121_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keyness_micros",
         )
     )
+
+
+@register(
+    "q122_repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         list_extract(t, CAST(u.i AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 1 AS INTEGER)) AS gram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         list_extract(t, CAST(u.i AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 1 AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 2 AS INTEGER)) AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 1 THEN c END) AS tot1,
+         COUNT(CASE WHEN n = 1 THEN 1 END) AS d1,
+         SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+         MAX(CASE WHEN n = 2 THEN c END) AS max2,
+         SUM(CASE WHEN n = 3 THEN c END) AS tot3,
+         COUNT(CASE WHEN n = 3 THEN 1 END) AS d3
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE((max2 * 1000000) // NULLIF(tot2, 0), 0) AS BIGINT)
+         AS top_bigram_frac_micros,
+       CAST(COALESCE(((tot3 - d3) * 1000000) // NULLIF(tot3, 0), 0) AS BIGINT)
+         AS dup_trigram_frac_micros,
+       CAST((d1 * 1000000) // tot1 AS BIGINT) AS unique_token_ratio_micros
+FROM per
+""",
+    doc="Within-document repetition signals — the Gopher-family quality "
+    "gates that catch boilerplate and generation loops before they "
+    "reach a training corpus: most-frequent-bigram share, duplicated-"
+    "trigram occurrence share, and unique-token ratio, all integer "
+    "micros (cross-engine exact). Plan: ONE explode builds a combined "
+    "(n, gram) relation for n=1,2,3 from row-local array slices "
+    "(n-grams never shuffle per size), one map-side-combinable "
+    "groupBy on (doc_id, n, gram), then a per-doc conditional "
+    "aggregate — two keyed shuffles total, both on doc-bounded keys, "
+    "no windows, no joins.",
+)
+def q122_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(t, x -> struct(1 as n, x as gram)),"
+                    " transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    "   (x, i) -> struct(2 as n, concat(x, ' ', t[i + 1]) as gram)),"
+                    " transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+                    "   (x, i) -> struct(3 as n,"
+                    "     concat(x, ' ', t[i + 1], ' ', t[i + 2]) as gram)))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("d1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("max2"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
+        F.count(F.when(F.col("n") == 3, 1)).alias("d3"),
+    )
+    return per.select(
+        "doc_id",
+        F.expr(
+            "CAST(COALESCE((max2 * 1000000) div NULLIF(tot2, 0), 0) AS BIGINT)"
+        ).alias("top_bigram_frac_micros"),
+        F.expr(
+            "CAST(COALESCE(((tot3 - d3) * 1000000) div NULLIF(tot3, 0), 0) AS BIGINT)"
+        ).alias("dup_trigram_frac_micros"),
+        F.expr("CAST((d1 * 1000000) div tot1 AS BIGINT)").alias(
+            "unique_token_ratio_micros"
+        ),
+    )

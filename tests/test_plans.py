@@ -278,3 +278,13 @@ def test_vocab_growth_no_corpus_global_window(spark):
     plan = _plan(spark, "q119_vocab_growth")
     assert "windowspecdefinition(doc_id" not in plan, plan
     assert "windowspecdefinition(bkt" in plan
+
+
+def test_repetition_signals_two_keyed_shuffles(spark):
+    # q122: one corpus explode builds all three gram sizes row-locally;
+    # the only exchanges are the two doc-keyed aggregations (formatted
+    # plans print each node twice: tree + detail)
+    plan = _plan(spark, "q122_repetition_signals")
+    assert plan.count("Generate") <= 2          # one explode
+    assert plan.count("Exchange") <= 4          # two keyed shuffles
+    assert "Join" not in plan
