@@ -43,6 +43,9 @@ HEADLINE = [
     "q106_kmeans_update",       # k-means Lloyd iteration (assign + update)
     "q107_bigram_lm",           # smoothed bigram LM table
     "q108_rolling_active_users",  # DAU / trailing-7d WAU
+    "q110_feature_covariance",  # per-partition numpy Gram fold (r4)
+    "q119_vocab_growth",        # two-level bucketed prefix sum (r4)
+    "q122_repetition_signals",  # Gopher-family repetition gates (r4)
 ]
 
 

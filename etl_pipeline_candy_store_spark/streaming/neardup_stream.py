@@ -13,14 +13,18 @@ training corpus). The classic streaming-LSH shape:
   (band_idx, band_key) — only bucket collisions are verified, the
   quadratic pair space never materializes, and old-old pairs are never
   recomputed (the probe side is new docs only);
-- band/set state appends to hive-partitioned parquet keyed by doc, so
-  state is partition-pruned on read and bounded by corpus size, not
-  stream length; emitted pairs append to an output table.
+- band/set state and emitted pairs land in parquet partitioned by
+  ``batch=N``, so state is bounded by corpus size (not stream length)
+  and every write is scoped to its micro-batch.
 
-Exactly-once emission: a pair is produced only in the micro-batch where
-its LATER endpoint arrives (the probe side is strictly new docs), and
-in-batch mirror candidates are normalized with least/greatest +
-distinct.
+Exactly-once emission, including under crash replay: a pair is produced
+only in the micro-batch where its LATER endpoint arrives (the probe
+side is strictly new docs), in-batch mirror candidates are normalized
+with least/greatest + distinct, and because each batch OVERWRITES its
+own ``batch=N`` partition (never appends to a shared dir), Structured
+Streaming's re-delivery of a batch after a crash rewrites the same
+deterministic content instead of duplicating it. State reads filter to
+``batch < current`` so a half-written replay partition is never probed.
 """
 
 from __future__ import annotations
@@ -34,59 +38,78 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     verify_jaccard_pairs,
 )
 
-_BANDS_SCHEMA = "doc_id bigint, band_idx int, band_key string"
-_SETS_SCHEMA = "doc_id bigint, n bigint, S array<string>"
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_common bigint, n_union bigint"
 
 
-def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """Read a parquet state dir, or an empty frame before first append."""
+def _read_state(
+    spark: SparkSession, path: str, schema: str, before_batch: int | None = None
+) -> DataFrame:
+    """Read a batch-partitioned parquet state dir (empty frame before the
+    first write). ``before_batch`` keeps only partitions written by
+    earlier micro-batches — a replayed batch must not see its own
+    partial output."""
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    if not fs.exists(hpath):
+        return spark.createDataFrame([], f"batch bigint, {schema}")
+    df = spark.read.parquet(path)
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < before_batch)
+    return df
+
+
+def apply_neardup_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Process one micro-batch of (doc_id, text) rows: probe accumulated
+    LSH state, emit verified pairs, extend state. Idempotent per
+    (batch content, batch_id) — safe under foreachBatch replay."""
+    spark = batch.sparkSession
+    per_doc = minhash_per_doc(batch).localCheckpoint(eager=True)
+    if not per_doc.take(1):
+        return
+    bands_new = minhash_band_table(per_doc)
+    sets_new = per_doc.select("doc_id", "n", "S")
+
+    bands_old = _read_state(
+        spark, f"{state_dir}/bands", "doc_id bigint, band_idx int, band_key string",
+        before_batch=batch_id,
+    ).drop("batch")
+    sets_old = _read_state(
+        spark, f"{state_dir}/sets", "doc_id bigint, n bigint, S array<string>",
+        before_batch=batch_id,
+    ).drop("batch")
+    bands_all = bands_old.unionByName(bands_new)
+    sets_all = sets_old.unionByName(sets_new)
+
+    cand = (
+        bands_new.alias("a")
+        .join(bands_all.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verify_jaccard_pairs(cand, sets_all).write.mode("overwrite").parquet(
+        f"{state_dir}/pairs/batch={batch_id}"
+    )
+    bands_new.write.mode("overwrite").parquet(f"{state_dir}/bands/batch={batch_id}")
+    sets_new.write.mode("overwrite").parquet(f"{state_dir}/sets/batch={batch_id}")
 
 
 def stream_minhash_neardup(doc_stream: DataFrame, state_dir: str):
     """Wire ``doc_stream`` (doc_id, text) into the incremental LSH
     pipeline. Returns a ``DataStreamWriter``; the caller adds its
-    checkpoint/trigger and ``.start()``s. Near-dup pairs land in
-    ``{state_dir}/pairs`` as parquet."""
+    checkpoint/trigger and ``.start()``s. Near-dup pairs land under
+    ``{state_dir}/pairs`` as batch-partitioned parquet."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        per_doc = minhash_per_doc(batch).localCheckpoint(eager=True)
-        if not per_doc.take(1):
-            return
-        bands_new = minhash_band_table(per_doc)
-        sets_new = per_doc.select("doc_id", "n", "S")
-
-        bands_old = _read_state(spark, f"{state_dir}/bands", _BANDS_SCHEMA)
-        sets_old = _read_state(spark, f"{state_dir}/sets", _SETS_SCHEMA)
-        bands_all = bands_old.unionByName(bands_new)
-        sets_all = sets_old.unionByName(sets_new)
-
-        cand = (
-            bands_new.alias("a")
-            .join(bands_all.alias("b"), ["band_idx", "band_key"])
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        verify_jaccard_pairs(cand, sets_all).write.mode("append").parquet(
-            f"{state_dir}/pairs"
-        )
-        bands_new.write.mode("append").parquet(f"{state_dir}/bands")
-        sets_new.write.mode("append").parquet(f"{state_dir}/sets")
+        apply_neardup_batch(batch, state_dir, batch_id)
 
     return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
 
 
 def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated near-dup pair table the stream has emitted."""
-    return _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA)
+    return _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop("batch")

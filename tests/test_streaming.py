@@ -641,3 +641,30 @@ def test_stream_minhash_neardup_matches_batch_q52(spark, tmp_path):
     assert got == want
     # exactly-once: no pair row appears twice in the emitted table
     assert read_neardup_pairs(spark, state).count() == len(got)
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a micro-batch after a crash; replaying
+    the same (content, batch_id) must leave state and emitted pairs
+    byte-identical — batch-scoped overwrites, not appends."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.neardup_stream import (
+        apply_neardup_batch,
+        read_neardup_pairs,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    first = docs.filter(F.col("doc_id") < n // 2)
+    second = docs.filter(F.col("doc_id") >= n // 2)
+    state = str(tmp_path / "replay_state")
+
+    apply_neardup_batch(first, state, 0)
+    apply_neardup_batch(second, state, 1)
+    want = sorted(map(tuple, read_neardup_pairs(spark, state).collect()))
+    assert want, "fixture produced no pairs"
+
+    # crash replay: batch 1 re-delivered with identical content
+    apply_neardup_batch(second, state, 1)
+    got = sorted(map(tuple, read_neardup_pairs(spark, state).collect()))
+    assert got == want
