@@ -892,3 +892,44 @@ def q120_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_micros"),
         )
     )
+
+
+@register(
+    "q123_cross_source_dup_matrix",
+    oracle=f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL})
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_dup_pairs,
+       CAST(SUM(p.n_common) AS BIGINT) AS total_common_shingles
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+    doc="Cross-source duplication matrix: near-dup pair counts bucketed "
+    "by unordered source pair — the training-mix diagnostic that shows "
+    "which corpus slices leak into each other (same-source cells are "
+    "internal redundancy, off-diagonal cells are cross-crawl contamination "
+    "that double-weights content under per-source sampling). Reuses the "
+    "verified Jaccard pair relation (shingle equi-join, no pair scan); "
+    "the source lookup is two joins against the doc-keyed documents "
+    "table and the matrix itself is at most |sources|^2 rows.",
+)
+def q123_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q51_ngram_jaccard_pairs(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum("n_common").cast("long").alias("total_common_shingles"),
+        )
+    )
