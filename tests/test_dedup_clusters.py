@@ -114,3 +114,57 @@ def test_blocked_cosine_subset_of_exact(spark):
         assert pair in exact and exact[pair] == score
     # and on this corpus the rare-token blocks retain most of the pairs
     assert len(blocked) >= len(exact) // 2
+
+
+class TestStarContraction:
+    """connected_components_star must agree with min-label propagation
+    everywhere min-label is feasible, and converge in O(log n) rounds
+    where min-label cannot (long chains)."""
+
+    def _labels(self, df):
+        return {r["node"]: r["label"] for r in df.collect()}
+
+    def test_matches_min_label_on_random_graph(self, spark):
+        import random
+
+        from etl_pipeline_candy_store_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert self._labels(connected_components_star(df)) == self._labels(
+            connected_components(df)
+        )
+
+    def test_matches_on_disjoint_cliques(self, spark):
+        from etl_pipeline_candy_store_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges = []
+        for base in (0, 100, 200):
+            members = list(range(base, base + 8))
+            edges += [(a, b) for a in members for b in members if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = self._labels(connected_components_star(df))
+        assert got == self._labels(connected_components(df))
+        assert set(got.values()) == {0, 100, 200}
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        # a 400-link chain: min-label would need 400 rounds (its
+        # max_iters=50 raises); star contraction stays within its
+        # default 30-round budget and labels the whole chain 0
+        from etl_pipeline_candy_store_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        chain = [(i, i + 1) for i in range(400)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        labels = self._labels(connected_components_star(df))
+        assert len(labels) == 401
+        assert set(labels.values()) == {0}

@@ -288,3 +288,11 @@ def test_repetition_signals_two_keyed_shuffles(spark):
     assert plan.count("Generate") <= 2          # one explode
     assert plan.count("Exchange") <= 4          # two keyed shuffles
     assert "Join" not in plan
+
+
+def test_cross_source_matrix_no_pair_scan(spark):
+    # q123: sources attach to the already-thresholded pair relation via
+    # doc-keyed joins; never a cartesian/nested-loop over the corpus
+    plan = _plan(spark, "q123_cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
