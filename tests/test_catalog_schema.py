@@ -84,3 +84,41 @@ def test_events_ts_values_sane(spark):
     assert row["n"] > 0
     assert row["lo"].year >= 2000, f"events.ts min {row['lo']} — unit mix-up?"
     assert row["hi"].year <= 2100, f"events.ts max {row['hi']} — unit mix-up?"
+
+
+def test_events_loader_normalizes_all_physical_layouts(spark, tmp_path):
+    """The same instants written as INT64-nanos, timestamp[us] (NTZ), and
+    timestamp[us, UTC] must load to identical TimestampType values — the
+    mixed-writer reality of a 100 TB events table, and the exact drift
+    that broke round 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    layouts = {
+        "nanos_int64": pa.array([m * 1000 for m in micros], pa.int64()),
+        "micros_ntz": pa.array(micros, pa.timestamp("us")),
+        "micros_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
+                k: v for k, v in base.items() if k != "event_id"}}),
+            str(d / "events.parquet"),
+        )
+        df = load(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got[name] = sorted(
+            (r["event_id"], r["ts"].isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["nanos_int64"] == got["micros_ntz"] == got["micros_utc"], got
