@@ -838,3 +838,58 @@ def q110_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * sxy - si * sj) div (n * n)").alias("cov_milli2"),
         )
     )
+
+
+@register(
+    "q124_ann_recall",
+    oracle=f"""
+WITH e AS ({_E_NORMED_SQL}),
+truth AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cos_micros_prenorm_sql('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}
+          >= 250000
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm,
+         {_BUCKET_SQL} AS bucket FROM embeddings
+),
+found AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos_micros_prenorm_sql('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}
+          >= 250000
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       CAST(((SELECT COUNT(*) FROM found) * 1000000)
+            // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_micros
+""",
+    doc="ANN recall instrumentation: the fraction of exact near-dup "
+    "pairs (brute-force q61 ground truth, cos >= 0.25) that the "
+    "hyperplane-LSH bucket join (q64's candidate generator) retains at "
+    "the same threshold — the number an ANN deployment must monitor "
+    "before trusting the scale path. LSH verification uses the exact "
+    "cosine, so found pairs are precisely truth ∩ candidates and "
+    "recall needs no pair-level join: two counts and one integer "
+    "division. Inherits q61's input-size guard (ground truth is "
+    "quadratic by definition; at production scale recall is estimated "
+    "on a sampled slice instead).",
+)
+def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q61_embedding_neardup(spark, sf_dir).filter(
+        F.col("cos_micros") >= 250000
+    )
+    found = q64_lsh_neardup(spark, sf_dir).filter(F.col("cos_micros") >= 250000)
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    f = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        t.crossJoin(f)
+        .select(
+            "n_true",
+            "n_found",
+            F.expr("CAST((n_found * 1000000) div n_true AS BIGINT)").alias(
+                "recall_micros"
+            ),
+        )
+    )
