@@ -370,3 +370,52 @@ def stream_event_transitions(event_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_count_min_cells(
+    event_stream: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    window: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window Count-Min sketch build: the window's state is
+    the fixed d x w counter grid (cell increments are counts, so
+    micro-batch updates compose associatively inside ONE windowed
+    aggregation — the same mergeability argument as the HLL rollup
+    above). Emits (date, j, col, cnt) cells bit-identical to a batch
+    build over the same events; frequency estimation is then a lookup
+    (min over the d cells a key hashes to), exactly as batch q86.
+
+    Scale posture: state per window is <= d*w cells (2048 here)
+    regardless of key cardinality or event volume — heavy-hitter
+    tracking on an unbounded stream with bounded memory.
+    """
+    from etl_pipeline_candy_store_spark.operators.sketch import _CMS_D, _cms_col
+
+    keyed = event_stream.withWatermark(ts_col, watermark).select(
+        ts_col, F.md5(F.col(key_col).cast("binary")).alias("h")
+    )
+    cells = keyed.select(
+        ts_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.expr(_cms_col("h", j)).alias("col")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    )
+    return (
+        cells.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), "s.j", "s.col"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").cast("date").alias("date"), "j", "col", "cnt"
+        )
+    )

@@ -668,3 +668,80 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     apply_neardup_batch(second, state, 1)
     got = sorted(map(tuple, read_neardup_pairs(spark, state).collect()))
     assert got == want
+
+
+def test_stream_count_min_cells_match_batch(spark, tmp_path):
+    """Per-day Count-Min cells from the streaming windowed build must be
+    BIT-IDENTICAL to a batch build over the same events — cell counts
+    merge additively across micro-batches, so arrival chunking cannot
+    change the sketch."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.sketch import _CMS_D, _cms_col
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_count_min_cells,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_cms")
+    months = sorted(
+        r["m"]
+        for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    )
+    for m in months:
+        ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_count_min_cells(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["date"]), r["j"], r["col"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    assert got, "watermark emitted no closed windows"
+
+    batch = (
+        ev.select(
+            F.col("ts").cast("date").alias("date"),
+            F.md5(F.col("event_type").cast("binary")).alias("h"),
+        )
+        .select(
+            "date",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), F.expr(_cms_col("h", j)).alias("col")
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .groupBy("date", "s.j", "s.col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        (str(r["date"]), r["j"], r["col"]): r["cnt"] for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted cell
+    # must match the batch build exactly
+    for key, cnt in got.items():
+        assert cnt == want[key], (key, cnt, want[key])
+    # and nearly all windows must have closed (all but the event-time tail)
+    days_got = {k[0] for k in got}
+    days_want = {k[0] for k in want}
+    assert len(days_got) >= len(days_want) - 2
