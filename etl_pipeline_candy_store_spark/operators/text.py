@@ -1003,7 +1003,13 @@ FROM per
     "no windows, no joins.",
 )
 def q122_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return repetition_signals(load(spark, sf_dir, "documents"))
+
+
+def repetition_signals(d: DataFrame) -> DataFrame:
+    """q122's signals over any (doc_id, text) frame — reusable as a
+    curation-pipeline gate. Documents shorter than a gram size
+    contribute zero for that signal (the NULLIF/COALESCE paths)."""
     grams = (
         d.select("doc_id", F.split("text", " ").alias("t"))
         .select(

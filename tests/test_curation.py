@@ -83,3 +83,45 @@ def test_sample_deterministic_and_stratified(spark):
     bb = sorted(map(tuple, b(spark, sf_dir).collect()))
     assert a == bb and len(a) > 0
     assert all(h < 128 for *_, h in a)
+
+
+class TestRepetitionSignalsEdges:
+    """q122's gram-size edge cases: the synthetic corpus has no 1-2
+    token docs, but a real crawl does — the NULLIF/COALESCE zero paths
+    and the exact fractions are pinned here against hand computation."""
+
+    def _run(self, spark, rows):
+        from etl_pipeline_candy_store_spark.operators.text import (
+            repetition_signals,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (
+                r["top_bigram_frac_micros"],
+                r["dup_trigram_frac_micros"],
+                r["unique_token_ratio_micros"],
+            )
+            for r in repetition_signals(df).collect()
+        }
+
+    def test_single_token_doc_zeroes_gram_signals(self, spark):
+        got = self._run(spark, [(1, "hello")])
+        # no bigrams/trigrams exist -> 0; one distinct of one token -> 1.0
+        assert got[1] == (0, 0, 1_000_000)
+
+    def test_two_token_doc_has_bigram_but_no_trigram(self, spark):
+        got = self._run(spark, [(2, "a b")])
+        # one bigram occurring once -> top share 1.0; no trigrams -> 0
+        assert got[2] == (1_000_000, 0, 1_000_000)
+
+    def test_pathological_repetition_maxes_signals(self, spark):
+        got = self._run(spark, [(3, "spam spam spam spam")])
+        # 3 identical bigrams -> 1.0; 2 trigrams, 1 distinct -> dup 0.5;
+        # 1 distinct of 4 tokens -> 0.25
+        assert got[3] == (1_000_000, 500_000, 250_000)
+
+    def test_no_repetition_floors_signals(self, spark):
+        got = self._run(spark, [(4, "a b c d")])
+        # all grams distinct: top bigram 1/3, dup trigrams 0, unique 1.0
+        assert got[4] == (333_333, 0, 1_000_000)
