@@ -7,19 +7,21 @@ data team actually runs, documents -> shards:
   2. near-dup dedup     (Jaccard pairs -> connected components ->
                          keep one doc per duplicate cluster)
   3. quality gate       (Gopher-style integer metrics filter)
-  4. decontamination    (drop docs overlapping the held-out eval set)
-  5. split assignment   (deterministic content-hash train/val/test)
-  6. shard export       (content-stable hash shards + manifest per split)
+  4. repetition gate    (q122's within-doc signals: drop boilerplate /
+                         generation-loop docs by bigram/trigram shares)
+  5. decontamination    (drop docs overlapping the held-out eval set)
+  6. split assignment   (deterministic content-hash train/val/test)
+  7. shard export       (content-stable hash shards + manifest per split)
 
 Every stage is the SAME logic as its oracle-verified catalog query
-(q50/q51+q54/q59/q58/q80) applied to the shrinking survivor frame, so
-the pipeline inherits their verified semantics; the funnel report makes
-each stage's cost/yield visible.
+(q50/q51+q54/q59/q122/q58/q80) applied to the shrinking survivor frame,
+so the pipeline inherits their verified semantics; the funnel report
+makes each stage's cost/yield visible.
 
-Scale posture: stages 1-5 are shuffles on content digests / shingles /
-cluster keys only — the full text rides along in at most one shuffle per
-stage; 3 and 5 are stateless row-local filters. Nothing ever collects
-documents to the driver (the report carries counts, not rows).
+Scale posture: stages 1-6 are shuffles on content digests / shingles /
+gram keys / cluster keys only — the full text rides along in at most one
+shuffle per stage; 3 and 6 are stateless row-local filters. Nothing ever
+collects documents to the driver (the report carries counts, not rows).
 """
 
 from __future__ import annotations
@@ -65,6 +67,25 @@ def dedup_near(docs: DataFrame) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return docs.join(drop, "doc_id", "left_anti")
+
+
+def drop_repetitive(
+    docs: DataFrame,
+    *,
+    top_bigram_max_micros: int = 600_000,
+    dup_trigram_max_micros: int = 400_000,
+) -> DataFrame:
+    """q122's repetition gate as a pipeline stage: drop documents whose
+    most-frequent-bigram share or duplicated-trigram share exceeds the
+    thresholds (boilerplate and generation-loop catchers; the defaults
+    are permissive on prose and aggressive on templated spam)."""
+    from etl_pipeline_candy_store_spark.operators.text import repetition_signals
+
+    keep = repetition_signals(docs).filter(
+        (F.col("top_bigram_frac_micros") <= top_bigram_max_micros)
+        & (F.col("dup_trigram_frac_micros") <= dup_trigram_max_micros)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
 
 
 def drop_contaminated(docs: DataFrame) -> DataFrame:
@@ -126,7 +147,10 @@ def curate(
     d3 = d2.join(gated, "doc_id", "left_semi").cache()
     report["funnel"]["after_quality_gate"] = d3.count()
 
-    d4 = drop_contaminated(d3).cache()
+    d3r = drop_repetitive(d3).cache()
+    report["funnel"]["after_repetition_gate"] = d3r.count()
+
+    d4 = drop_contaminated(d3r).cache()
     report["funnel"]["after_decontamination"] = d4.count()
 
     d5 = assign_split(d4)
@@ -144,6 +168,6 @@ def curate(
             "n_docs": manifest["total_rows"],
             "manifest": manifest,
         }
-    for df in (docs, d1, d2, d3, d4):
+    for df in (docs, d1, d2, d3, d3r, d4):
         df.unpersist()
     return report

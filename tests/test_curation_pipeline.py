@@ -21,6 +21,7 @@ def test_curate_funnel_and_export(spark, tmp_path):
         >= f["after_exact_dedup"]
         >= f["after_near_dedup"]
         >= f["after_quality_gate"]
+        >= f["after_repetition_gate"]
         >= f["after_decontamination"]
         > 0
     )
