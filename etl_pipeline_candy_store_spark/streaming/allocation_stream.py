@@ -419,3 +419,76 @@ def stream_count_min_cells(
             F.col("win.start").cast("date").alias("date"), "j", "col", "cnt"
         )
     )
+
+
+def stream_value_histogram(
+    event_stream: DataFrame,
+    *,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+    watermark: str = "1 day",
+    window: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window value histogram over FIXED bin edges — the
+    third mergeable-sketch member beside the HLL and Count-Min rollups:
+    bin counts merge additively across micro-batches inside one windowed
+    aggregation, so state per window is <= ``bins`` cells regardless of
+    volume. Quantiles come from :func:`histogram_quantiles` over the
+    emitted cells. (Batch q88 derives its edges from the global min/max
+    — a second pass a stream cannot make; fixed domain edges are the
+    price of single-pass mergeability, and out-of-range values clamp to
+    the edge bins, visible as mass in bin 0 / bins-1.)"""
+    width = (hi - lo) / bins
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .select(ts_col, bin_col.alias("bin"))
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").cast("date").alias("date"), "bin", "cnt")
+    )
+
+
+def histogram_quantiles(
+    cells: DataFrame,
+    *,
+    pcts: tuple = (25, 50, 75, 90, 99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Fold (date, bin, cnt) histogram cells into per-date quantile
+    upper-edge estimates — runs on the <= ``bins``-row-per-date cell
+    table, never on raw data (same two-level shape as batch q88)."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / bins
+    w_cum = (
+        Window.partitionBy("date").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "date", "bin", "cnt", F.sum("cnt").over(w_cum).alias("cum")
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("date")))
+    p = cells.sparkSession.createDataFrame([(x,) for x in pcts], "p int")
+    hit = (
+        cum.crossJoin(F.broadcast(p))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("p"))
+        .groupBy("date", "p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "date",
+        "p",
+        "bin",
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est_upper"),
+    )

@@ -745,3 +745,79 @@ def test_stream_count_min_cells_match_batch(spark, tmp_path):
     days_got = {k[0] for k in got}
     days_want = {k[0] for k in want}
     assert len(days_got) >= len(days_want) - 2
+
+
+def test_stream_value_histogram_matches_batch(spark, tmp_path):
+    """Per-day histogram cells from the streaming fixed-edge build must
+    equal a batch build with the same edges (bin counts merge
+    additively), and the quantile fold over streamed cells must be
+    deterministic and within the value domain."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        histogram_quantiles,
+        stream_value_histogram,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    lo, hi, bins = 0.0, 1000.0, 64
+    src = str(tmp_path / "ev_hist")
+    months = sorted(
+        r["m"]
+        for r in ev.select(F.date_trunc("month", "ts").alias("m")).distinct().collect()
+    )
+    for m in months:
+        ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_value_histogram(stream, lo=lo, hi=hi, bins=bins)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cells = spark.sql("select * from hist_stream")
+    got = {(str(r["date"]), r["bin"]): r["cnt"] for r in cells.collect()}
+    assert got, "watermark emitted no closed windows"
+
+    width = (hi - lo) / bins
+    batch = (
+        ev.select(
+            F.col("ts").cast("date").alias("date"),
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("date", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {(str(r["date"]), r["bin"]): r["cnt"] for r in batch.collect()}
+    for key, cnt in got.items():
+        assert cnt == want[key], (key, cnt, want[key])
+
+    qs = histogram_quantiles(cells, lo=lo, hi=hi, bins=bins)
+    rows = qs.collect()
+    assert rows
+    for r in rows:
+        assert lo < r["est_upper"] <= hi + width
+        assert 0 <= r["bin"] < bins
+    # median <= p99 per date (monotone in p)
+    per_date = {}
+    for r in rows:
+        per_date.setdefault(str(r["date"]), {})[r["p"]] = r["est_upper"]
+    for d, m in per_date.items():
+        ps = sorted(m)
+        assert all(m[a] <= m[b] for a, b in zip(ps, ps[1:])), (d, m)
