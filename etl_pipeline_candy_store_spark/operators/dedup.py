@@ -621,6 +621,30 @@ def q55_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q125_dedup_clusters_star",
+    oracle=_CLUSTERS_SQL,
+    doc="Duplicate-cluster resolution via alternating star contraction "
+    "(Kiveris et al., SoCC 2014) over the same Jaccard near-dup pairs "
+    "as q54 — the SCALE path for component labeling: O(log n) rounds "
+    "regardless of component diameter, where q54's min-label "
+    "propagation needs O(diameter) shuffle rounds (a 1M-link chain of "
+    "near-dups would take 1M rounds min-label, ~20 star). Identical "
+    "output contract and oracle (recursive transitive-closure CTE): "
+    "every document labeled with its component's min doc_id, "
+    "singletons label themselves. Extends the reference's dedup "
+    "cluster-resolution capability (SURVEY §2.12).",
+)
+def q125_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
 # --- Bloom-filter incremental dedup -----------------------------------
 
 _BLOOM_M_BITS = 1 << 17  # bitmap bits (2048 longs); ~0.1% fpp at 10k keys, k=5

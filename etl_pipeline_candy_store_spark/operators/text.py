@@ -432,10 +432,11 @@ WHERE rank <= 32
     "frequency and report each prefix vocabulary's cumulative corpus "
     "coverage (ppm, integer division — exact cross-engine). The "
     "build-a-vocab primitive: pick V by reading coverage at rank V. "
-    "Scale shape: one map-side-combinable token count; the sort+cumsum "
-    "runs over the VOCABULARY (types, not corpus tokens), which is "
-    "Heaps-law sublinear in corpus size, and only the top-32 rows "
-    "materialize.",
+    "Scale shape: one map-side-combinable token count; the top-32 is "
+    "taken with orderBy().limit(32) — Spark's TakeOrderedAndProject, a "
+    "parallel partial top-k with per-partition heaps — so NO window "
+    "ever sees the full vocabulary (which at 100 TB is easily 10^8 "
+    "types); the rank/cumsum window runs over exactly 32 rows.",
 )
 def q89_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -449,13 +450,17 @@ def q89_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(
         F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("n_types")
     )
+    # parallel partial top-k (TakeOrderedAndProject): every rank <= 32
+    # row survives the limit, and cum at rank r depends only on ranks
+    # <= r, so the 32-row prefix alone determines the full output
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(32)
     w = Window.orderBy(F.col("cnt").desc(), "tok")
-    ranked = counts.select(
+    ranked = top.select(
         "tok",
         "cnt",
         F.row_number().over(w).alias("rank"),
         F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    ).filter(F.col("rank") <= 32)
+    )
     return ranked.join(F.broadcast(total)).select(
         F.col("rank").cast("int").alias("rank"),
         "tok",

@@ -440,7 +440,11 @@ def stream_value_histogram(
     emitted cells. (Batch q88 derives its edges from the global min/max
     — a second pass a stream cannot make; fixed domain edges are the
     price of single-pass mergeability, and out-of-range values clamp to
-    the edge bins, visible as mass in bin 0 / bins-1.)"""
+    the edge bins, visible as mass in bin 0 / bins-1.) NULL values are
+    excluded before binning — floor(NULL) is NULL but greatest(0, NULL)
+    = 0, which would silently misfile NULL rows into bin 0, inflating
+    low-edge mass that batch q88 (edges from real min/max over non-NULL
+    values) would never count."""
     width = (hi - lo) / bins
     bin_col = F.least(
         F.lit(bins - 1),
@@ -451,6 +455,7 @@ def stream_value_histogram(
     )
     return (
         event_stream.withWatermark(ts_col, watermark)
+        .filter(F.col(value_col).isNotNull())
         .select(ts_col, bin_col.alias("bin"))
         .groupBy(F.window(F.col(ts_col), window).alias("win"), "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))

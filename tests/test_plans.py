@@ -296,3 +296,19 @@ def test_cross_source_matrix_no_pair_scan(spark):
     plan = _plan(spark, "q123_cross_source_dup_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_coverage_topk_before_window(spark):
+    # q89: the full vocabulary must be reduced by a parallel partial
+    # top-k (TakeOrderedAndProject from orderBy().limit(32)) BEFORE any
+    # window runs — a vocabulary-sized unpartitioned window would
+    # serialize 10^8 types through one task at 100 TB. The window may
+    # only see the 32 surviving rows, i.e. it must sit above the
+    # TakeOrderedAndProject in the plan.
+    plan = _plan(spark, "q89_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window exists (rank/cumsum over the 32 rows) but the relation
+    # feeding it is the limited one: TakeOrderedAndProject appears as a
+    # descendant of the Window node in the formatted tree
+    tree = plan.split("==")[2] if "==" in plan else plan
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), plan

@@ -890,3 +890,33 @@ def test_stream_sessions_match_batch_q34(spark, tmp_path):
     # event time, so sessions inside the last watermark horizon stay
     # open (~40 of ~950 on this fixture)
     assert len(got) >= int(0.9 * len(want))
+
+
+def test_stream_value_histogram_excludes_nulls(spark):
+    """NULL values must be dropped before binning: floor(NULL) is NULL
+    but greatest(0, NULL) = 0, so without the isNotNull filter a NULL
+    row silently lands in bin 0 — inflating low-edge mass that the
+    batch histogram (edges from real min/max over non-NULL values)
+    would never count. withWatermark is a no-op on batch input, so the
+    binning logic is exercised directly."""
+    from datetime import datetime
+
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_value_histogram,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 10), 5.0),
+        (datetime(2024, 1, 1, 11), None),
+        (datetime(2024, 1, 1, 12), None),
+        (datetime(2024, 1, 1, 13), 995.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    cells = {
+        r["bin"]: r["cnt"]
+        for r in stream_value_histogram(
+            df, lo=0.0, hi=1000.0, bins=10
+        ).collect()
+    }
+    # one real value in bin 0 and one in bin 9 — the two NULLs vanish
+    assert cells == {0: 1, 9: 1}, cells
