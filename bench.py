@@ -90,37 +90,47 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from etl_pipeline_candy_store_spark.operators.allocation import (
+        allocate,
         allocate_bucketed,
         allocate_sequential,
     )
 
-    hk_total = 8_000_000
-    hk_hot = hk_total // 2
-    hk = (
-        spark.range(hk_total)
-        .select(
-            F.when(F.col("id") < hk_hot, F.lit(0))
-            .otherwise((F.col("id") % 2000) + 1)
-            .cast("int")
-            .alias("key"),
-            F.col("id").cast("long").alias("seq"),
-            (F.col("id") % 3 + 1).cast("int").alias("qty"),
-            F.when(F.col("id") < hk_hot, F.lit(int(hk_hot * 1.5)))
-            .otherwise(F.lit(10_000_000))
-            .cast("long")
-            .alias("stock"),
+    def _hk_frame(total: int, exhaust: bool):
+        hot = total // 2
+        # exhaust=True: the hot key's stock runs out ~75% through (worst
+        # case for the bucketed path's optimism — phase 2 must repair);
+        # exhaust=False: stock covers everything (phase 2 skipped — the
+        # shape where bucketing's parallel serial term pays off)
+        hot_stock = int(hot * 1.5) if exhaust else 5 * total
+        return (
+            spark.range(total)
+            .select(
+                F.when(F.col("id") < hot, F.lit(0))
+                .otherwise((F.col("id") % 2000) + 1)
+                .cast("int")
+                .alias("key"),
+                F.col("id").cast("long").alias("seq"),
+                (F.col("id") % 3 + 1).cast("int").alias("qty"),
+                F.when(F.col("id") < hot, F.lit(hot_stock))
+                .otherwise(F.lit(10_000_000))
+                .cast("long")
+                .alias("stock"),
+            )
+            .repartition(int(cpus))
+            .localCheckpoint()
         )
-        .repartition(int(cpus))
-        .localCheckpoint()
-    )
+
     hk_kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
     extras: dict[str, float] = {}
+    # 8M exhaust shape (near the measured crossover): best-of-2 per strategy
+    hk = _hk_frame(8_000_000, exhaust=True)
     for label, fn in [
         ("hotkey_allocate_sequential", lambda: allocate_sequential(hk, **hk_kw)),
         (
             "hotkey_allocate_bucketed",
             lambda: allocate_bucketed(hk, n_buckets=16, **hk_kw),
         ),
+        ("hotkey_allocate_auto", lambda: allocate(hk, **hk_kw)),
     ]:
         best = float("inf")
         for _ in range(2):
@@ -128,6 +138,23 @@ def main() -> None:
             fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         extras[label] = round(best, 3)
+    hk.unpersist()
+    # 20M no-exhaust shape (above the crossover): single rep — this is
+    # where the bucketed escape should clearly win and the dispatcher
+    # must choose it (probe cost included in the auto timing)
+    hk = _hk_frame(20_000_000, exhaust=False)
+    for label, fn in [
+        ("hotkey20m_allocate_sequential", lambda: allocate_sequential(hk, **hk_kw)),
+        (
+            "hotkey20m_allocate_bucketed",
+            lambda: allocate_bucketed(hk, n_buckets=16, **hk_kw),
+        ),
+        ("hotkey20m_allocate_auto", lambda: allocate(hk, **hk_kw)),
+    ]:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        extras[label] = round(time.time() - t0, 3)
+    hk.unpersist()
 
     # extras are fixed-size synthetic A/Bs: reported, but kept out of the
     # headline total so the sf-scaled number stays comparable across rounds

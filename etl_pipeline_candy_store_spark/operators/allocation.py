@@ -311,6 +311,78 @@ def allocate_bucketed(
     return keep.unionByName(suffix_out)
 
 
+def allocate(
+    requests: DataFrame,
+    *,
+    key_col: str | Sequence[str],
+    seq_cols: Sequence[str],
+    qty_col: str,
+    stock_col: str,
+    hot_row_threshold: int = 2_000_000,
+    exhaust_hot_row_threshold: int = 10_000_000,
+    n_buckets: int = 16,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Strategy-dispatching front door for sequential allocation: probe
+    the skew shape, then run :func:`allocate_sequential` (one shuffle +
+    partition-sorted single pass — optimal for ordinary skew, where wall
+    time is max(hot key serial time, rest/parallelism)) unless the
+    hottest key is big enough that the bucketed escape
+    :func:`allocate_bucketed` (contiguous sequence buckets in parallel +
+    one-shot suffix repair) wins. Both produce identical results; only
+    wall-clock differs.
+
+    The crossover is NOT a single row count — it depends on whether the
+    hot key can EXHAUST its stock. If total requested qty fits in the
+    opening stock, no line can ever cancel, every bucket takes the pure
+    window fast path and phase 2 is skipped, so bucketing pays off from
+    ``hot_row_threshold`` rows (~2M on local[32] — SCALE_NOTES "hot-key
+    A/B"). If the hot key CAN exhaust, the suffix repair re-runs a
+    serial tail, so bucketing only wins above the much larger
+    ``exhaust_hot_row_threshold`` (~10M; the 8M/75%-exhaust bench shape
+    sits below it and sequential rightly wins there). Both facts come
+    from ONE map-side-combinable probe aggregate — per-key row count,
+    requested-qty sum, and stock — whose shuffle carries only distinct
+    keys, the same order of work as the keyed shuffle the allocation
+    itself is about to do. Re-measure the two constants with
+    ``tools/hotkey_probe.py`` on other hardware.
+
+    At extreme corpus scale pass ``sample_fraction`` (e.g. 0.001) to
+    probe a Bernoulli sample instead of the full relation; the decision
+    only needs order-of-magnitude accuracy because the strategies tie
+    at the crossover by definition. An empty/undersized sample falls
+    back to the sequential path — the right default for small inputs.
+    """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    probe = requests
+    scale = 1.0
+    if sample_fraction is not None:
+        probe = requests.sample(fraction=sample_fraction, seed=7)
+        scale = 1.0 / sample_fraction
+    per_key = probe.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(qty_col).cast("long")).alias("_q"),
+        F.min(F.col(stock_col).cast("long")).alias("_s"),
+    )
+    row = (
+        per_key.orderBy(F.col("_n").desc())
+        .limit(1)
+        .collect()
+    )
+    kwargs = dict(
+        key_col=key_cols, seq_cols=seq_cols, qty_col=qty_col, stock_col=stock_col
+    )
+    if not row:
+        return allocate_sequential(requests, **kwargs)
+    hot_rows = row[0]["_n"] * scale
+    # sampled qty sums scale up; stock is constant per key, never scaled
+    hot_can_exhaust = row[0]["_q"] * scale > row[0]["_s"]
+    threshold = exhaust_hot_row_threshold if hot_can_exhaust else hot_row_threshold
+    if hot_rows >= threshold:
+        return allocate_bucketed(requests, n_buckets=n_buckets, **kwargs)
+    return allocate_sequential(requests, **kwargs)
+
+
 def allocate_windowed(
     requests: DataFrame,
     *,

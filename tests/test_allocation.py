@@ -239,3 +239,96 @@ def test_hot_key_spans_arrow_batches(spark):
     # the stream exhausted (so cancellations crossed a batch boundary)
     assert any(q == 0 for q, _ in got.values())
     assert min(s for _, s in got.values()) >= 0
+
+
+def test_auto_dispatch_identity_both_shapes(spark):
+    """allocate() must produce results identical to allocate_sequential
+    on BOTH sides of the dispatch: a hot-key shape forced over the
+    threshold (picks the bucketed escape) and an ordinary-skew shape
+    under it (picks the plain operator)."""
+    from etl_pipeline_candy_store_spark.operators.allocation import allocate
+
+    kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    # hot shape: one key holds 5k rows, exhausting mid-stream
+    hot = [{"key": 1, "seq": i, "qty": 1 + (i % 3), "stock": 5000} for i in range(5000)]
+    hot += [{"key": 2, "seq": i, "qty": 1, "stock": 100} for i in range(50)]
+    dfh = spark.createDataFrame(hot, "key int, seq int, qty int, stock int")
+    want = sorted(map(tuple, allocate_sequential(dfh, **kw).collect()))
+    got = sorted(
+        map(
+            tuple,
+            allocate(
+                dfh,
+                hot_row_threshold=1000,
+                exhaust_hot_row_threshold=1000,
+                n_buckets=4,
+                **kw,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # cold shape: same data, threshold far above any key -> sequential path
+    got2 = sorted(
+        map(tuple, allocate(dfh, hot_row_threshold=10**9, **kw).collect())
+    )
+    assert got2 == want
+
+
+def test_auto_dispatch_picks_expected_strategy(spark, monkeypatch):
+    """The dispatcher must route by measured max per-key share: bucketed
+    at/above hot_row_threshold, sequential below."""
+    from etl_pipeline_candy_store_spark.operators import allocation as mod
+
+    calls = []
+    real_seq, real_bkt = mod.allocate_sequential, mod.allocate_bucketed
+    monkeypatch.setattr(
+        mod, "allocate_sequential",
+        lambda *a, **k: calls.append("seq") or real_seq(*a, **k),
+    )
+    monkeypatch.setattr(
+        mod, "allocate_bucketed",
+        lambda *a, **k: calls.append("bkt") or real_bkt(*a, **k),
+    )
+    rows = [{"key": 1, "seq": i, "qty": 1, "stock": 500} for i in range(200)]
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    mod.allocate(df, hot_row_threshold=100, **kw).count()   # 200 >= 100, no exhaust
+    mod.allocate(df, hot_row_threshold=1000, **kw).count()  # 200 < 1000
+    # exhausting hot key (sum qty 200 > stock 50): the no-exhaust
+    # threshold no longer applies — the much larger exhaust threshold
+    # governs, so this stays sequential despite 200 >= 100
+    dfx = spark.createDataFrame(
+        [{"key": 1, "seq": i, "qty": 1, "stock": 50} for i in range(200)],
+        "key int, seq int, qty int, stock int",
+    )
+    mod.allocate(dfx, hot_row_threshold=100, **kw).count()
+    # ...and is bucketed once the exhaust threshold is crossed too
+    mod.allocate(
+        dfx, hot_row_threshold=100, exhaust_hot_row_threshold=150, **kw
+    ).count()
+    # calls[0:3] are the first three dispatch choices; the 4th dispatch
+    # picks bucketed, whose exhaust repair then invokes the (patched)
+    # sequential allocator internally — so compare the prefix exactly
+    # and the 4th choice positionally
+    assert calls[:4] == ["bkt", "seq", "seq", "bkt"], calls
+
+
+def test_auto_dispatch_sampled_probe(spark):
+    """sample_fraction estimates the max share instead of counting it
+    exactly; an undersized sample must fall back to the sequential path
+    rather than crash."""
+    from etl_pipeline_candy_store_spark.operators import allocation as mod
+
+    rows = [{"key": 1, "seq": i, "qty": 1, "stock": 50000} for i in range(20000)]
+    df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+    kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
+    # 10% sample of 20k hot rows ~ 2000 -> scaled estimate ~20k >= 10k
+    out = mod.allocate(
+        df, hot_row_threshold=10_000, sample_fraction=0.1, n_buckets=4, **kw
+    )
+    assert out.count() == 20000
+    # fraction so small the sample is empty -> falls back to sequential
+    out2 = mod.allocate(
+        df, hot_row_threshold=1, sample_fraction=1e-9, **kw
+    )
+    assert out2.count() == 20000
