@@ -79,7 +79,9 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec+encoder: sha256-seeded unit
     vector. Replaces e.g. PIL.Image.open(...)+CLIP at deploy time."""
     h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer(h[: EMBED_DIM * 2], dtype=np.uint16).astype(np.float32)
+    # '<u2' pins little-endian as the contract (q67's oracle re-derives
+    # these uint16s from the hex digest), independent of host byte order
+    raw = np.frombuffer(h[: EMBED_DIM * 2], dtype="<u2").astype(np.float32)
     v = (raw / 65535.0) - 0.5
     return v / np.linalg.norm(v)
 
@@ -129,21 +131,63 @@ from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
 @register(
     "q67_multimodal_features",
-    oracle=None,  # embedding derivation is numpy-specific → rows-only check
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       array_to_string(
+         list_transform(range(0, 16), j ->
+           ('0x' || substr(sha256(text), 4*j+3, 2)
+                 || substr(sha256(text), 4*j+1, 2))::int),
+         ',') AS emb_fingerprint
+FROM documents
+""",
     doc="Multimodal feature extraction end-to-end on driver-visible "
     "data: documents.text bytes as the opaque binary payload, wrapped "
     "in the media-column convention, streamed through the Arrow "
     "mapInPandas extractor (deterministic fake decoder standing in for "
-    "the absent codecs). Rows-only driver check by design — the sha256-"
-    "seeded embedding is not SQL-expressible; digest/byte-count columns "
-    "are additionally pinned exactly in tests/test_multimodal.py.",
+    "the absent codecs). Fully hash-exact against DuckDB: the float "
+    "embedding's entire information content is the 16 little-endian "
+    "uint16 words of the payload's sha256 digest (see _fake_decode), so "
+    "the catalog projection re-derives those words JVM-side from the "
+    "digest hex via conv() as emb_fingerprint — which the oracle "
+    "reproduces with hex-literal casts — and drops only the redundant "
+    "float rescaling (unit-normalization of the same words; its numpy "
+    "float32 arithmetic has no cross-engine-stable text form). "
+    "tests/test_multimodal.py pins fingerprint == the embedding's "
+    "pre-normalization words, closing the loop.",
 )
 def q67_multimodal_features(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_media_features(attach_media_columns(d, "payload", "image"))
+    feats = extract_media_features(attach_media_columns(d, "payload", "image"))
+    # uint16 word j of the digest = bytes 2j (lo) + 2j+1 (hi), i.e. hex
+    # chars [4j+2,4j+4) || [4j,4j+2) read as one 4-hex-digit number —
+    # pure JVM string/conv arithmetic over the already-computed digest
+    fp = F.concat_ws(
+        ",",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            lambda j: F.conv(
+                F.concat(
+                    F.substring("digest", j * 4 + 3, 2),
+                    F.substring("digest", j * 4 + 1, 2),
+                ),
+                16,
+                10,
+            ).cast("int"),
+        ),
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        fp.alias("emb_fingerprint"),
+    )
 
 
 def frame_sample_plan(

@@ -69,3 +69,30 @@ def test_frame_sample_plan(media_df):
     per_media = frames.groupBy("media_id").count().collect()
     # duration 3000ms @ 1000ms → ts 0,1000,2000,3000 → 4 frames
     assert all(r["count"] == 4 for r in per_media)
+
+
+def test_q67_fingerprint_matches_embedding_words(spark):
+    """q67's emb_fingerprint (JVM conv() over the digest hex) must equal
+    the pre-normalization uint16 words the fake decoder actually seeds
+    the float embedding with — the consistency link that lets the
+    DuckDB oracle certify the embedding's information content without a
+    cross-engine-stable float text form."""
+    import numpy as np
+
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["media_id"]: (r["digest"], r["emb_fingerprint"])
+        for r in catalog.REGISTRY["q67_multimodal_features"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert len(out) == 500
+    for mid in (0, 7, 499):
+        digest, fp = out[mid]
+        words = np.frombuffer(
+            bytes.fromhex(digest)[: EMBED_DIM * 2], dtype="<u2"
+        )
+        assert fp == ",".join(str(int(w)) for w in words), mid
