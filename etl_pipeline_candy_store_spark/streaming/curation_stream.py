@@ -1,0 +1,110 @@
+"""Streaming curation gate: curate a crawl ON ARRIVAL.
+
+The batch curation funnel's non-dedup stages — quality gate (q59
+metrics), repetition gate (q122 signals), decontamination (q58 overlap
+vs a held-out eval set) — are per-document stateless filters or joins
+against a STATIC broadcast side, so they need no cross-batch state at
+all: each micro-batch can be gated independently and the union of
+survivors provably equals the batch pipeline run over the full corpus
+(``tests/test_streaming.py::test_stream_curation_gate_matches_batch``).
+That is the 100 TB posture: a crawler's output is quality-filtered and
+decontaminated the moment it lands, and only survivors ever reach the
+(stateful) dedup stages — :mod:`neardup_stream` for near-dup,
+``incremental_dedup`` / ``stream_dedup_events`` for exact.
+
+Mechanics mirror :mod:`neardup_stream`'s idempotent-replay contract:
+each micro-batch OVERWRITES its own ``batch=N`` parquet partition, so
+Structured Streaming re-delivering a batch after a crash rewrites the
+same deterministic content instead of duplicating survivors.
+
+The gates are THE SAME functions the batch pipeline runs
+(:func:`~etl_pipeline_candy_store_spark.operators.curation.quality_gate`,
+:func:`~etl_pipeline_candy_store_spark.plans.curation_pipeline.drop_repetitive`)
+— not reimplementations — so a threshold change lands in both modes.
+Decontamination takes the eval shingle set as a static DataFrame
+(broadcast into the per-batch join): a held-out benchmark is fixed
+before the crawl starts, unlike the batch helper which re-derives it
+from the corpus frame it is filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.curation import (
+    _CONTAM_MIN_OVERLAP,
+    quality_gate,
+)
+from etl_pipeline_candy_store_spark.operators.dedup import _shingles
+
+
+def eval_shingle_set(eval_docs: DataFrame) -> DataFrame:
+    """Distinct shingles of the held-out eval set — build once, pass to
+    :func:`stream_curation_gate`. Small by construction (an eval
+    benchmark, not a corpus) — it travels as a broadcast."""
+    return _shingles(eval_docs).select("shingle").distinct()
+
+
+def apply_curation_gate_batch(
+    batch: DataFrame,
+    eval_shingles: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    *,
+    top_bigram_max_micros: int = 600_000,
+    dup_trigram_max_micros: int = 400_000,
+    contam_min_overlap: int = _CONTAM_MIN_OVERLAP,
+) -> None:
+    """Gate one micro-batch of (doc_id, text, ...) rows and write the
+    survivors to ``{out_dir}/batch={batch_id}`` (overwrite — idempotent
+    under foreachBatch replay). Stages and thresholds are identical to
+    the batch pipeline's quality/repetition/decontamination stages."""
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        drop_repetitive,
+    )
+
+    gated = quality_gate(batch).filter(F.col("passed") == 1).select("doc_id")
+    d = batch.join(gated, "doc_id", "left_semi")
+    d = drop_repetitive(
+        d,
+        top_bigram_max_micros=top_bigram_max_micros,
+        dup_trigram_max_micros=dup_trigram_max_micros,
+    )
+    contaminated = (
+        _shingles(d)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= contam_min_overlap)
+        .select("doc_id")
+    )
+    d.join(contaminated, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        f"{out_dir}/batch={batch_id}"
+    )
+
+
+def stream_curation_gate(
+    doc_stream: DataFrame,
+    eval_shingles: DataFrame,
+    out_dir: str,
+    **gate_kwargs,
+):
+    """Wire a (doc_id, text, ...) stream through the curation gates.
+    Returns a ``DataStreamWriter``; the caller adds checkpoint/trigger
+    and ``.start()``s. Survivors land under ``{out_dir}/batch=N``."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_curation_gate_batch(
+            batch, eval_shingles, out_dir, batch_id, **gate_kwargs
+        )
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_curated_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated survivor table the stream has emitted."""
+    try:
+        return spark.read.parquet(out_dir).drop("batch")
+    except Exception:
+        return spark.createDataFrame([], "doc_id bigint, text string")

@@ -920,3 +920,113 @@ def test_stream_value_histogram_excludes_nulls(spark):
     }
     # one real value in bin 0 and one in bin 9 — the two NULLs vanish
     assert cells == {0: 1, 9: 1}, cells
+
+
+def test_stream_curation_gate_matches_batch(spark, tmp_path):
+    """Quality + repetition + decontamination applied per micro-batch
+    must produce EXACTLY the batch-side survivors: the gates are
+    per-document stateless (or joined against the same static broadcast
+    eval shingles), so arrival order and batch boundaries cannot change
+    the verdict — the property that lets a crawl be curated on arrival."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        _CONTAM_MIN_OVERLAP,
+        _EVAL_MAX_DOC,
+        quality_gate,
+    )
+    from etl_pipeline_candy_store_spark.operators.dedup import _shingles
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        drop_repetitive,
+    )
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        eval_shingle_set,
+        read_curated_docs,
+        stream_curation_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < _EVAL_MAX_DOC)
+    crawl = docs.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+    eval_sh = eval_shingle_set(eval_docs).localCheckpoint(eager=True)
+
+    # batch-side want: same stages composed on the full crawl at once
+    gated = quality_gate(crawl).filter(F.col("passed") == 1).select("doc_id")
+    d = crawl.join(gated, "doc_id", "left_semi")
+    d = drop_repetitive(d)
+    contaminated = (
+        _shingles(d)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
+        .select("doc_id")
+    )
+    want_rows = d.join(contaminated, "doc_id", "left_anti").collect()
+    want = {r["doc_id"]: r["text"] for r in want_rows}
+    n_crawl = crawl.count()
+    assert 0 < len(want) < n_crawl, (len(want), n_crawl)  # gates really drop docs
+
+    # stream the crawl in three chunks so gating spans batch boundaries
+    src = str(tmp_path / "crawl_src")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        crawl.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+    out = str(tmp_path / "curated")
+    stream = (
+        spark.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_curation_gate(stream, eval_sh, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["text"] for r in read_curated_docs(spark, out).collect()
+    }
+    assert got == want
+    # exactly-once: no survivor appears twice across batch partitions
+    assert read_curated_docs(spark, out).count() == len(got)
+
+
+def test_curation_gate_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a micro-batch with the same batch_id (crash replay)
+    must leave the survivor table unchanged — batch-scoped overwrite,
+    not append."""
+    from etl_pipeline_candy_store_spark.operators.curation import _EVAL_MAX_DOC
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_curation_gate_batch,
+        eval_shingle_set,
+        read_curated_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    eval_sh = eval_shingle_set(
+        docs.filter(F.col("doc_id") < _EVAL_MAX_DOC)
+    ).localCheckpoint(eager=True)
+    batch = docs.filter(
+        (F.col("doc_id") >= _EVAL_MAX_DOC) & (F.col("doc_id") < 200)
+    )
+    out = str(tmp_path / "curated_replay")
+    apply_curation_gate_batch(batch, eval_sh, out, 0)
+    first = sorted(
+        (r["doc_id"], r["text"]) for r in read_curated_docs(spark, out).collect()
+    )
+    assert first
+    apply_curation_gate_batch(batch, eval_sh, out, 0)  # replay
+    second = sorted(
+        (r["doc_id"], r["text"]) for r in read_curated_docs(spark, out).collect()
+    )
+    assert second == first
