@@ -27,21 +27,27 @@ HEADLINE = [
     "q09_window_running_sum",
     "q23_daily_summary",
     "q30_allocation_sequential",
+    # document-corpus operators (round 4/5): the expanded documents
+    # table grows K× in docs AND vocabulary (per-replica token suffix)
+    "q89_vocab_coverage",
+    "q119_vocab_growth",
+    "q122_repetition_signals",
+    "q123_cross_source_dup_matrix",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 KEEP = ["region", "nation", "customer", "supplier", "part", "events",
-        "documents", "embeddings"]
+        "embeddings"]
 
 
 def expand(spark, src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in KEEP:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    reps = spark.range(k).withColumnRenamed("id", "_rep")
     for t, key in FACTS.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
         max_key = df.agg(F.max(key)).collect()[0][0] + 1
-        reps = spark.range(k).withColumnRenamed("id", "_rep")
         wide = df.crossJoin(reps).withColumn(
             key, F.col(key) + F.col("_rep") * F.lit(max_key)
         )
@@ -53,6 +59,37 @@ def expand(spark, src: str, dst: str, k: int) -> None:
         )
         # queries expect <table>.parquet paths; point a dir there
         os.rename(f"{dst}/{t}_dir", f"{dst}/{t}.parquet")
+
+    # documents: K× docs with shifted doc_ids AND per-replica token
+    # suffixes ("_r<k>"), so each replica is new distinct content — the
+    # vocabulary grows K× (the realistic 10×-corpus shape for q89/q119)
+    # and replicas do NOT become artificial near-dups of their source
+    # (naive text copies would inflate the pair universe ~K², testing
+    # the data generator, not the plan). Replica 0 keeps the original
+    # text so the base corpus is a subset.
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    wide = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(max_doc))
+        .withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda tok: F.concat(
+                            tok, F.lit("_r"), F.col("_rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .drop("_rep")
+    )
+    wide.repartition(32).write.mode("overwrite").parquet(f"{dst}/documents_dir")
+    os.rename(f"{dst}/documents_dir", f"{dst}/documents.parquet")
 
 
 def run(spark, sf_dir: str) -> dict[str, float]:
