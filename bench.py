@@ -46,6 +46,7 @@ HEADLINE = [
     "q110_feature_covariance",  # per-partition numpy Gram fold (r4)
     "q119_vocab_growth",        # two-level bucketed prefix sum (r4)
     "q122_repetition_signals",  # Gopher-family repetition gates (r4)
+    "q126_pq_adc_search",       # PQ-ADC compressed search (r5)
 ]
 
 

@@ -258,6 +258,26 @@ def _plane_dot_sql(plane: list[int]) -> str:
     )
 
 
+def lsh_bucket_col(emb_col: str = "embedding") -> Column:
+    """The 8-sign-bit hyperplane bucket as a reusable Column expression
+    (row-local; the ±1 planes are inline literals) — shared by batch
+    q63/q64 and the streaming vector near-dup probe so the bucket key
+    is ONE definition in both modes."""
+    bits = []
+    for i, plane in enumerate(_planes()):
+        lit = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), lit, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
 @register(
     "q63_vector_lsh_buckets",
     oracle=f"""
@@ -275,19 +295,7 @@ FROM embeddings
 )
 def q63_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    bits = []
-    for i, plane in enumerate(_planes()):
-        lit = F.array(*[F.lit(w) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), lit, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return e.select("vec_id", bucket.cast("int").alias("bucket"))
+    return e.select("vec_id", lsh_bucket_col().alias("bucket"))
 
 
 _BUCKET_SQL = (
@@ -892,4 +900,140 @@ def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_micros"
             ),
         )
+    )
+
+
+# --- Product quantization (PQ-ADC) ------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace (M * DSUB = 64 = embedding dim)
+_PQ_K = 16      # codebook entries per subspace (vec_id < 16 seed them)
+
+# order-exact sub-vector dot product over dims [(m-1)*DSUB+1 .. m*DSUB]
+# (same left-fold association as _DOT_SQL, so Spark and DuckDB produce
+# bit-identical doubles; lambda vars {m} and the codebook entry {b} are
+# interpolated by the callers)
+_PQ_DOT_SQL = (
+    "list_reduce(list_transform(list_zip("
+    " list_slice({a}, ({m} - 1) * 8 + 1, {m} * 8),"
+    " list_slice({b}, ({m} - 1) * 8 + 1, {m} * 8)),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+
+_PQ_DOT_SPARK = (
+    "aggregate(zip_with("
+    " slice({a}, ({m} - 1) * 8 + 1, 8), slice({b}, ({m} - 1) * 8 + 1, 8),"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (p, q) -> p + q)"
+)
+
+
+@register(
+    "q126_pq_adc_search",
+    oracle=f"""
+WITH cbq AS (
+  SELECT list(embedding ORDER BY vec_id) AS cbv
+  FROM embeddings WHERE vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), m ->
+           list_transform(range(1, {_PQ_K + 1}), c ->
+             {_PQ_DOT_SQL.format(a='e.embedding', b='cbv[c]', m='m')})) AS dots
+  FROM embeddings e, cbq
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(dots, ds ->
+           list_position(ds, list_aggregate(ds, 'max'))) AS codes
+  FROM enc
+),
+qlut AS (
+  SELECT e.vec_id AS query_id,
+         list_transform(range(1, {_PQ_M + 1}), m ->
+           list_transform(range(1, {_PQ_K + 1}), c ->
+             CAST(floor({_PQ_DOT_SQL.format(a='e.embedding', b='cbv[c]', m='m')}
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT))) AS lut
+  FROM embeddings e, cbq WHERE e.vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_reduce(list_transform(range(1, {_PQ_M + 1}),
+              m -> q.lut[m][c.codes[m]]), (p, s) -> p + s) AS BIGINT) AS adc_micros
+  FROM qlut q JOIN codes c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, adc_micros, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_micros DESC, neighbor_id) AS INTEGER) AS rn
+  FROM scored) t
+WHERE rn <= 5
+""",
+    doc="Product-quantization ANN with asymmetric distance computation "
+    "(ADC; Jégou et al., PAMI 2011) — the third leg of the compressed "
+    "search stack beside IVF cells (q62-q65/q87) and SQ8 codes (q69). "
+    "Each 64-dim vector is encoded as 8 sub-space codes into a "
+    "16-entry-per-subspace codebook (deterministically seeded from the "
+    "first 16 corpus vectors — no RNG, so Spark and DuckDB agree "
+    "bit-for-bit; production swaps in k-means centroids via q106 "
+    "without changing the plan). Queries stay full-precision: each "
+    "builds an 8x16 lookup table of floor-micro sub-dots ONCE, and "
+    "scoring a candidate is then 8 integer table lookups + adds — no "
+    "float math per pair, 32x less storage than float32 at 100 TB "
+    "(codes: 8 small ints vs 64 floats). Plan shape: the codebook is "
+    "ONE broadcast row; encoding is a row-local projection over the "
+    "corpus; the query LUTs broadcast (5 rows) onto a row-local "
+    "integer fold + parallel partial top-k. Sub-dots use the same "
+    "order-exact left fold as every similarity oracle here.",
+)
+def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cb = e.filter(F.col("vec_id") < _PQ_K).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("cbv")
+    )
+    dots_expr = (
+        f"transform(sequence(1, {_PQ_M}), m ->"
+        f" transform(sequence(1, {_PQ_K}), c ->"
+        f" {_PQ_DOT_SPARK.format(a='embedding', b='element_at(cbv, c)', m='m')}))"
+    )
+    codes = (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(dots_expr).alias("dots"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(dots, ds -> array_position(ds, array_max(ds)))"
+            ).alias("codes"),
+        )
+    )
+    lut_expr = (
+        f"transform(sequence(1, {_PQ_M}), m ->"
+        f" transform(sequence(1, {_PQ_K}), c ->"
+        f" CAST(floor({_PQ_DOT_SPARK.format(a='embedding', b='element_at(cbv, c)', m='m')}"
+        f" * 1000000.0D) AS BIGINT)))"
+    )
+    qlut = (
+        e.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"), F.expr(lut_expr).alias("lut")
+        )
+    )
+    scored = codes.join(
+        F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"CAST(aggregate(sequence(1, {_PQ_M}), CAST(0 AS BIGINT),"
+            " (acc, m) -> acc + element_at(element_at(lut, m),"
+            " CAST(element_at(codes, m) AS INT))) AS BIGINT)"
+        ).alias("adc_micros"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micros").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
     )

@@ -312,3 +312,14 @@ def test_vocab_coverage_topk_before_window(spark):
     # descendant of the Window node in the formatted tree
     tree = plan.split("==")[2] if "==" in plan else plan
     assert tree.index("Window") < tree.index("TakeOrderedAndProject"), plan
+
+
+def test_pq_adc_broadcast_only(spark):
+    # q126: codebook (1 row) and query LUTs (5 rows) must broadcast onto
+    # the corpus — the corpus itself is never shuffled before the
+    # per-query top-k. A SortMergeJoin or CartesianProduct here would
+    # mean the encode/score stages stopped being row-local projections.
+    plan = _plan(spark, "q126_pq_adc_search")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan

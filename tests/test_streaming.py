@@ -1030,3 +1030,80 @@ def test_curation_gate_replay_is_idempotent(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in read_curated_docs(spark, out).collect()
     )
     assert second == first
+
+
+def test_stream_vector_neardup_matches_batch_q64(spark, tmp_path):
+    """Incremental hyperplane-LSH vector dedup over embeddings arriving
+    in three micro-batches must emit EXACTLY the batch q64 pair set
+    (same bucket expression, same order-folded exact cosine) — each
+    pair exactly once, in the batch where its later endpoint arrives."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        q64_lsh_neardup,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.vector_stream import (
+        read_vector_neardup_pairs,
+        stream_vector_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "vec_src")
+    n = vecs.count()
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        vecs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "vec_state")
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_vector_neardup(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_vec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["bucket"], r["cos_micros"])
+        for r in read_vector_neardup_pairs(spark, state).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["bucket"], r["cos_micros"])
+        for r in q64_lsh_neardup(spark, sf).collect()
+    }
+    assert want, "batch q64 found no pairs on the fixture"
+    assert got == want
+    # exactly-once: no pair row appears twice in the emitted table
+    assert read_vector_neardup_pairs(spark, state).count() == len(got)
+
+
+def test_vector_neardup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a (content, batch_id) micro-batch must leave index and
+    emitted pairs byte-identical — batch-scoped overwrites."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.vector_stream import (
+        apply_vector_neardup_batch,
+        read_vector_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    state = str(tmp_path / "vec_state_replay")
+    b0 = vecs.filter(F.col("vec_id") < 250)
+    b1 = vecs.filter(F.col("vec_id") >= 250)
+    apply_vector_neardup_batch(b0, state, 0)
+    apply_vector_neardup_batch(b1, state, 1)
+    first = sorted(map(tuple, read_vector_neardup_pairs(spark, state).collect()))
+    assert first
+    apply_vector_neardup_batch(b1, state, 1)  # crash replay of batch 1
+    second = sorted(map(tuple, read_vector_neardup_pairs(spark, state).collect()))
+    assert second == first
