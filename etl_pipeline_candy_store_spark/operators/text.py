@@ -386,7 +386,7 @@ WITH toks AS (
 )
 SELECT tok AS token,
        CAST(COUNT(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM toks GROUP BY tok
 """,
     doc="Inverted-index build: token -> document frequency + sorted "
@@ -394,7 +394,13 @@ FROM toks GROUP BY tok
     "partition key at scale: postings for a token co-locate, and "
     "collect_list is bounded by the token's df, not corpus size). The "
     "search-side primitive a retrieval/RAG data pipeline builds from "
-    "the same corpus it trains on.",
+    "the same corpus it trains on. Postings surface as a comma-joined "
+    "STRING, not array<bigint>: the catalog's hash compare stringifies "
+    "cells, and array cells render differently with Arrow-backed "
+    "toPandas (numpy, '[1 2 3]') vs plain ('[1, 2, 3]') — a scalar "
+    "column is stable on ANY session config (found by "
+    "check_oracle.py --plain; no other catalog query emits a "
+    "non-scalar column — tests/test_catalog_schema.py pins that).",
 )
 def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -403,7 +409,13 @@ def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

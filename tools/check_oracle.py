@@ -46,13 +46,30 @@ def main() -> int:
         i = argv.index("--json")
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    plain = "--plain" in argv
+    if plain:
+        argv.remove("--plain")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
     import __spark_entry__ as e
-    from etl_pipeline_candy_store_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]")
+    if plain:
+        # driver-conditions mode: a bare SparkSession with NONE of the
+        # engine's confs (no Arrow, no shuffle-partition tuning, default
+        # timestamp behavior) — catches conf-dependent bugs the tuned
+        # session hides, matching how the external driver runs queries()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .getOrCreate()
+        )
+    else:
+        from etl_pipeline_candy_store_spark.session import get_spark
+
+        spark = get_spark("oracle-check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
