@@ -9,8 +9,10 @@ survivors provably equals the batch pipeline run over the full corpus
 (``tests/test_streaming.py::test_stream_curation_gate_matches_batch``).
 That is the 100 TB posture: a crawler's output is quality-filtered and
 decontaminated the moment it lands, and only survivors ever reach the
-(stateful) dedup stages — :mod:`neardup_stream` for near-dup,
-``incremental_dedup`` / ``stream_dedup_events`` for exact.
+(stateful) dedup stages — :mod:`neardup_stream` for near-dup, and
+:func:`stream_exact_dedup` below for exact content dedup (digest-state
+probing, first-seen-wins; equals batch q50's keeper set under
+monotone doc_id arrival).
 
 Mechanics mirror :mod:`neardup_stream`'s idempotent-replay contract:
 each micro-batch OVERWRITES its own ``batch=N`` parquet partition, so
@@ -106,5 +108,78 @@ def read_curated_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated survivor table the stream has emitted."""
     try:
         return spark.read.parquet(out_dir).drop("batch")
+    except Exception:
+        return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+# --- Streaming exact dedup (digest-state probing) ---------------------
+
+
+def apply_exact_dedup_batch(
+    batch: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Exact content dedup on arrival: drop any arriving doc whose md5
+    digest was already seen in an EARLIER batch (cross-batch anti-join
+    against the accumulated digest table), keep the lowest doc_id per
+    digest within the batch (the same keeper rule as the batch
+    pipeline's ``dedup_exact``), and extend the digest state. Batch-
+    scoped ``batch=N`` overwrites — idempotent under replay. State is
+    one (digest, doc_id) row per UNIQUE content ever seen: bounded by
+    distinct corpus content, not stream length, and the probe is an
+    equi-join on the digest — the dedup key IS the shuffle key, exactly
+    like batch q50."""
+    spark = batch.sparkSession
+    with_fp = batch.withColumn(
+        "_fp", F.md5(F.col("text").cast("binary"))
+    ).localCheckpoint(eager=True)
+    if not with_fp.take(1):
+        return
+    seen = _read_digest_state(spark, state_dir, before_batch=batch_id)
+    keep_in_batch = (
+        with_fp.groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("_fp", "doc_id")
+    )
+    survivors = (
+        with_fp.join(keep_in_batch, ["_fp", "doc_id"], "left_semi")
+        .join(seen.select("_fp"), "_fp", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors.drop("_fp").write.mode("overwrite").parquet(
+        f"{state_dir}/docs/batch={batch_id}"
+    )
+    survivors.select("_fp", "doc_id").write.mode("overwrite").parquet(
+        f"{state_dir}/digests/batch={batch_id}"
+    )
+
+
+def _read_digest_state(
+    spark: SparkSession, state_dir: str, before_batch: int
+) -> DataFrame:
+    try:
+        return (
+            spark.read.parquet(f"{state_dir}/digests")
+            .filter(F.col("batch") < before_batch)
+            .drop("batch")
+        )
+    except Exception:
+        return spark.createDataFrame([], "_fp string, doc_id bigint")
+
+
+def stream_exact_dedup(doc_stream: DataFrame, state_dir: str):
+    """Wire a (doc_id, text, ...) stream through exact content dedup.
+    Returns a ``DataStreamWriter``; unique-content docs land under
+    ``{state_dir}/docs`` as batch-partitioned parquet."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_exact_dedup_batch(batch, state_dir, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_deduped_docs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated unique-content document table."""
+    try:
+        return spark.read.parquet(f"{state_dir}/docs").drop("batch")
     except Exception:
         return spark.createDataFrame([], "doc_id bigint, text string")

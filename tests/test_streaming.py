@@ -1107,3 +1107,89 @@ def test_vector_neardup_replay_is_idempotent(spark, tmp_path):
     apply_vector_neardup_batch(b1, state, 1)  # crash replay of batch 1
     second = sorted(map(tuple, read_vector_neardup_pairs(spark, state).collect()))
     assert second == first
+
+
+def test_stream_exact_dedup_matches_batch_q50(spark, tmp_path):
+    """Exact-dedup-on-arrival must keep precisely the batch keeper set:
+    one doc per distinct content, lowest doc_id. Streaming semantics is
+    first-seen-wins (an already-ingested doc cannot be un-ingested), so
+    with doc_id-ordered arrival — the realistic monotonically-assigned
+    id case — it coincides exactly with batch q50's min-doc_id rule."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        read_deduped_docs,
+        stream_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = load(spark, sf, "documents")
+    # the fixture has no exact dups — append duplicate-content rows with
+    # HIGHER doc_ids (re-crawled pages), so cross-batch drops really occur
+    dups = base.filter(F.col("doc_id") < 60).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    docs = base.unionByName(dups).localCheckpoint(eager=True)
+    src = str(tmp_path / "dedup_src")
+    n = 10_060
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "dedup_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"] for r in read_deduped_docs(spark, state).collect()
+    }
+    # batch keeper set: q50's min doc_id per md5(content)
+    want = {
+        r["keep_doc_id"]
+        for r in docs.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .collect()
+    }
+    assert len(want) < docs.count()  # the injected dups really collide
+    assert got == want
+    # exactly-once: no doc appears twice across batch partitions
+    assert read_deduped_docs(spark, state).count() == len(got)
+
+
+def test_exact_dedup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a (content, batch_id) micro-batch must leave the
+    survivor and digest tables unchanged."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_exact_dedup_batch,
+        read_deduped_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    state = str(tmp_path / "dedup_state_replay")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    apply_exact_dedup_batch(b0, state, 0)
+    apply_exact_dedup_batch(b1, state, 1)
+    first = sorted(r["doc_id"] for r in read_deduped_docs(spark, state).collect())
+    assert first
+    apply_exact_dedup_batch(b1, state, 1)  # crash replay
+    second = sorted(r["doc_id"] for r in read_deduped_docs(spark, state).collect())
+    assert second == first
