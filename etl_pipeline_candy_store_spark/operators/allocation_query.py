@@ -145,3 +145,31 @@ def q32_allocation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cancelled").alias("n_cancelled"),
         F.min("stock_after").alias("final_stock"),
     )
+
+
+@register(
+    "q127_allocation_auto",
+    oracle=_ORACLE_BASE,
+    doc="ST1 allocation through the skew-aware front door: allocate() "
+    "probes the request relation's skew shape (one map-side-combinable "
+    "aggregate: per-key rows, requested-qty sum, stock) and dispatches "
+    "to the partition-sorted sequential operator or the bucketed "
+    "hot-key escape — on this TPC-H-shaped instance the probe finds "
+    "ordinary skew and routes sequential. Same recursive-CTE oracle as "
+    "q30: WHICHEVER strategy the probe picks must replay the greedy "
+    "cancellation-feedback loop exactly, so the dispatcher itself is "
+    "hash-checked, not just its two strategies separately "
+    "(tests force both dispatch outcomes; SCALE_NOTES records the "
+    "measured crossovers the thresholds encode).",
+)
+def q127_allocation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.allocation import allocate
+
+    alloc = allocate(
+        _requests(spark, sf_dir),
+        key_col="l_partkey",
+        seq_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        qty_col="requested_qty",
+        stock_col="stock",
+    )
+    return alloc.select(*_OUT_COLS)
