@@ -927,6 +927,72 @@ _PQ_DOT_SPARK = (
 )
 
 
+def pq_adc_search(
+    e: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = _PQ_M,
+    topk: int = 5,
+) -> DataFrame:
+    """PQ-ADC search with ANY codebook — the reusable operator behind
+    q126. ``e``: (vec_id, embedding) corpus; ``codebook``: (entry_id,
+    embedding) — ordering by entry_id defines code values; ``queries``:
+    (query_id, embedding). The codebook's entry COUNT is free (the
+    expressions iterate the broadcast array, no K literal), so a
+    kmeans-refined book from q106 drops in without replanning — see
+    ``examples/run_ann_search.py``. Encoding and scoring are row-local
+    projections against the single broadcast codebook row; per-query
+    integer LUTs broadcast onto the corpus."""
+    cb = codebook.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("entry_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("cbv")
+    )
+    dots_expr = (
+        f"transform(sequence(1, {m}), m ->"
+        f" transform(cbv, cbe ->"
+        f" {_PQ_DOT_SPARK.format(a='embedding', b='cbe', m='m')}))"
+    )
+    codes = (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(dots_expr).alias("dots"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(dots, ds -> array_position(ds, array_max(ds)))"
+            ).alias("codes"),
+        )
+    )
+    lut_expr = (
+        f"transform(sequence(1, {m}), m ->"
+        f" transform(cbv, cbe ->"
+        f" CAST(floor({_PQ_DOT_SPARK.format(a='embedding', b='cbe', m='m')}"
+        f" * 1000000.0D) AS BIGINT)))"
+    )
+    qlut = queries.crossJoin(F.broadcast(cb)).select(
+        "query_id", F.expr(lut_expr).alias("lut")
+    )
+    scored = codes.join(
+        F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"CAST(aggregate(sequence(1, {m}), CAST(0 AS BIGINT),"
+            " (acc, m) -> acc + element_at(element_at(lut, m),"
+            " CAST(element_at(codes, m) AS INT))) AS BIGINT)"
+        ).alias("adc_micros"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micros").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= topk
+    )
+
+
 @register(
     "q126_pq_adc_search",
     oracle=f"""
@@ -986,54 +1052,10 @@ WHERE rn <= 5
 )
 def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cb = e.filter(F.col("vec_id") < _PQ_K).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-            lambda s: s["embedding"],
-        ).alias("cbv")
+    cb = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("entry_id"), "embedding"
     )
-    dots_expr = (
-        f"transform(sequence(1, {_PQ_M}), m ->"
-        f" transform(sequence(1, {_PQ_K}), c ->"
-        f" {_PQ_DOT_SPARK.format(a='embedding', b='element_at(cbv, c)', m='m')}))"
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    codes = (
-        e.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(dots_expr).alias("dots"))
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(dots, ds -> array_position(ds, array_max(ds)))"
-            ).alias("codes"),
-        )
-    )
-    lut_expr = (
-        f"transform(sequence(1, {_PQ_M}), m ->"
-        f" transform(sequence(1, {_PQ_K}), c ->"
-        f" CAST(floor({_PQ_DOT_SPARK.format(a='embedding', b='element_at(cbv, c)', m='m')}"
-        f" * 1000000.0D) AS BIGINT)))"
-    )
-    qlut = (
-        e.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(cb))
-        .select(
-            F.col("vec_id").alias("query_id"), F.expr(lut_expr).alias("lut")
-        )
-    )
-    scored = codes.join(
-        F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            f"CAST(aggregate(sequence(1, {_PQ_M}), CAST(0 AS BIGINT),"
-            " (acc, m) -> acc + element_at(element_at(lut, m),"
-            " CAST(element_at(codes, m) AS INT))) AS BIGINT)"
-        ).alias("adc_micros"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_micros").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 5
-    )
+    return pq_adc_search(e, cb, q)

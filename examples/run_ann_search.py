@@ -40,3 +40,46 @@ print(f"IVF probe-2 (q87): {len(p2)} pairs")
 kept = len(p1 & p2)
 print(f"probe-1 pairs retained by probe-2: {kept}/{len(p1)} "
       f"(+{len(p2) - kept} new pairs from the second cell)")
+
+# --- PQ-ADC with a kmeans-refined codebook ---------------------------
+# q126's catalog instance seeds its codebook from the first 16 corpus
+# vectors (deterministic, oracle-friendly). Production refines the book
+# with k-means: here we pivot q106's one-Lloyd-iteration centroid
+# update (long (centroid_id, dim, mean_micros) rows) back into vectors
+# and drop it into the SAME pq_adc_search operator — no replanning.
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.similarity import pq_adc_search
+from etl_pipeline_candy_store_spark.plans.catalog import load
+
+e = load(spark, sf_dir, "embeddings")
+queries = e.filter(F.col("vec_id") < 5).select(
+    F.col("vec_id").alias("query_id"), "embedding"
+)
+seed_cb = e.filter(F.col("vec_id") < 16).select(
+    F.col("vec_id").alias("entry_id"), "embedding"
+)
+refined_cb = (
+    REGISTRY["q106_kmeans_update"].builder(spark, sf_dir)
+    .groupBy("centroid_id")
+    .agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_micros"))),
+            lambda s: (s["mean_micros"] / F.lit(1000000.0)).cast("float"),
+        ).alias("embedding")
+    )
+    .select(F.col("centroid_id").alias("entry_id"), "embedding")
+)
+
+
+def pq_recall(cb, label):
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_search(e, cb, queries).collect()
+    }
+    ov = len(got & exact)
+    print(f"PQ-ADC recall@5 vs exact, {label}: {ov}/{len(exact)}")
+
+
+pq_recall(seed_cb, "seed codebook (first 16 vectors)")
+pq_recall(refined_cb, "kmeans-refined codebook (q106 centroids)")

@@ -33,11 +33,19 @@ HEADLINE = [
     "q119_vocab_growth",
     "q122_repetition_signals",
     "q123_cross_source_dup_matrix",
+    # ANN search paths (round 5): corpus grows K×, query/codebook/stats
+    # sides stay fixed (vec_id < 16 are the originals), so these must
+    # scale with the scan, not the pair space. q64 is deliberately NOT
+    # probed this way: replicated vectors are near-dups of their
+    # sources by construction, so its PAIR OUTPUT grows ~K² — that
+    # measures the generator, not the plan.
+    "q60_cosine_topk",
+    "q69_sq8_search",
+    "q126_pq_adc_search",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-KEEP = ["region", "nation", "customer", "supplier", "part", "events",
-        "embeddings"]
+KEEP = ["region", "nation", "customer", "supplier", "part", "events"]
 
 
 def expand(spark, src: str, dst: str, k: int) -> None:
@@ -90,6 +98,21 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     )
     wide.repartition(32).write.mode("overwrite").parquet(f"{dst}/documents_dir")
     os.rename(f"{dst}/documents_dir", f"{dst}/documents.parquet")
+
+    # embeddings: K× vectors with shifted vec_ids, values unchanged —
+    # the ANN queries' codebook/query/centroid seeds (vec_id < 16) stay
+    # the ORIGINAL vectors, so only the searched corpus grows
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(max_vec))
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst}/embeddings_dir")
+    )
+    os.rename(f"{dst}/embeddings_dir", f"{dst}/embeddings.parquet")
 
 
 def run(spark, sf_dir: str) -> dict[str, float]:
