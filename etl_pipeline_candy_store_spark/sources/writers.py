@@ -165,3 +165,31 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are hash-
+    distributed into ``n_buckets`` files per partition on
+    ``bucket_cols`` (and optionally sorted within each bucket).
+
+    This is the co-located-join primitive at 100 TB: two tables
+    bucketed on the same join key with the same bucket count join with
+    NO Exchange on either side — the bucket layout IS the shuffle,
+    paid once at write time and amortized over every subsequent join
+    (and, with ``sort_cols``, the sort-merge sort is elided too).
+    `tests/test_bucketed_join.py` locks the shuffle-free plan.
+
+    Bucketing requires the session catalog (`saveAsTable`) — bucket
+    metadata lives in the table definition, not the parquet files.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
