@@ -323,3 +323,26 @@ def test_pq_adc_broadcast_only(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_flagship_aggregates_run_in_whole_stage_codegen(spark):
+    # q01/q23: the scan->filter->project->partial-agg pipeline must fuse
+    # into WholeStageCodegen (the '*(n)' spans in the executed plan) —
+    # JVM-side generated code, no interpreted row processing in the hot
+    # path. AQE finalizes the plan only after an action, so execute
+    # first and then read the final plan.
+    catalog._ensure_loaded()
+    for name in ("q01_pricing_summary", "q23_daily_summary"):
+        df = catalog.REGISTRY[name].builder(spark, SF)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, (name, p)
+        assert "*(" in p, (name, p)  # at least one fused codegen span
+        # both the partial and final aggregates fuse
+        starred_aggs = [
+            ln for ln in p.splitlines() if "*(" in ln and "HashAggregate" in ln
+        ]
+        assert len(starred_aggs) >= 2, (name, p)
