@@ -332,3 +332,59 @@ def test_auto_dispatch_sampled_probe(spark):
         df, hot_row_threshold=1, sample_fraction=1e-9, **kw
     )
     assert out2.count() == 20000
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    st = None
+
+if st is not None:
+
+    _dreq = st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 10)),  # (key, qty)
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(
+        reqs=_dreq,
+        stock=st.integers(0, 30),
+        hot_thresh=st.sampled_from([1, 5, 10**9]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_property_dispatcher_matches_python_oracle(
+        spark, reqs, stock, hot_thresh
+    ):
+        """allocate() must equal the python simulator REGARDLESS of
+        which strategy the probe picks — thresholds are swept from
+        always-bucketed (1) through sometimes (5) to never (1e9), and
+        the exhaust threshold is pinned to the same value so exhausting
+        shapes also flip strategies."""
+        from etl_pipeline_candy_store_spark.operators.allocation import allocate
+
+        rows = [
+            {"key": k, "seq": i, "qty": q, "stock": stock}
+            for i, (k, q) in enumerate(reqs)
+        ]
+        df = spark.createDataFrame(rows, "key int, seq int, qty int, stock int")
+        got = {
+            (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+            for r in allocate(
+                df,
+                key_col="key",
+                seq_cols=["seq"],
+                qty_col="qty",
+                stock_col="stock",
+                hot_row_threshold=hot_thresh,
+                exhaust_hot_row_threshold=hot_thresh,
+                n_buckets=3,
+            ).collect()
+        }
+        want = {
+            (r["key"], r["seq"]): (r["quantity"], r["cancelled"], r["stock_after"])
+            for r in allocate_python_oracle(
+                rows, key="key", seq=["seq"], qty="qty", stock="stock"
+            )
+        }
+        assert got == want
