@@ -142,16 +142,28 @@ def main() -> None:
     hk.unpersist()
     # 20M no-exhaust shape (above the crossover): single rep — this is
     # where the bucketed escape should clearly win and the dispatcher
-    # must choose it (probe cost included in the auto timing)
+    # must choose it (probe cost included in the auto timing). The
+    # plain-sequential leg runs ~30-60s serial (its loss is the point —
+    # measured 27-41s, recorded in SCALE_NOTES); it is opt-in via
+    # SPARK_GRAFT_BENCH_FULL=1 so the default per-round bench stays
+    # comfortably inside any harness timeout.
     hk = _hk_frame(20_000_000, exhaust=False)
-    for label, fn in [
-        ("hotkey20m_allocate_sequential", lambda: allocate_sequential(hk, **hk_kw)),
+    hk20 = [
         (
             "hotkey20m_allocate_bucketed",
             lambda: allocate_bucketed(hk, n_buckets=16, **hk_kw),
         ),
         ("hotkey20m_allocate_auto", lambda: allocate(hk, **hk_kw)),
-    ]:
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        hk20.insert(
+            0,
+            (
+                "hotkey20m_allocate_sequential",
+                lambda: allocate_sequential(hk, **hk_kw),
+            ),
+        )
+    for label, fn in hk20:
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
         extras[label] = round(time.time() - t0, 3)
