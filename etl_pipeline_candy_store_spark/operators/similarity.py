@@ -871,7 +871,8 @@ found AS (
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM found) AS n_found,
        CAST(((SELECT COUNT(*) FROM found) * 1000000)
-            // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_micros
+            // NULLIF((SELECT COUNT(*) FROM truth), 0) AS BIGINT)
+         AS recall_micros
 """,
     doc="ANN recall instrumentation: the fraction of exact near-dup "
     "pairs (brute-force q61 ground truth, cos >= 0.25) that the "
@@ -896,10 +897,91 @@ def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_true",
             "n_found",
-            F.expr("CAST((n_found * 1000000) div n_true AS BIGINT)").alias(
-                "recall_micros"
-            ),
+            # NULLIF on both sides: Spark's non-ANSI `div` returns NULL
+            # on /0 but DuckDB's `//` errors, so an empty truth set must
+            # be NULL-by-construction in both engines.
+            F.expr(
+                "CAST((n_found * 1000000) div NULLIF(n_true, 0) AS BIGINT)"
+            ).alias("recall_micros"),
         )
+    )
+
+
+@register(
+    "q128_sampled_ann_recall",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm,
+         {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id % 13 = 3 AND vec_id < 1664),
+truth AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CASE WHEN q.bucket = c.bucket THEN 1 ELSE 0 END AS hit
+  FROM q JOIN b c ON c.vec_id <> q.vec_id
+  WHERE {_cos_micros_prenorm_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')}
+          >= 250000
+)
+SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+       COUNT(*) AS n_true,
+       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_found,
+       CAST((COALESCE(SUM(hit), 0) * 1000000)
+            // NULLIF(COUNT(*), 0) AS BIGINT) AS recall_micros
+FROM truth
+""",
+    doc="SAMPLED ANN recall — the production-scale replacement for "
+    "q124's guarded exhaustive estimate. A fixed-size deterministic "
+    "query sample (stride-13 over a bounded id range, <=128 queries) is "
+    "broadcast against the full corpus; ONE scan computes, per "
+    "(query, neighbor) pair above the exact-cosine threshold, whether "
+    "the LSH bucket join (q64's candidate generator) would have "
+    "surfaced it. O(|sample| * n) with no corpus self-join, no guard "
+    "needed: the corpus never shuffles (the final agg moves two "
+    "numbers per partition) and recall is directional per sampled "
+    "query, so the estimate is unbiased for per-query neighbor recall. "
+    "found <= truth by construction because the hit test and the truth "
+    "filter use the same exact cosine.",
+)
+def q128_sampled_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_norm(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", lsh_bucket_col()
+    )
+    q = b.filter(
+        (F.pmod(F.col("vec_id"), F.lit(13)) == 3) & (F.col("vec_id") < 1664)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    truth = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .filter(
+            _cos_micros(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            )
+            >= 250000
+        )
+        .select(
+            F.when(F.col("q_bucket") == F.col("bucket"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("hit")
+        )
+    )
+    counts = truth.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(counts).select(
+        "n_queries",
+        "n_true",
+        "n_found",
+        F.expr(
+            "CAST((n_found * 1000000) div NULLIF(n_true, 0) AS BIGINT)"
+        ).alias("recall_micros"),
     )
 
 
@@ -1059,3 +1141,92 @@ def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_search(e, cb, q)
+
+
+def pq_code_groups(
+    e: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = _PQ_M,
+) -> DataFrame:
+    """Group vectors by their first-``m``-subspace PQ code — the
+    coarse SEMANTIC fingerprint dedup: vectors that quantize
+    identically in every checked subspace are near-identical in
+    embedding space, and finding them costs ONE row-local encode
+    projection plus ONE groupBy on a tiny string key (vs a pairwise
+    cosine join). Returns (code_key, n_vectors, canonical_vec_id) for
+    groups of >= 2. At 100 TB this is the cheapest semantic-dup sweep
+    there is: no self-join, no candidate generation, one shuffle on an
+    8-byte-ish key; its recall knob is ``m`` (more subspaces = finer
+    fingerprint = fewer, tighter groups)."""
+    cb = codebook.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("entry_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("cbv")
+    )
+    dots_expr = (
+        f"transform(sequence(1, {m}), m ->"
+        f" transform(cbv, cbe ->"
+        f" {_PQ_DOT_SPARK.format(a='embedding', b='cbe', m='m')}))"
+    )
+    codes = (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(dots_expr).alias("dots"))
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(transform(dots, ds ->"
+                " CAST(array_position(ds, array_max(ds)) AS STRING)), '-')"
+            ).alias("code_key"),
+        )
+    )
+    return (
+        codes.groupBy("code_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("canonical_vec_id"),
+        )
+        .filter(F.col("n_vectors") >= 2)
+    )
+
+
+@register(
+    "q129_pq_code_dedup",
+    oracle=f"""
+WITH cbq AS (
+  SELECT list(embedding ORDER BY vec_id) AS cbv
+  FROM embeddings WHERE vec_id < {_PQ_K}
+),
+codes AS (
+  SELECT e.vec_id,
+         array_to_string(list_transform(range(1, 4), m ->
+           CAST(list_position(
+             list_transform(range(1, {_PQ_K + 1}), c ->
+               {_PQ_DOT_SQL.format(a='e.embedding', b='cbv[c]', m='m')}),
+             list_aggregate(
+               list_transform(range(1, {_PQ_K + 1}), c ->
+                 {_PQ_DOT_SQL.format(a='e.embedding', b='cbv[c]', m='m')}),
+               'max')) AS VARCHAR)), '-') AS code_key
+  FROM embeddings e, cbq
+)
+SELECT code_key, COUNT(*) AS n_vectors, MIN(vec_id) AS canonical_vec_id
+FROM codes GROUP BY code_key HAVING COUNT(*) >= 2
+""",
+    doc="Quantization-code semantic dedup: vectors sharing their "
+    "first-3-subspace PQ code (24 of 64 dims quantized identically "
+    "against the q126 codebook) grouped into coarse near-identical "
+    "clusters with a min-id canonical — the zero-join semantic-dup "
+    "sweep. Complements the pairwise paths (q61 exact, q64 LSH, q66 "
+    "clusters): encode is row-local against one broadcast codebook "
+    "row, and the only shuffle is a groupBy on the short code string, "
+    "so cost is O(n) regardless of how many dups there are. The "
+    "subspace count is the precision knob; 3 is the catalog setting "
+    "that yields non-trivial groups on the synthetic corpus.",
+)
+def q129_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cb = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("entry_id"), "embedding"
+    )
+    return pq_code_groups(e, cb, m=3)

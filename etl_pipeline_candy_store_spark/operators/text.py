@@ -1066,3 +1066,68 @@ def repetition_signals(d: DataFrame) -> DataFrame:
             "unique_token_ratio_micros"
         ),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    n_dims: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: each token maps to a
+    dimension via its first md5 nibble and a ±1 sign via its second
+    nibble's parity (Weinberger et al., ICML 2009 — the signed variant
+    keeps hash collisions unbiased in expectation). Emits SPARSE rows
+    (doc_id, dim, weight): map-side token hashing + ONE keyed agg, no
+    vocabulary, no broadcast dictionary — the fixed-dimension
+    featurizer that never needs a fit pass, which is what lets a
+    quality classifier featurize a 100 TB crawl in a single scan.
+    ``n_dims`` must divide 16 for the nibble mapping (16 uses it
+    directly)."""
+    assert 16 % n_dims == 0
+    toks = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
+    )
+    md5 = F.md5(F.col("tok").cast("binary"))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(md5, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(md5, 2, 1)) - 1
+    return (
+        toks.select(
+            "doc_id",
+            (nib1 % n_dims).cast("int").alias("dim"),
+            F.when(nib2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )
+
+
+_FH_NIB1_SQL = "(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)"
+_FH_NIB2_SQL = "(instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)"
+
+
+@register(
+    "q130_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST({_FH_NIB1_SQL} % 16 AS INTEGER) AS dim,
+       CAST(SUM(CASE WHEN {_FH_NIB2_SQL} % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight
+FROM toks GROUP BY doc_id, dim
+""",
+    doc="Hashing-trick document vectorizer (signed feature hashing, 16 "
+    "dims): tokens hash to (dimension, ±1 sign) through two md5 "
+    "nibbles, summed per (doc, dim) — sparse fixed-width features with "
+    "NO vocabulary build, no fit pass, no dictionary broadcast. The "
+    "plan is explode + one map-side-combinable keyed aggregation; at "
+    "100 TB that is a single scan plus one doc-keyed shuffle, and the "
+    "output feeds quality/langid classifiers whose feature space never "
+    "drifts as the corpus grows. The md5-nibble hash is the same "
+    "portable construction as the q80 hash-split, so Spark and DuckDB "
+    "agree bit-for-bit.",
+)
+def q130_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashed_features(load(spark, sf_dir, "documents"))

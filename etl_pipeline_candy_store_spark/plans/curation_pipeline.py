@@ -78,14 +78,20 @@ def drop_repetitive(
     """q122's repetition gate as a pipeline stage: drop documents whose
     most-frequent-bigram share or duplicated-trigram share exceeds the
     thresholds (boilerplate and generation-loop catchers; the defaults
-    are permissive on prose and aggressive on templated spam)."""
+    are permissive on prose and aggressive on templated spam).
+
+    Anti-joins against the exceeders rather than semi-joining the
+    passers: a doc with NULL/empty text emits no gram rows at all, so a
+    semi-join would silently drop it even though it is not repetitive —
+    signal-less docs must pass through a gate that only targets
+    repetition."""
     from etl_pipeline_candy_store_spark.operators.text import repetition_signals
 
-    keep = repetition_signals(docs).filter(
-        (F.col("top_bigram_frac_micros") <= top_bigram_max_micros)
-        & (F.col("dup_trigram_frac_micros") <= dup_trigram_max_micros)
+    drop = repetition_signals(docs).filter(
+        (F.col("top_bigram_frac_micros") > top_bigram_max_micros)
+        | (F.col("dup_trigram_frac_micros") > dup_trigram_max_micros)
     ).select("doc_id")
-    return docs.join(keep, "doc_id", "left_semi")
+    return docs.join(drop, "doc_id", "left_anti")
 
 
 def drop_contaminated(docs: DataFrame) -> DataFrame:

@@ -48,3 +48,27 @@ def test_curate_is_deterministic(spark, tmp_path):
     assert {k: v["n_docs"] for k, v in r1["splits"].items()} == {
         k: v["n_docs"] for k, v in r2["splits"].items()
     }
+
+
+def test_drop_repetitive_passes_signal_less_docs(spark):
+    """A doc whose text yields no gram rows (NULL/empty) emits no
+    repetition signals; the gate must pass it through unchanged, not
+    silently drop it (it gates repetition, nothing else)."""
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        drop_repetitive,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " * 50),          # top bigram share ~1.0 -> dropped
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "runs far away into green hills beyond the old river"),
+            (3, None),                  # no grams -> no signal row
+            (4, ""),                    # no grams -> no signal row
+        ],
+        "doc_id INT, text STRING",
+    )
+    kept = sorted(
+        r.doc_id for r in drop_repetitive(docs).select("doc_id").collect()
+    )
+    assert kept == [2, 3, 4]

@@ -346,3 +346,32 @@ def test_flagship_aggregates_run_in_whole_stage_codegen(spark):
             ln for ln in p.splitlines() if "*(" in ln and "HashAggregate" in ln
         ]
         assert len(starred_aggs) >= 2, (name, p)
+
+
+def test_sampled_recall_broadcasts_sample_no_self_shuffle(spark):
+    # q128: the corpus side must stream through a broadcast join with the
+    # fixed-size query sample — a SortMergeJoin here would shuffle the
+    # whole corpus, which is exactly what the sampled estimator avoids.
+    plan = _plan(spark, "q128_sampled_ann_recall")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_code_dedup_zero_join_one_shuffle(spark):
+    # q129: encode is row-local against one broadcast codebook row; the
+    # corpus never joins itself (no SortMergeJoin) and the code-key
+    # groupBy is map-side combinable (partial + final HashAggregate).
+    # The codebook's own collect_list agg shuffles 16 rows — irrelevant.
+    plan = _plan(spark, "q129_pq_code_dedup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_feature_hashing_map_side_combine(spark):
+    # q130: explode + ONE keyed aggregation with a partial (map-side)
+    # phase; no joins anywhere.
+    plan = _plan(spark, "q130_feature_hashing")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

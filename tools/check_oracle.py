@@ -44,6 +44,10 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json PATH] [--plain] "
+                  "[SF_DIR [QUERY...]]", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     plain = "--plain" in argv
