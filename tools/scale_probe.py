@@ -42,6 +42,13 @@ HEADLINE = [
     "q60_cosine_topk",
     "q69_sq8_search",
     "q126_pq_adc_search",
+    # round-5 additions: q128's query sample is fixed (bounded id range)
+    # so its cost is O(sample × corpus); q129/q130 are single keyed
+    # aggregations after a row-local projection — all must track the
+    # scan linearly.
+    "q128_sampled_ann_recall",
+    "q129_pq_code_dedup",
+    "q130_feature_hashing",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
