@@ -1143,6 +1143,44 @@ def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_search(e, cb, q)
 
 
+def pq_encode(
+    e: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = _PQ_M,
+    out_col: str = "code_key",
+) -> DataFrame:
+    """Append each vector's first-``m``-subspace PQ code as a short
+    string column (``"c1-c2-..."``), keeping every input column. The
+    codebook collapses to ONE broadcast row and the encode is a
+    row-local projection — shared by batch q129 and the streaming
+    code-dedup so the fingerprint is a single definition in both
+    modes."""
+    cb = codebook.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("entry_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("cbv")
+    )
+    dots_expr = (
+        f"transform(sequence(1, {m}), m ->"
+        f" transform(cbv, cbe ->"
+        f" {_PQ_DOT_SPARK.format(a='embedding', b='cbe', m='m')}))"
+    )
+    return (
+        e.crossJoin(F.broadcast(cb))
+        .withColumn("_dots", F.expr(dots_expr))
+        .withColumn(
+            out_col,
+            F.expr(
+                "array_join(transform(_dots, ds ->"
+                " CAST(array_position(ds, array_max(ds)) AS STRING)), '-')"
+            ),
+        )
+        .drop("_dots", "cbv")
+    )
+
+
 def pq_code_groups(
     e: DataFrame,
     codebook: DataFrame,
@@ -1159,30 +1197,10 @@ def pq_code_groups(
     there is: no self-join, no candidate generation, one shuffle on an
     8-byte-ish key; its recall knob is ``m`` (more subspaces = finer
     fingerprint = fewer, tighter groups)."""
-    cb = codebook.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("entry_id", "embedding"))),
-            lambda s: s["embedding"],
-        ).alias("cbv")
-    )
-    dots_expr = (
-        f"transform(sequence(1, {m}), m ->"
-        f" transform(cbv, cbe ->"
-        f" {_PQ_DOT_SPARK.format(a='embedding', b='cbe', m='m')}))"
-    )
-    codes = (
-        e.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(dots_expr).alias("dots"))
-        .select(
-            "vec_id",
-            F.expr(
-                "array_join(transform(dots, ds ->"
-                " CAST(array_position(ds, array_max(ds)) AS STRING)), '-')"
-            ).alias("code_key"),
-        )
-    )
     return (
-        codes.groupBy("code_key")
+        pq_encode(e, codebook, m=m)
+        .select("vec_id", "code_key")
+        .groupBy("code_key")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.min("vec_id").alias("canonical_vec_id"),

@@ -128,3 +128,82 @@ def stream_vector_neardup(
 def read_vector_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated near-dup pair table the stream has emitted."""
     return _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop("batch")
+
+
+# --- PQ-code semantic dedup on arrival --------------------------------
+
+_CODE_SCHEMA = "code_key string, vec_id bigint"
+
+
+def apply_pq_code_dedup_batch(
+    batch: DataFrame,
+    codebook: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    *,
+    m: int = 3,
+) -> None:
+    """Semantic dedup on arrival: encode each arriving vector to its
+    coarse PQ code (row-local against the broadcast codebook — the
+    SAME :func:`~etl_pipeline_candy_store_spark.operators.similarity.pq_encode`
+    expression batch q129 uses), drop any vector whose code was already
+    seen in an EARLIER batch, keep the lowest vec_id per code within
+    the batch, and extend the code state. First-seen-wins, exactly the
+    streaming analogue of exact content dedup but on the semantic
+    fingerprint instead of the md5 digest. State is one (code_key,
+    vec_id) row per DISTINCT code — bounded by the code space, not the
+    stream — and the probe is an equi-join on the code key. Batch-scoped
+    ``batch=N`` overwrites make crash replay idempotent."""
+    from etl_pipeline_candy_store_spark.operators.similarity import pq_encode
+
+    spark = batch.sparkSession
+    coded = pq_encode(
+        batch.select("vec_id", "embedding"), codebook, m=m
+    ).localCheckpoint(eager=True)
+    if not coded.take(1):
+        return
+    try:
+        seen = (
+            spark.read.parquet(f"{state_dir}/codes")
+            .filter(F.col("batch") < batch_id)
+            .drop("batch")
+        )
+    except Exception:
+        seen = spark.createDataFrame([], _CODE_SCHEMA)
+    keep_in_batch = coded.groupBy("code_key").agg(
+        F.min("vec_id").alias("vec_id")
+    )
+    survivors = (
+        coded.join(keep_in_batch, ["code_key", "vec_id"], "left_semi")
+        .join(seen.select("code_key"), "code_key", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors.write.mode("overwrite").parquet(
+        f"{state_dir}/vecs/batch={batch_id}"
+    )
+    survivors.select("code_key", "vec_id").write.mode("overwrite").parquet(
+        f"{state_dir}/codes/batch={batch_id}"
+    )
+
+
+def stream_pq_code_dedup(
+    vec_stream: DataFrame, codebook: DataFrame, state_dir: str, *, m: int = 3
+):
+    """Wire a (vec_id, embedding) stream through PQ-code semantic dedup.
+    Returns a ``DataStreamWriter``; code-unique vectors land under
+    ``{state_dir}/vecs`` as batch-partitioned parquet."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_pq_code_dedup_batch(batch, codebook, state_dir, batch_id, m=m)
+
+    return vec_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_pq_deduped_vectors(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated code-unique vector table."""
+    try:
+        return spark.read.parquet(f"{state_dir}/vecs").drop("batch")
+    except Exception:
+        return spark.createDataFrame(
+            [], f"{_CODE_SCHEMA}, embedding array<float>"
+        )

@@ -1193,3 +1193,100 @@ def test_exact_dedup_replay_is_idempotent(spark, tmp_path):
     apply_exact_dedup_batch(b1, state, 1)  # crash replay
     second = sorted(r["doc_id"] for r in read_deduped_docs(spark, state).collect())
     assert second == first
+
+
+def test_stream_pq_code_dedup_matches_batch_q129(spark, tmp_path):
+    """PQ-code dedup on arrival must keep precisely the batch keeper
+    set: one vector per distinct coarse code, lowest vec_id. Streaming
+    is first-seen-wins, so with vec_id-ordered arrival it coincides
+    with the batch min-id rule; every q129 dup-group's canonical must
+    be the streamed keeper for that code."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        pq_encode,
+        q129_pq_code_dedup,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.vector_stream import (
+        read_pq_deduped_vectors,
+        stream_pq_code_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings").localCheckpoint(eager=True)
+    codebook = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("entry_id"), "embedding"
+    ).localCheckpoint(eager=True)
+
+    src = str(tmp_path / "pq_src")
+    for lo, hi in [(0, 170), (170, 340), (340, 500)]:
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "pq_state")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_pq_code_dedup(stream, codebook, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = {
+        (r["code_key"], r["vec_id"])
+        for r in read_pq_deduped_vectors(spark, state)
+        .select("code_key", "vec_id")
+        .collect()
+    }
+    want = {
+        (r["code_key"], r["vec_id"])
+        for r in pq_encode(emb, codebook, m=3)
+        .groupBy("code_key")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .collect()
+    }
+    assert kept == want
+
+    # every batch-q129 dup group resolves to the same canonical
+    groups = q129_pq_code_dedup(spark, sf).collect()
+    assert groups  # the fixture does produce coarse-code collisions
+    for g in groups:
+        assert (g["code_key"], g["canonical_vec_id"]) in kept
+
+
+def test_pq_code_dedup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a PQ-code micro-batch must leave the survivor and
+    code-state tables unchanged."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.vector_stream import (
+        apply_pq_code_dedup_batch,
+        read_pq_deduped_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("entry_id"), "embedding"
+    )
+    state = str(tmp_path / "pq_state_replay")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+    apply_pq_code_dedup_batch(b0, codebook, state, 0)
+    apply_pq_code_dedup_batch(b1, codebook, state, 1)
+    first = sorted(
+        r["vec_id"] for r in read_pq_deduped_vectors(spark, state).collect()
+    )
+    assert first
+    apply_pq_code_dedup_batch(b1, codebook, state, 1)  # crash replay
+    second = sorted(
+        r["vec_id"] for r in read_pq_deduped_vectors(spark, state).collect()
+    )
+    assert second == first
