@@ -47,6 +47,9 @@ HEADLINE = [
     "q119_vocab_growth",        # two-level bucketed prefix sum (r4)
     "q122_repetition_signals",  # Gopher-family repetition gates (r4)
     "q126_pq_adc_search",       # PQ-ADC compressed search (r5)
+    "q128_sampled_ann_recall",  # broadcast-sample recall estimator (r5)
+    "q129_pq_code_dedup",       # zero-join semantic dedup by PQ code (r5)
+    "q130_feature_hashing",     # hashing-trick vectorizer (r5)
 ]
 
 
