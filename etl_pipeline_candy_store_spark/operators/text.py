@@ -1131,3 +1131,137 @@ FROM toks GROUP BY doc_id, dim
 )
 def q130_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(load(spark, sf_dir, "documents"))
+
+
+# --- Iterative BPE training -------------------------------------------
+#
+# q116 counts ONE merge iteration's candidates; these helpers run the
+# actual training loop. Scale shape (the same one production BPE
+# trainers use): the corpus collapses ONCE to the word-frequency table,
+# and every iteration after that touches only that vocabulary-bounded
+# relation — pair counting is an explode + keyed agg over it, the
+# winning pair is a 1-row argmax, and applying the merge is a row-local
+# string replace. Symbols are stored WRAPPED ('‹sym›‹sym›…'): the
+# sentinels make `replace(word_str, '‹a›‹b›', '‹ab›')` an exact greedy
+# left-to-right non-overlapping BPE merge with no false matches inside
+# multi-char symbols (both engines' replace() is non-overlapping L2R,
+# and neither sentinel can occur inside a symbol).
+
+_BPE_SYMS = "split(regexp_replace(word_str, '^‹|›$', ''), '›‹')"
+
+
+def _bpe_word_table(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("concat('‹', array_join(split(word, ''), '›‹'), '›')").alias(
+                "word_str"
+            ),
+            "n",
+        )
+    )
+
+
+def _bpe_top_pair(wc: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        f"transform(sequence(0, size({_BPE_SYMS}) - 2), i -> "
+        f" struct(element_at({_BPE_SYMS}, i + 1) AS sym_a,"
+        f"        element_at({_BPE_SYMS}, i + 2) AS sym_b))"
+    )
+    return (
+        wc.filter(F.expr(f"size({_BPE_SYMS}) >= 2"))
+        .select(F.explode(pairs).alias("p"), "n")
+        .select("p.sym_a", "p.sym_b", "n")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("n").cast("long").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "sym_a", "sym_b")
+        .limit(1)
+    )
+
+
+def _bpe_apply(wc: DataFrame, top: DataFrame) -> DataFrame:
+    return wc.crossJoin(F.broadcast(top.select("sym_a", "sym_b"))).select(
+        F.expr(
+            "replace(word_str, concat('‹', sym_a, '›‹', sym_b, '›'),"
+            " concat('‹', sym_a, sym_b, '›'))"
+        ).alias("word_str"),
+        "n",
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus; returns the merge
+    table (step, sym_a, sym_b, n_pair) in training order. Ties break
+    deterministically (count desc, then lexicographic), so training is
+    reproducible across runs and engines. Each iteration's word table
+    is locally checkpointed to keep lineage flat across merges."""
+    wc = _bpe_word_table(docs).localCheckpoint(eager=True)
+    steps = []
+    for k in range(1, n_merges + 1):
+        top = _bpe_top_pair(wc).localCheckpoint(eager=True)
+        steps.append(top.withColumn("step", F.lit(k).cast("int")))
+        if k < n_merges:
+            wc = _bpe_apply(wc, top).localCheckpoint(eager=True)
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), steps).select(
+        "step", "sym_a", "sym_b", "n_pair"
+    )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    syms = "string_split(regexp_replace(word_str, '^‹|›$', '', 'g'), '›‹')"
+    parts = [
+        """wc0 AS (
+  SELECT ('‹' || array_to_string(string_split(word, ''), '›‹') || '›') AS word_str, n
+  FROM (SELECT tok AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""m{k} AS (
+  SELECT sym_a, sym_b, CAST(SUM(n) AS BIGINT) AS n_pair FROM (
+    SELECT s.syms[CAST(t.i + 1 AS INTEGER)] AS sym_a,
+           s.syms[CAST(t.i + 2 AS INTEGER)] AS sym_b, s.n
+    FROM (SELECT {syms} AS syms, n FROM wc{k - 1}) s,
+         unnest(range(len(s.syms) - 1)) AS t(i)
+    WHERE len(s.syms) >= 2)
+  GROUP BY sym_a, sym_b ORDER BY n_pair DESC, sym_a, sym_b LIMIT 1
+)"""
+        )
+        if k < n_merges:
+            parts.append(
+                f"""wc{k} AS (
+  SELECT replace(word_str, '‹' || m.sym_a || '›‹' || m.sym_b || '›',
+                 '‹' || m.sym_a || m.sym_b || '›') AS word_str, n
+  FROM wc{k - 1}, m{k} m
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, sym_a, sym_b, n_pair FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register(
+    "q131_bpe_train3",
+    oracle=_bpe_oracle(3),
+    doc="BPE tokenizer TRAINING, first three merges end-to-end — the "
+    "iterative loop q116 only previews. One corpus pass builds the "
+    "word-frequency table; each merge is then an explode + keyed agg "
+    "over that vocabulary-bounded relation, a 1-row argmax "
+    "(deterministic tiebreak: count desc, lexicographic), and a "
+    "row-local greedy left-to-right merge applied via sentinel-wrapped "
+    "symbol strings (replace() cannot false-match inside multi-char "
+    "symbols). The oracle unrolls the same three iterations as chained "
+    "CTEs, so the full training trajectory — not just one step — is "
+    "hash-checked across engines. At 100 TB the corpus is read once; "
+    "the loop's working set is the vocabulary.",
+)
+def q131_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load(spark, sf_dir, "documents"), 3)

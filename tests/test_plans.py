@@ -375,3 +375,26 @@ def test_feature_hashing_map_side_combine(spark):
     plan = _plan(spark, "q130_feature_hashing")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_train_argmax_is_topk_not_full_sort(spark):
+    # q131's per-iteration building block (the trained loop checkpoints
+    # each step, so the composed plan is opaque): the winning pair must
+    # come from TakeOrderedAndProject over the pair counts — never a
+    # full sort — and the pair agg must be map-side combinable.
+    import io
+    import contextlib
+
+    from etl_pipeline_candy_store_spark.operators.text import (
+        _bpe_top_pair,
+        _bpe_word_table,
+    )
+
+    docs = catalog.load(spark, SF, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _bpe_top_pair(_bpe_word_table(docs)).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
