@@ -1265,3 +1265,52 @@ def _bpe_oracle(n_merges: int) -> str:
 )
 def q131_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load(spark, sf_dir, "documents"), 3)
+
+
+def bpe_vocab(docs: DataFrame, n_merges: int, top: int = 20) -> DataFrame:
+    """The learned subword vocabulary: apply ``n_merges`` trained merges
+    to the word table, then rank the resulting symbols by corpus
+    frequency. This is the artifact a tokenizer ships — after training,
+    encoding any text is a row-local chain of the learned replaces."""
+    wc = _bpe_word_table(docs).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        top_pair = _bpe_top_pair(wc).localCheckpoint(eager=True)
+        wc = _bpe_apply(wc, top_pair).localCheckpoint(eager=True)
+    return (
+        wc.select(F.explode(F.expr(_BPE_SYMS)).alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "symbol")
+        .limit(top)
+    )
+
+
+def _bpe_vocab_oracle(n_merges: int, top: int = 20) -> str:
+    syms = "string_split(regexp_replace(word_str, '^‹|›$', '', 'g'), '›‹')"
+    # reuse the training chain, then rank symbols of the final word table
+    chain = _bpe_oracle(n_merges)
+    with_block = chain[: chain.rindex(")") + 1]  # strip the UNION tail
+    return f"""{with_block},
+wcf AS (
+  SELECT replace(word_str, '‹' || m.sym_a || '›‹' || m.sym_b || '›',
+                 '‹' || m.sym_a || m.sym_b || '›') AS word_str, n
+  FROM wc{n_merges - 1}, m{n_merges} m
+)
+SELECT symbol, CAST(SUM(n) AS BIGINT) AS n_occurrences FROM (
+  SELECT unnest({syms}) AS symbol, n FROM wcf)
+GROUP BY symbol ORDER BY n_occurrences DESC, symbol LIMIT {top}
+"""
+
+
+@register(
+    "q132_bpe_vocab",
+    oracle=_bpe_vocab_oracle(3),
+    doc="The subword vocabulary a 3-merge BPE run produces: train the "
+    "merges (q131's loop), apply them to the word-frequency table, and "
+    "rank the resulting symbols by corpus occurrence — the shippable "
+    "tokenizer artifact. Same scale shape as training: after the one "
+    "corpus pass everything is vocabulary-bounded, and the final "
+    "ranking is a combinable agg with a top-k tail.",
+)
+def q132_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_vocab(load(spark, sf_dir, "documents"), 3)

@@ -79,3 +79,36 @@ def test_bpe_train_deterministic_on_fixture(spark):
     a = [tuple(r) for r in bpe_train(d, 3).orderBy("step").collect()]
     b = [tuple(r) for r in bpe_train(d, 3).orderBy("step").collect()]
     assert a == b and len(a) == 3
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _corpus = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=3,
+        max_size=40,
+    )
+
+    @given(words=_corpus)
+    @settings(max_examples=10, deadline=None)
+    def test_bpe_train_property_matches_reference(spark, words):
+        """Random small corpora: the distributed trainer must replay the
+        textbook algorithm exactly — same merges, same counts, same
+        order — including heavy-overlap shapes ('aaaa') the strategy
+        generates freely."""
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id INT, text STRING"
+        )
+        want = _ref_bpe(dict(Counter(words)), 4)
+        got = [
+            (r["step"], r["sym_a"], r["sym_b"], r["n_pair"])
+            for r in bpe_train(docs, 4).orderBy("step").collect()
+        ]
+        assert got == want[: len(got)]
+        # fewer merges than asked only when candidates genuinely ran dry
+        if len(got) < 4:
+            assert len(want) == len(got)
+
+except ImportError:  # pragma: no cover
+    pass
