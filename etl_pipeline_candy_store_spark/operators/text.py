@@ -1314,3 +1314,74 @@ GROUP BY symbol ORDER BY n_occurrences DESC, symbol LIMIT {top}
 )
 def q132_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab(load(spark, sf_dir, "documents"), 3)
+
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Tokenize the corpus with the trained BPE and report per-doc
+    subword counts: (doc_id, n_words, n_subwords, n_chars). Encoding at
+    scale is a VOCABULARY JOIN, not per-doc retraining — the merged
+    word table (word -> its subword segmentation) is tiny, so each
+    document row just joins its words to the precomputed map and sums
+    symbol counts. n_subwords/n_chars is the compression the tokenizer
+    achieves, a standard corpus-quality signal."""
+    wc = _bpe_word_table(docs).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        top_pair = _bpe_top_pair(wc).localCheckpoint(eager=True)
+        wc = _bpe_apply(wc, top_pair).localCheckpoint(eager=True)
+    seg = wc.select(
+        F.expr(f"array_join({_BPE_SYMS}, '')").alias("word"),
+        F.expr(f"size({_BPE_SYMS})").alias("n_sub"),
+        F.length(F.expr(f"array_join({_BPE_SYMS}, '')")).alias("n_chr"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.sum("n_chr").cast("long").alias("n_chars_tok"),
+        )
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    syms = "string_split(regexp_replace(word_str, '^‹|›$', '', 'g'), '›‹')"
+    chain = _bpe_oracle(n_merges)
+    with_block = chain[: chain.rindex(")") + 1]
+    return f"""{with_block},
+wcf AS (
+  SELECT replace(word_str, '‹' || m.sym_a || '›‹' || m.sym_b || '›',
+                 '‹' || m.sym_a || m.sym_b || '›') AS word_str, n
+  FROM wc{n_merges - 1}, m{n_merges} m
+),
+seg AS (
+  SELECT array_to_string({syms}, '') AS word,
+         len({syms}) AS n_sub,
+         length(array_to_string({syms}, '')) AS n_chr
+  FROM wcf
+)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(s.n_chr) AS BIGINT) AS n_chars_tok
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+JOIN seg s USING (word)
+GROUP BY w.doc_id
+"""
+
+
+@register(
+    "q133_bpe_encode",
+    oracle=_bpe_encode_oracle(3),
+    doc="Apply the trained BPE to the corpus: per-doc word / subword / "
+    "character counts after 3 merges. The segmentation map (word -> "
+    "symbol count) is derived once from the merged word table and "
+    "BROADCAST onto the exploded corpus — tokenizing 100 TB is a "
+    "broadcast vocabulary join plus one doc-keyed combinable agg, "
+    "never per-document merge replay. n_subwords/n_chars is the "
+    "compression-ratio quality signal.",
+)
+def q133_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_counts(load(spark, sf_dir, "documents"), 3)

@@ -398,3 +398,13 @@ def test_bpe_train_argmax_is_topk_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_encode_broadcasts_segmentation_map(spark):
+    # q133: the corpus side must join the word->segmentation map via
+    # broadcast — shuffling the exploded corpus against a vocabulary-
+    # sized table would be the wrong plan at any scale.
+    plan = _plan(spark, "q131_bpe_train3")  # warm registry
+    plan = _plan(spark, "q133_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
