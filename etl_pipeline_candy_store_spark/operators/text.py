@@ -1385,3 +1385,97 @@ GROUP BY w.doc_id
 )
 def q133_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(load(spark, sf_dir, "documents"), 3)
+
+
+def linear_probe_langid(docs: DataFrame) -> DataFrame:
+    """One-pass linear probe on hashed features: the first logistic-
+    regression gradient step from w=0 (where sigmoid(0)=1/2 exactly, so
+    the step is CLOSED-FORM and integer: g_d = sum((1-2y)*x_d) in
+    half-units), then score every doc with the resulting weights and
+    report per-language totals. This is the quality/langid-classifier
+    training shape at 100 TB: the gradient is a map-side-combinable agg
+    onto n_dims keys, the 16-dim weight vector broadcasts back, and
+    evaluation is one more scan — no iterative driver loop, no floats,
+    bit-reproducible anywhere."""
+    feats = hashed_features(docs)
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    w = (
+        feats.join(y, "doc_id")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.lit(1) - 2 * F.col("y")) * F.col("weight"))
+            .cast("long")
+            .alias("g2")
+        )
+        .select("dim", (-F.col("g2")).alias("w"))
+    )
+    scores = (
+        feats.join(F.broadcast(w), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("w")).cast("long").alias("score"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("score"), F.lit(0)))
+            .cast("long")
+            .alias("sum_score"),
+            F.sum(
+                F.when(F.coalesce(F.col("score"), F.lit(0)) > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pred_en"),
+        )
+    )
+
+
+@register(
+    "q134_linear_probe_langid",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST({_FH_NIB1_SQL} % 16 AS INTEGER) AS dim,
+         CAST(SUM(CASE WHEN {_FH_NIB2_SQL} % 2 = 0 THEN 1 ELSE -1 END)
+              AS BIGINT) AS weight
+  FROM toks GROUP BY doc_id, dim
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+),
+w AS (
+  SELECT dim, CAST(-SUM((1 - 2 * y) * weight) AS BIGINT) AS w
+  FROM feats JOIN lab USING (doc_id) GROUP BY dim
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(weight * w) AS BIGINT) AS score
+  FROM feats JOIN w USING (dim) GROUP BY doc_id
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS sum_score,
+       CAST(SUM(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pred_en
+FROM documents d LEFT JOIN scores s USING (doc_id)
+GROUP BY d.lang
+""",
+    doc="Linear-probe language classifier trained in ONE pass over "
+    "hashed features (q130): from w=0 the first logistic gradient step "
+    "is closed-form and all-integer (sigmoid(0)=1/2 exactly), the "
+    "16-dim weight vector broadcasts back onto the corpus, and one "
+    "more scan scores and evaluates per language. No floats anywhere, "
+    "so training is bit-reproducible across engines and cluster "
+    "layouts — the fixed-feature-space classifier loop a 100 TB "
+    "curation stack runs continuously. (On the synthetic corpus the "
+    "lang label is not derived from the text, so the probe's scores do "
+    "not separate classes here — the catalog checks the distributed "
+    "training computation, not model quality.)",
+)
+def q134_linear_probe_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linear_probe_langid(load(spark, sf_dir, "documents"))

@@ -408,3 +408,12 @@ def test_bpe_encode_broadcasts_segmentation_map(spark):
     plan = _plan(spark, "q133_bpe_encode")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_linear_probe_broadcasts_weights(spark):
+    # q134: the 16-dim weight vector must broadcast onto the scoring
+    # scan (shuffling the exploded corpus against 16 rows would be the
+    # wrong plan), and both keyed aggs must be map-side combinable.
+    plan = _plan(spark, "q134_linear_probe_langid")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4
