@@ -595,3 +595,68 @@ def q117_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_dow").alias("n_days"),
         F.expr("(s_dow * d_all * 1000000) div (d_dow * s_all)").alias("index_micros"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top: int = 20
+) -> DataFrame:
+    """Shuffle-planning diagnostic: per-key row shares for the hottest
+    keys, plus how far the hottest key sits above a perfectly even
+    spread. This is the probe every skew-aware strategy needs BEFORE it
+    picks a plan (the allocation dispatcher runs exactly this shape
+    over its request keys): one map-side-combinable count per key, a
+    top-k tail, and a broadcast of the two global scalars — no sort,
+    no second scan of the fact table. share/skew in integer micros so
+    the report hashes identically everywhere. skew_x_mean_micros =
+    key_rows / (total_rows / n_keys) — 1,000,000 means perfectly even;
+    a key at 50x mean is the signal to salt or bucket it."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.orderBy(F.col("n_rows").desc(), "key")
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("CAST((n_rows * 1000000) div total_rows AS BIGINT)").alias(
+                "share_micros"
+            ),
+            F.expr(
+                "CAST((n_rows * n_keys * 1000000) div total_rows AS BIGINT)"
+            ).alias("skew_x_mean_micros"),
+        )
+    )
+
+
+@register(
+    "q135_key_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts
+)
+SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000000) // total_rows AS BIGINT) AS share_micros,
+       CAST((n_rows * n_keys * 1000000) // total_rows AS BIGINT)
+         AS skew_x_mean_micros
+FROM (SELECT * FROM counts ORDER BY n_rows DESC, key LIMIT 20) c, tot
+""",
+    doc="Key-skew profile over the event stream's user_id — the "
+    "diagnostic a 100 TB engine runs BEFORE choosing a shuffle "
+    "strategy (the allocation dispatcher's probe, generalized): top-20 "
+    "hottest keys with row share and multiple-of-even-spread in "
+    "integer micros. One combinable count per key + TakeOrderedAndProject "
+    "+ a 1-row broadcast of the global totals; the fact table is "
+    "scanned once and never sorted.",
+)
+def q135_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile(load(spark, sf_dir, "events"), "user_id")

@@ -417,3 +417,13 @@ def test_linear_probe_broadcasts_weights(spark):
     plan = _plan(spark, "q134_linear_probe_langid")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_key_skew_profile_topk_single_scan(spark):
+    # q135: combinable per-key count + TakeOrderedAndProject + 1-row
+    # broadcast — never a full sort of the key counts, never a second
+    # shuffle of the fact table.
+    plan = _plan(spark, "q135_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
