@@ -1,0 +1,142 @@
+"""Distributed classifier evaluation.
+
+Exact tie-corrected ROC AUC over the linear-probe scores (q134's model)
+— the evaluation half of the train/score/evaluate loop a 100 TB
+curation stack runs continuously. The algorithm is the score-level
+aggregation form Spark's own ``BinaryClassificationMetrics`` uses:
+collapse the corpus to per-distinct-score (positives, negatives)
+counts, then accumulate the Mann-Whitney pair count
+
+    AUC * 2*P*N = sum over scores s of pos_at(s) * (2*neg_below(s) + neg_at(s))
+
+(ties between a positive and a negative contribute 1 of 2 — the
+standard trapezoidal tie correction). Everything is integer, so the
+result is bit-identical cross-engine.
+
+The reference has no evaluation surface (its quality signals are
+unvalidated heuristics — /root/reference/src/data_processor.py); this
+extends the classifier operators (q130/q134) the way SURVEY §2's
+training-data extensions demand: no model goes into the curation gate
+without a measured AUC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.text import (
+    _PROBE_CTES,
+    probe_doc_scores,
+)
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+#: score-range bucket width for the two-level prefix sum (q119 pattern)
+_AUC_BUCKET = 65536
+
+
+def binary_auc(scored: DataFrame, score_col: str = "score", label_col: str = "y") -> DataFrame:
+    """Exact tie-corrected AUC from a (score, y∈{0,1}) relation.
+
+    One row out: (n_pos, n_neg, n_scores, auc_ppm). Scale shape: the
+    corpus collapses to ONE map-side-combinable aggregation on the
+    distinct score key; the cumulative negatives-below count then runs
+    as a two-level prefix sum over that score-level relation — an
+    in-bucket window PARTITIONED by a score-range bucket plus one
+    unpartitioned window over per-bucket totals (a relation 2^16x
+    smaller) — so no window ever serializes the full score distribution
+    through a single task, matching the q119 prefix-sum discipline.
+    Truncating `div` bucketing is order-preserving (nondecreasing in
+    score, negatives included), so (bkt, score) order equals global
+    score order and the prefix sum is exactly the oracle's window.
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        scored.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.sum(label_col).cast("long").alias("pos_at"),
+            F.sum(1 - F.col(label_col)).cast("long").alias("neg_at"),
+        )
+    )
+    per = per.withColumn("bkt", F.expr(f"score div {_AUC_BUCKET}"))
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per.withColumn(
+        "loc", F.coalesce(F.sum("neg_at").over(w_local), F.lit(0))
+    )
+    btot = per.groupBy("bkt").agg(F.sum("neg_at").alias("bn"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("boff")
+    )
+    c = local.join(F.broadcast(boff), "bkt").select(
+        "pos_at",
+        "neg_at",
+        (F.col("boff") + F.col("loc")).alias("neg_below"),
+    )
+    return c.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum(
+            F.col("pos_at") * (2 * F.col("neg_below") + F.col("neg_at"))
+        ).alias("num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        # NULLIF on both sides: a single-class input (P or N = 0) yields
+        # NULL AUC in both engines instead of Spark-NULL vs DuckDB-error
+        F.expr("(num * 1000000) div NULLIF(2 * n_pos * n_neg, 0)")
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+@register(
+    "q137_probe_auc",
+    oracle=f"""
+WITH {_PROBE_CTES},
+s AS (
+  SELECT lab.y, COALESCE(sc.score, 0) AS score
+  FROM lab LEFT JOIN scores sc USING (doc_id)
+),
+per AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         CAST(SUM(1 - y) AS BIGINT) AS neg_at
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT pos_at, neg_at,
+         COALESCE(SUM(neg_at) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM per
+)
+SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_scores,
+       CAST(SUM(pos_at * (2 * neg_below + neg_at)) * 1000000
+            // NULLIF(2 * SUM(pos_at) * SUM(neg_at), 0) AS BIGINT) AS auc_ppm
+FROM c
+""",
+    doc="Exact tie-corrected ROC AUC of the one-pass linear probe "
+    "(q134's model) against the lang='en' label — the distributed "
+    "Mann-Whitney statistic in integer ppm. The corpus collapses to "
+    "per-distinct-score (pos, neg) counts in ONE combinable agg; the "
+    "cumulative term is a two-level prefix sum over that score-level "
+    "relation (q119 discipline — no full-distribution single-task "
+    "window); ties get the standard 1/2 credit via the all-integer "
+    "2*P*N denominator. Composes q134's probe CTEs verbatim (single "
+    "copy of the scoring semantics). On this synthetic corpus the "
+    "label is independent of text, so AUC lands near 500000 ppm — the "
+    "catalog checks the distributed evaluation computation, and the "
+    "near-chance value is itself the honest readout.",
+)
+def q137_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = probe_doc_scores(load(spark, sf_dir, "documents"))
+    return binary_auc(scored)

@@ -1387,16 +1387,14 @@ def q133_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(load(spark, sf_dir, "documents"), 3)
 
 
-def linear_probe_langid(docs: DataFrame) -> DataFrame:
-    """One-pass linear probe on hashed features: the first logistic-
-    regression gradient step from w=0 (where sigmoid(0)=1/2 exactly, so
-    the step is CLOSED-FORM and integer: g_d = sum((1-2y)*x_d) in
-    half-units), then score every doc with the resulting weights and
-    report per-language totals. This is the quality/langid-classifier
-    training shape at 100 TB: the gradient is a map-side-combinable agg
-    onto n_dims keys, the 16-dim weight vector broadcasts back, and
-    evaluation is one more scan — no iterative driver loop, no floats,
-    bit-reproducible anywhere."""
+def probe_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, score): every document's linear-probe margin under
+    the one-pass integer training step (see :func:`linear_probe_langid`
+    for the closed-form derivation), with label y = 1 iff lang='en' and
+    score coalesced to 0 for docs contributing no features. The single
+    copy of the probe-scoring semantics — q134 (per-language summary)
+    and q137 (AUC evaluation) both compose it, mirroring the q107/q109
+    single-copy-of-the-LM pattern."""
     feats = hashed_features(docs)
     y = docs.select(
         "doc_id",
@@ -1417,6 +1415,48 @@ def linear_probe_langid(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("weight") * F.col("w")).cast("long").alias("score"))
     )
+    return y.join(scores, "doc_id", "left").select(
+        "doc_id",
+        "y",
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+    )
+
+
+#: the q134 oracle's probe CTE chain, factored so q137's AUC oracle
+#: composes the identical scoring semantics (one copy, two consumers).
+_PROBE_CTES = f"""toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST({_FH_NIB1_SQL} % 16 AS INTEGER) AS dim,
+         CAST(SUM(CASE WHEN {_FH_NIB2_SQL} % 2 = 0 THEN 1 ELSE -1 END)
+              AS BIGINT) AS weight
+  FROM toks GROUP BY doc_id, dim
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+),
+w AS (
+  SELECT dim, CAST(-SUM((1 - 2 * y) * weight) AS BIGINT) AS w
+  FROM feats JOIN lab USING (doc_id) GROUP BY dim
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(weight * w) AS BIGINT) AS score
+  FROM feats JOIN w USING (dim) GROUP BY doc_id
+)"""
+
+
+def linear_probe_langid(docs: DataFrame) -> DataFrame:
+    """One-pass linear probe on hashed features: the first logistic-
+    regression gradient step from w=0 (where sigmoid(0)=1/2 exactly, so
+    the step is CLOSED-FORM and integer: g_d = sum((1-2y)*x_d) in
+    half-units), then score every doc with the resulting weights and
+    report per-language totals. This is the quality/langid-classifier
+    training shape at 100 TB: the gradient is a map-side-combinable agg
+    onto n_dims keys, the 16-dim weight vector broadcasts back, and
+    evaluation is one more scan — no iterative driver loop, no floats,
+    bit-reproducible anywhere."""
+    scores = probe_doc_scores(docs).select("doc_id", "score")
     return (
         docs.select("doc_id", "lang")
         .join(scores, "doc_id", "left")
@@ -1438,26 +1478,7 @@ def linear_probe_langid(docs: DataFrame) -> DataFrame:
 @register(
     "q134_linear_probe_langid",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-),
-feats AS (
-  SELECT doc_id, CAST({_FH_NIB1_SQL} % 16 AS INTEGER) AS dim,
-         CAST(SUM(CASE WHEN {_FH_NIB2_SQL} % 2 = 0 THEN 1 ELSE -1 END)
-              AS BIGINT) AS weight
-  FROM toks GROUP BY doc_id, dim
-),
-lab AS (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
-),
-w AS (
-  SELECT dim, CAST(-SUM((1 - 2 * y) * weight) AS BIGINT) AS w
-  FROM feats JOIN lab USING (doc_id) GROUP BY dim
-),
-scores AS (
-  SELECT doc_id, CAST(SUM(weight * w) AS BIGINT) AS score
-  FROM feats JOIN w USING (dim) GROUP BY doc_id
-)
+WITH {_PROBE_CTES}
 SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS sum_score,
        CAST(SUM(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END)
@@ -1479,3 +1500,51 @@ GROUP BY d.lang
 )
 def q134_linear_probe_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_probe_langid(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q139_tokenizer_fertility",
+    oracle=f"""
+WITH enc AS ({_bpe_encode_oracle(3)})
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+       CAST((CAST(SUM(e.n_subwords) AS BIGINT) * 1000000)
+         // NULLIF(CAST(SUM(e.n_words) AS BIGINT), 0) AS BIGINT)
+         AS fertility_micros,
+       CAST((CAST(SUM(e.n_chars_tok) AS BIGINT) * 1000000)
+         // NULLIF(CAST(SUM(e.n_subwords) AS BIGINT), 0) AS BIGINT)
+         AS chars_per_subword_micros
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+    doc="Tokenizer fertility by language: subwords-per-word and "
+    "chars-per-subword (micro-units) of the 3-merge BPE (q131-q133) "
+    "per lang — THE standard tokenizer-equity metric (a language whose "
+    "fertility is 2x pays 2x the sequence length for the same text). "
+    "Composes q133's encode (broadcast vocabulary join + one doc-keyed "
+    "agg) with a lang-keyed rollup: the corpus-scale work is exactly "
+    "q133's; the fertility table adds one combinable agg on a "
+    "handful-of-languages key. Integer micro-unit ratios with NULLIF "
+    "guards keep both engines bit-identical (and agreeing on NULL for "
+    "an empty language).",
+)
+def q139_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    enc = bpe_encode_counts(d, 3)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.expr(
+                "(sum(n_subwords) * 1000000) div NULLIF(sum(n_words), 0)"
+            ).alias("fertility_micros"),
+            F.expr(
+                "(sum(n_chars_tok) * 1000000) div NULLIF(sum(n_subwords), 0)"
+            ).alias("chars_per_subword_micros"),
+        )
+    )

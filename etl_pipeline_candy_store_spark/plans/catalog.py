@@ -108,12 +108,15 @@ def _ensure_loaded() -> None:
         corpus_curation,
         curation,
         dedup,
+        evaluate,
+        graph,
         layout,
         merge_query,
         multimodal,
         scrub,
         similarity,
         sketch,
+        skew_query,
         text,
         timeseries,
     )
