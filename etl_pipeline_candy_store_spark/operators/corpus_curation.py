@@ -358,3 +358,69 @@ def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+@register(
+    "q141_token_budget_mix",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source
+             ORDER BY n_toks DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lens
+)
+SELECT doc_id, source, n_toks, CAST(cum AS BIGINT) AS cum_toks
+FROM c WHERE cum <= 800
+""",
+    doc="Per-source token-budget selection (training-mixture "
+    "construction): within each source, take documents in priority "
+    "order (longest first, doc_id tiebreak) while the source's "
+    "cumulative token count stays within the 800-token budget — the "
+    "'N tokens per domain' step every mixture spec (The Pile, "
+    "RedPajama-style weighting) compiles down to. The cumulative sum "
+    "runs as a TWO-LEVEL prefix sum (q119 discipline): an in-bucket "
+    "window partitioned by (source, length-range bucket) plus a "
+    "per-source window over bucket totals only — so a source holding "
+    "half the corpus never serializes through one task. Bucketing by "
+    "-n_toks div 64 is monotone along the (n_toks DESC, doc_id) sort, "
+    "making the two-level sum exactly the oracle's single window.",
+)
+def q141_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    lens = lens.withColumn("bkt", F.expr("(-n_toks) div 64"))
+    w_local = (
+        Window.partitionBy("source", "bkt")
+        .orderBy(F.col("n_toks").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = lens.withColumn("loc", F.sum("n_toks").over(w_local))
+    btot = lens.groupBy("source", "bkt").agg(F.sum("n_toks").alias("bn"))
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "source", "bkt", F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("boff")
+    )
+    return (
+        local.join(boff, ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            (F.col("boff") + F.col("loc")).cast("long").alias("cum_toks"),
+        )
+        .where(F.col("cum_toks") <= 800)
+    )

@@ -1052,3 +1052,126 @@ def q123_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_common").cast("long").alias("total_common_shingles"),
         )
     )
+
+
+# --- Exact duplicated-span profiling (substring-dedup signal) ---------
+#
+# The distributed form of the exact-substring dedup signal from Lee et
+# al. 2021 ("Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499), at 3-gram resolution: a shingle occurring in >= 2
+# distinct documents marks its positions duplicated, and the longest
+# run of consecutive duplicated positions in a doc bounds the longest
+# cross-document repeated span (run of r 3-shingles = span of r + 2
+# tokens). Their suffix-array build is a single-machine construction;
+# this shape — positional shingles, one shingle-keyed agg, one
+# shingle-keyed join, doc-partitioned gaps-and-islands — is how the
+# same gate runs as a Spark plan over a sharded corpus.
+
+
+@register(
+    "q140_dup_span_profile",
+    oracle="""
+WITH ps AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+),
+dup AS (
+  SELECT shingle
+  FROM (SELECT shingle, MIN(doc_id) AS a, MAX(doc_id) AS b
+        FROM ps GROUP BY shingle)
+  WHERE a <> b
+),
+fl AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM ps p LEFT JOIN dup d USING (shingle)
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_shingles, SUM(is_dup) AS n_dup
+  FROM fl GROUP BY doc_id
+),
+isl AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl WHERE is_dup = 1
+),
+runs AS (SELECT doc_id, COUNT(*) AS run FROM isl GROUP BY doc_id, grp),
+per AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       CAST(COALESCE(p.max_run, 0) AS BIGINT) AS max_dup_run,
+       CAST(CASE WHEN p.max_run IS NULL THEN 0 ELSE p.max_run + 2 END
+            AS BIGINT) AS max_dup_span_tokens,
+       COALESCE(p.max_run, 0) + 2 >= 10 AS long_dup
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN per p USING (doc_id)
+""",
+    doc="Exact duplicated-span profile (the Lee et al. 2021 substring-"
+    "dedup gate, 3-gram resolution): positions whose 3-shingle occurs "
+    "in >=2 distinct docs are duplicated; gaps-and-islands per doc "
+    "finds the longest consecutive duplicated run, bounding the "
+    "longest cross-doc repeated span (run r = span r+2 tokens); docs "
+    "with spans >=10 tokens are flagged. Corpus-scale work is ONE "
+    "shingle-keyed min/max aggregate (cross-doc test needs only "
+    "min!=max, not a distinct count) and one shingle-keyed join; the "
+    "run detection windows are PARTITIONED by doc — no global window, "
+    "no pair join, no suffix array.",
+)
+def q140_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ps = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "shingle")
+    )
+    dup = (
+        ps.groupBy("shingle")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select("shingle")
+    )
+    fl = ps.join(dup.withColumn("hit", F.lit(1)), "shingle", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup")
+    )
+    cnt = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"), F.sum("is_dup").alias("n_dup")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = fl.where(F.col("is_dup") == 1).select(
+        "doc_id", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    per = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_shingles"),
+            F.coalesce("max_run", F.lit(0)).cast("long").alias("max_dup_run"),
+            F.when(F.col("max_run").isNull(), F.lit(0))
+            .otherwise(F.col("max_run") + 2)
+            .cast("long")
+            .alias("max_dup_span_tokens"),
+            (F.coalesce("max_run", F.lit(0)) + 2 >= 10).alias("long_dup"),
+        )
+    )

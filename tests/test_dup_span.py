@@ -1,0 +1,64 @@
+"""Constructed-input semantics tests for the duplicated-span profile
+(q140, operators/dedup.py) and the token-budget mixture selector
+(q141, operators/corpus_curation.py) — the catalog checks them against
+DuckDB on the synthetic corpus; these pin the intended behavior on
+inputs where the expected answer is computed by hand."""
+
+from __future__ import annotations
+
+from etl_pipeline_candy_store_spark.plans import catalog
+
+
+def _run(spark, name, docs_rows, tmp_path):
+    """Run a registered documents-table query over constructed docs."""
+    df = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    catalog._ensure_loaded()
+    return catalog.REGISTRY[name].builder(spark, str(tmp_path)).collect()
+
+
+def test_dup_span_hand_computed(spark, tmp_path):
+    rows = [
+        (1, "a b c d e f", "en", "s1", 11),
+        (2, "x y a b c d q", "en", "s1", 13),
+        (3, "p q r s t u", "en", "s2", 11),
+    ]
+    out = {r["doc_id"]: r for r in _run(spark, "q140_dup_span_profile", rows, tmp_path)}
+    # shared 4-token span "a b c d" = 3-shingle run of 2 in both docs
+    assert out[1]["n_shingles"] == 4
+    assert out[1]["n_dup_shingles"] == 2
+    assert out[1]["max_dup_run"] == 2
+    assert out[1]["max_dup_span_tokens"] == 4
+    assert out[1]["long_dup"] is False
+    assert out[2]["n_shingles"] == 5
+    assert out[2]["max_dup_span_tokens"] == 4
+    assert out[3]["n_dup_shingles"] == 0
+    assert out[3]["max_dup_span_tokens"] == 0
+
+
+def test_dup_span_short_doc_and_within_doc_repeat(spark, tmp_path):
+    rows = [
+        (1, "a b", "en", "s1", 3),  # < 3 tokens: zero shingles
+        # "m n o" repeats within ONE doc only -> not a cross-doc dup
+        (2, "m n o z m n o", "en", "s1", 13),
+    ]
+    out = {r["doc_id"]: r for r in _run(spark, "q140_dup_span_profile", rows, tmp_path)}
+    assert out[1]["n_shingles"] == 0 and out[1]["max_dup_span_tokens"] == 0
+    assert out[2]["n_dup_shingles"] == 0  # min_doc == max_doc for "m n o"
+
+
+def test_token_budget_greedy_cutoff(spark, tmp_path):
+    # source s1: lengths 500, 200(doc 2), 200(doc 3), 150 -> greedy
+    # longest-first with doc_id tiebreak keeps 500+200+... until 800:
+    # 500 (cum 500), doc2 200 (cum 700), doc3 200 would hit 900 -> cut,
+    # 150 would hit 850 -> cut (greedy prefix, not knapsack)
+    def doc(i, n, src):
+        return (i, " ".join(f"t{i}x{j}" for j in range(n)), "en", src, n)
+
+    rows = [doc(1, 500, "s1"), doc(2, 200, "s1"), doc(3, 200, "s1"),
+            doc(4, 150, "s1"), doc(5, 100, "s2")]
+    out = _run(spark, "q141_token_budget_mix", rows, tmp_path)
+    kept = {r["doc_id"]: r["cum_toks"] for r in out}
+    assert kept == {1: 500, 2: 700, 5: 100}
