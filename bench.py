@@ -50,6 +50,10 @@ HEADLINE = [
     "q128_sampled_ann_recall",  # broadcast-sample recall estimator (r5)
     "q129_pq_code_dedup",       # zero-join semantic dedup by PQ code (r5)
     "q130_feature_hashing",     # hashing-trick vectorizer (r5)
+    "q136_pagerank",            # 3-iteration integer PageRank (r5)
+    "q137_probe_auc",           # tie-corrected distributed AUC (r5)
+    "q140_dup_span_profile",    # substring-dedup span gate (r5)
+    "q141_token_budget_mix",    # per-source token-budget selection (r5)
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.dedup import (
+    _CLUSTERS_SQL,
     _JACCARD_PAIRS_SQL,
     q51_ngram_jaccard_pairs,
 )
@@ -108,9 +109,8 @@ pr{k} AS (
 )"""
 
 
-@register(
-    "q136_pagerank",
-    oracle=f"""
+#: q136's full oracle — also composed by q142's canonical selection.
+_PAGERANK_SQL = f"""
 WITH pairs AS ({_JACCARD_PAIRS_SQL}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -126,7 +126,12 @@ SELECT d.node AS doc_id,
        CAST(d.deg AS BIGINT) AS degree,
        CAST(p.pr AS BIGINT) AS pr_micros
 FROM deg d JOIN pr3 p ON p.node = d.node
-""",
+"""
+
+
+@register(
+    "q136_pagerank",
+    oracle=_PAGERANK_SQL,
     doc="Fixed-iteration (3) integer PageRank over the symmetrized q51 "
     "near-duplicate similarity graph: ranks documents by centrality "
     "within their duplicate neighborhoods — the 'pick the hub variant "
@@ -147,4 +152,58 @@ def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, n_iter=3).select(
         F.col("node").alias("doc_id"), "degree", "pr_micros"
+    )
+
+
+@register(
+    "q142_canonical_by_pagerank",
+    oracle=f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+pr AS ({_PAGERANK_SQL}),
+m AS (
+  SELECT c.cluster_id, c.doc_id, COALESCE(p.pr_micros, 0) AS pr
+  FROM clusters c LEFT JOIN pr p USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id, pr AS canonical_pr_micros,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY pr DESC, doc_id) AS rn
+  FROM m
+),
+cnt AS (SELECT cluster_id, COUNT(*) AS n_members FROM m GROUP BY cluster_id)
+SELECT b.cluster_id,
+       CAST(b.canonical_doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(b.canonical_pr_micros AS BIGINT) AS canonical_pr_micros
+FROM best b JOIN cnt c USING (cluster_id)
+WHERE b.rn = 1
+""",
+    doc="Centrality-aware canonical selection: within each q54 dup "
+    "cluster keep the member with the highest q136 PageRank (min "
+    "doc_id tiebreak) — the 'hub variant as canonical' policy q136 "
+    "motivates, replacing q55's min-doc_id convention with a "
+    "quality-bearing choice. Spark side needs NO window: one "
+    "cluster-keyed `max_by(doc_id, (pr, -doc_id))` aggregate "
+    "(combinable argmax; the oracle's ROW_NUMBER window expresses the "
+    "same argmax relationally). Singletons carry pr 0 and canonicalize "
+    "to themselves.",
+)
+def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q54_dedup_clusters,
+    )
+
+    clusters = q54_dedup_clusters(spark, sf_dir)
+    pr = q136_pagerank(spark, sf_dir).select("doc_id", "pr_micros")
+    m = clusters.join(pr, "doc_id", "left").select(
+        "cluster_id",
+        "doc_id",
+        F.coalesce("pr_micros", F.lit(0)).alias("pr"),
+    )
+    return m.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(pr, -doc_id))")
+        .cast("long")
+        .alias("canonical_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("pr").cast("long").alias("canonical_pr_micros"),
     )

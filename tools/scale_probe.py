@@ -49,6 +49,15 @@ HEADLINE = [
     "q128_sampled_ann_recall",
     "q129_pq_code_dedup",
     "q130_feature_hashing",
+    # round-5 batch 2: q136's edge set grows linearly (replica token
+    # suffixes keep near-dup pairs within a replica); q137/q140/q141
+    # are keyed aggs + bucket-partitioned windows; q138 joins the K×
+    # fact to the K× dim through the salt fan-out
+    "q136_pagerank",
+    "q137_probe_auc",
+    "q138_salted_join_revenue",
+    "q140_dup_span_profile",
+    "q141_token_budget_mix",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
