@@ -40,6 +40,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -55,12 +56,17 @@ def pagerank(
     source key; with ranks and degrees co-partitioned with edges on the
     node key (one ``repartition`` up front on a real cluster, or
     bucketed tables), that join is shuffle-free, leaving the dst-keyed
-    map-side-combinable sum as the only data movement. Lineage is
-    truncated every iteration with an eager ``localCheckpoint`` (a
-    cluster deployment would use reliable checkpointing) so the plan
-    does not grow exponentially with ``n_iter`` — the standard Pregel
-    iteration pattern, expressed declaratively per step so Catalyst
-    still optimizes each superstep.
+    map-side-combinable sum as the only data movement.
+
+    Lineage: each superstep references the CHECKPOINTED edge/degree
+    relations plus the previous rank relation once, so the plan grows
+    linearly in ``n_iter``, not exponentially — a handful of iterations
+    run as ONE job with no mid-loop materialization. Only every
+    ``checkpoint_every``-th iteration cuts lineage with an eager
+    ``localCheckpoint`` (reliable checkpointing on a cluster): the
+    fixed cost of an extra job per superstep dominates small-graph /
+    low-iteration runs, while deep runs still bound plan depth and
+    recovery-recompute cost.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.localCheckpoint(eager=True)
@@ -69,7 +75,7 @@ def pagerank(
     )
     deg = deg.localCheckpoint(eager=True)
     pr = deg.select("node", F.lit(1_000_000).cast("long").alias("pr"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             e.join(
                 pr.join(deg, "node").select(
@@ -89,7 +95,9 @@ def pagerank(
             )
             .cast("long")
             .alias("pr"),
-        ).localCheckpoint(eager=True)
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            pr = pr.localCheckpoint(eager=True)
     return deg.join(pr, "node").select(
         "node",
         F.col("deg").cast("long").alias("degree"),
@@ -145,11 +153,20 @@ FROM deg d JOIN pr3 p ON p.node = d.node
 )
 def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize with a row-local explode, NOT a self-union: a union of
+    # two selects would evaluate the (expensive) pair pipeline twice
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank(edges, n_iter=3).select(
         F.col("node").alias("doc_id"), "degree", "pr_micros"
     )
