@@ -1137,14 +1137,17 @@ def q140_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
         .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "shingle")
     )
-    dup = (
-        ps.groupBy("shingle")
-        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .select("shingle")
-    )
-    fl = ps.join(dup.withColumn("hit", F.lit(1)), "shingle", "left").select(
-        "doc_id", "pos", F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup")
+    # cross-doc test as a shingle-partitioned whole-frame min/max window:
+    # ONE shingle-keyed exchange and a single evaluation of ps, where an
+    # aggregate-then-join-back would shuffle ps twice and evaluate the
+    # explode pipeline twice (partitions are per-shingle — tiny, no skew)
+    w_sh = Window.partitionBy("shingle")
+    fl = ps.select(
+        "doc_id",
+        "pos",
+        (
+            F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)
+        ).cast("int").alias("is_dup"),
     )
     cnt = fl.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"), F.sum("is_dup").alias("n_dup")
