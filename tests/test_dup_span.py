@@ -62,3 +62,41 @@ def test_token_budget_greedy_cutoff(spark, tmp_path):
     out = _run(spark, "q141_token_budget_mix", rows, tmp_path)
     kept = {r["doc_id"]: r["cum_toks"] for r in out}
     assert kept == {1: 500, 2: 700, 5: 100}
+
+
+def test_token_budget_windows_are_bucket_partitioned(spark):
+    # q141: the corpus-sized cumsum window must be partitioned by
+    # (source, length bucket); only the per-bucket-totals window may be
+    # source-wide (bucket-count rows per source)
+    import io, contextlib
+
+    catalog._ensure_loaded()
+    df = catalog.REGISTRY["q141_token_budget_mix"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # every window is source-partitioned (spec lists partition cols
+    # first); an unpartitioned window would print its ORDER column
+    # (n_toks) first instead
+    assert "windowspecdefinition(source" in plan
+    assert "windowspecdefinition(n_toks" not in plan
+
+
+def test_canonical_by_pagerank_no_window(spark):
+    # q142's Spark side is a single combinable max_by aggregate — the
+    # oracle's ROW_NUMBER window must NOT leak into the Spark plan
+    import io, contextlib
+
+    catalog._ensure_loaded()
+    df = catalog.REGISTRY["q142_canonical_by_pagerank"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "windowspecdefinition" not in plan
+    assert "max_by" in plan
