@@ -140,3 +140,49 @@ FROM c
 def q137_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = probe_doc_scores(load(spark, sf_dir, "documents"))
     return binary_auc(scored)
+
+
+@register(
+    "q143_calibration_bins",
+    oracle=f"""
+WITH {_PROBE_CTES},
+s AS (
+  SELECT lab.y, COALESCE(sc.score, 0) AS score
+  FROM lab LEFT JOIN scores sc USING (doc_id)
+)
+SELECT CAST(CASE WHEN score >= 0 THEN score // 4096
+            ELSE -((-score + 4095) // 4096) END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM s GROUP BY bin
+""",
+    doc="Classifier calibration table (reliability-diagram input) for "
+    "the q134 probe: fixed-width score bins (floor division by 4096, "
+    "negatives floored explicitly so both engines agree regardless of "
+    "their native div semantics), per-bin count / positives / positive "
+    "rate in ppm / score mass. ONE map-side-combinable aggregation on "
+    "the bin key — the whole-corpus eval that says WHERE the "
+    "classifier's confidence is miscalibrated, complementing q137's "
+    "single-number AUC. All integer.",
+)
+def q143_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = probe_doc_scores(load(spark, sf_dir, "documents"))
+    # explicit floor for negatives: Spark `div` truncates toward zero,
+    # DuckDB `//` floors — spelling the floor out keeps both identical
+    bin_col = F.expr(
+        "CASE WHEN score >= 0 THEN score div 4096"
+        " ELSE -((-score + 4095) div 4096) END"
+    ).cast("long")
+    return (
+        s.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("sum(y) * 1000000 div count(1)").cast("long").alias(
+                "pos_rate_ppm"
+            ),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )

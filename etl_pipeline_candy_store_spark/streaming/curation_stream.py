@@ -183,3 +183,78 @@ def read_deduped_docs(spark: SparkSession, state_dir: str) -> DataFrame:
         return spark.read.parquet(f"{state_dir}/docs").drop("batch")
     except Exception:
         return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+# --- Streaming token-budget admission (the q141 quota, on arrival) ----
+
+
+def apply_token_budget_batch(
+    batch: DataFrame, state_dir: str, batch_id: int, budget: int = 800
+) -> None:
+    """Admit arriving docs while their source's cumulative token count
+    (in arrival = doc_id order) stays within ``budget`` — the streaming
+    form of q141's greedy-prefix quota.
+
+    State is ONE row per source per batch: the source's TOTAL arriving
+    tokens (admitted or not). Tracking arrived-not-admitted mass makes
+    the cross-batch rule exactly the global prefix rule: a doc admits
+    iff the cumulative tokens of every doc arrived before it (plus
+    itself) fit the budget — identical to running the batch cumsum over
+    the concatenated stream, so stream≡batch holds with no
+    closed-source flag or per-doc state. Bounded by n_sources ×
+    n_batches, not stream length. ``batch=N`` overwrites keep replay
+    idempotent (the delta is derived from the batch content alone)."""
+    spark = batch.sparkSession
+    from pyspark.sql.window import Window
+
+    lens = batch.withColumn(
+        "_n", F.size(F.split("text", " ")).cast("long")
+    ).localCheckpoint(eager=True)
+    if not lens.take(1):
+        return
+    try:
+        spent = (
+            spark.read.parquet(f"{state_dir}/spent")
+            .filter(F.col("batch") < batch_id)
+            .groupBy("source")
+            .agg(F.sum("arrived").alias("_spent"))
+        )
+    except Exception:
+        spent = spark.createDataFrame([], "source string, _spent bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lens.withColumn("_cum", F.sum("_n").over(w)).join(
+        spent, "source", "left"
+    )
+    admitted = cum.where(
+        F.coalesce(F.col("_spent"), F.lit(0)) + F.col("_cum") <= budget
+    )
+    admitted.drop("_n", "_cum", "_spent").write.mode("overwrite").parquet(
+        f"{state_dir}/docs/batch={batch_id}"
+    )
+    lens.groupBy("source").agg(F.sum("_n").alias("arrived")).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/spent/batch={batch_id}")
+
+
+def stream_token_budget(doc_stream: DataFrame, state_dir: str, budget: int = 800):
+    """Wire a (doc_id, text, source, ...) stream through per-source
+    token-budget admission. Returns a ``DataStreamWriter``."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_token_budget_batch(batch, state_dir, batch_id, budget)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_admitted_docs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated budget-admitted document table."""
+    try:
+        return spark.read.parquet(f"{state_dir}/docs").drop("batch")
+    except Exception:
+        return spark.createDataFrame(
+            [], "doc_id bigint, text string, source string"
+        )

@@ -1290,3 +1290,82 @@ def test_pq_code_dedup_replay_is_idempotent(spark, tmp_path):
         r["vec_id"] for r in read_pq_deduped_vectors(spark, state).collect()
     )
     assert second == first
+
+
+def test_stream_token_budget_matches_batch_prefix(spark, tmp_path):
+    """Per-source token-budget admission on arrival must equal the
+    batch greedy-prefix rule over the whole corpus in doc_id order:
+    the stream state tracks each source's TOTAL arrived tokens
+    (admitted or not), which makes the cross-batch admission test
+    exactly the global cumulative prefix — no closed-source flag."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        read_admitted_docs,
+        stream_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").localCheckpoint(eager=True)
+    src = str(tmp_path / "budget_src")
+    for lo, hi in [(0, 170), (170, 340), (340, 10_000)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "budget_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_token_budget(stream, state, budget=800)
+        .option("checkpointLocation", str(tmp_path / "ckpt_budget"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in read_admitted_docs(spark, state).collect()}
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn(
+            "_cum", F.sum(F.size(F.split("text", " ")).cast("long")).over(w)
+        )
+        .where(F.col("_cum") <= 800)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_token_budget_replay_idempotent(spark, tmp_path):
+    """Re-applying a batch (crash replay) must rewrite identical
+    content, not double-admit or double-count budget."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_token_budget_batch,
+        read_admitted_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    b0 = docs.filter(F.col("doc_id") < 170)
+    b1 = docs.filter(F.col("doc_id") >= 170)
+    state = str(tmp_path / "replay_state")
+    apply_token_budget_batch(b0, state, 0, budget=800)
+    apply_token_budget_batch(b1, state, 1, budget=800)
+    once = {r["doc_id"] for r in read_admitted_docs(spark, state).collect()}
+    apply_token_budget_batch(b1, state, 1, budget=800)  # replay
+    twice = {r["doc_id"] for r in read_admitted_docs(spark, state).collect()}
+    assert once == twice and len(once) > 0
