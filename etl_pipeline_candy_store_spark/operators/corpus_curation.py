@@ -424,3 +424,123 @@ def q141_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cum_toks") <= 800)
     )
+
+
+_CLUSTER_HASH_SQL = (
+    "(instr('0123456789abcdef',"
+    " substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef',"
+    " substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "q144_leakage_safe_split",
+    oracle=None,  # composed below from dedup's _CLUSTERS_SQL
+    doc="Leakage-safe train/val/test split: the ~90/5/5 hash assignment "
+    "(q80's portable md5-nibble construction) keyed on the q54 dup "
+    "CLUSTER id instead of the document — every near-duplicate pair "
+    "lands in the SAME split by construction, so no test document has "
+    "a near-copy in train (the eval-contamination mode a doc-level "
+    "split cannot prevent; see q51/q54). Stateless expression on top "
+    "of cluster labels: no RNG, no coordination, retry-identical; "
+    "cost is exactly q54's clustering plus a row-local hash.",
+)
+def q144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q54_dedup_clusters,
+    )
+
+    c = q54_dedup_clusters(spark, sf_dir)
+    md5 = F.md5(F.col("cluster_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(md5, i, 1)
+    ) - 1
+    h = nib(1) * 16 + nib(2)
+    return c.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 230, F.lit("train"))
+        .when(h < 243, F.lit("val"))
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _q144_oracle() -> str:
+    from etl_pipeline_candy_store_spark.operators.dedup import _CLUSTERS_SQL
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+a AS (SELECT doc_id, cluster_id, {_CLUSTER_HASH_SQL} AS h FROM clusters)
+SELECT doc_id, cluster_id,
+       CASE WHEN h < 230 THEN 'train'
+            WHEN h < 243 THEN 'val'
+            ELSE 'test' END AS split
+FROM a
+"""
+
+
+import dataclasses as _dc_cc
+
+REGISTRY["q144_leakage_safe_split"] = _dc_cc.replace(
+    REGISTRY["q144_leakage_safe_split"], oracle=_q144_oracle()
+)
+
+
+@register(
+    "q145_length_drift",
+    oracle="""
+WITH s AS (
+  SELECT doc_id % 2 AS half,
+         CAST(len(string_split(text, ' ')) AS BIGINT) // 8 AS bin
+  FROM documents
+),
+b AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+  FROM s GROUP BY bin
+),
+t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM b)
+SELECT b.bin, b.o1, b.o2,
+       CAST(((b.o1 * t.n2 - b.o2 * t.n1) * (b.o1 * t.n2 - b.o2 * t.n1))
+            // (t.n1 * t.n2) * 1000000 // (b.o1 + b.o2) AS BIGINT)
+         AS chi2_contrib_micros
+FROM b, t
+""",
+    doc="Distribution-drift monitor (two-sample chi-square over the "
+    "doc-length histogram): splits the corpus into deterministic "
+    "halves (doc_id parity — the stand-in for snapshot A vs snapshot "
+    "B), bins token lengths, and emits each bin's contribution to the "
+    "two-sample chi-square statistic in integer micros — the "
+    "drift-alarm input a continuously-ingesting training pipeline "
+    "watches to catch a crawler or upstream-format change. ONE scan, "
+    "one combinable agg on the bin key, a 1-row broadcast of the half "
+    "totals; all-integer algebraic form (o1*n2 - o2*n1)^2/(n1*n2*"
+    "(o1+o2)) with the division staged to stay inside int64.",
+)
+def q145_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT) div 8").alias("bin"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("o1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("o2"),
+    )
+    t = b.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    return b.join(F.broadcast(t)).select(
+        "bin",
+        "o1",
+        "o2",
+        F.expr(
+            "CAST(((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1))"
+            " div (n1 * n2) * 1000000 div (o1 + o2) AS BIGINT)"
+        ).alias("chi2_contrib_micros"),
+    )

@@ -6,6 +6,8 @@ inputs where the expected answer is computed by hand."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_pipeline_candy_store_spark.plans import catalog
 
 
@@ -100,3 +102,37 @@ def test_canonical_by_pagerank_no_window(spark):
     plan = buf.getvalue()
     assert "windowspecdefinition" not in plan
     assert "max_by" in plan
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    # the defining property: no near-dup pair straddles two splits
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        q144_leakage_safe_split,
+    )
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q51_ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = q144_leakage_safe_split(spark, sf).select("doc_id", "split")
+    pairs = q51_ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    leaky = (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert leaky == 0
+    assert pairs.count() > 0
+    # and all three splits are actually populated
+    assert split.select("split").distinct().count() == 3
