@@ -1123,3 +1123,176 @@ def q76_priority_bands_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — market share (TPC-H Q8 shape): the deepest join tree in the
+# catalog — 7 relations (part, lineitem, supplier, orders, customer,
+# nation x2 roles, region). Scale: Catalyst broadcast-joins every
+# dimension (part/supplier/customer/nation/region are all tiny vs
+# lineitem), so the only shuffle is the orders<->lineitem fact join plus
+# the 7-group final agg; the nation table enters TWICE under different
+# roles (customer's nation for the region filter, supplier's nation for
+# the share test) — the multi-role dimension pattern. Volumes are exact
+# scale-4 integer units (the decimal product's full scale — the BIGINT
+# cast truncates nothing, unlike a cents cast which straddles engines'
+# decimal->int rounding), and the ppm share divides staged (both sides
+# pre-shrunk by 1000) to stay inside int64 with ~100x headroom.
+@register(
+    "q146_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = (SELECT n_name FROM nation
+                                         WHERE n_nationkey = 0)
+                  THEN CAST(l.l_extendedprice AS DECIMAL(15,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(5,2)))
+                  ELSE CAST(0 AS DECIMAL(15,2)) END) * 10000 AS BIGINT)
+           AS nation_u,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) * 10000
+              AS BIGINT) AS total_u
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'MEDIUM'
+  GROUP BY o_year
+)
+SELECT o_year, nation_u, total_u,
+       CAST((nation_u // 1000) * 1000000 // NULLIF(total_u // 1000, 0)
+            AS BIGINT) AS share_ppm
+FROM vol
+""",
+    doc="TPC-H Q8 market-share shape: nation-0 suppliers' revenue share "
+    "of MEDIUM-type parts sold into ASIA, by order year. The deepest "
+    "join tree in the catalog (7 relations, nation joined twice under "
+    "different roles); every dimension broadcasts, so the single "
+    "shuffle is the fact join + year-keyed agg. Integer-ppm share over "
+    "exact scale-4 volume units (see header comment for the rounding "
+    "and overflow discipline).",
+)
+def q146_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "MEDIUM")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    target = (
+        n.where(F.col("n_nationkey") == 0)
+        .select(F.col("n_name").alias("_target"))
+    )
+    vol = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(n.alias("n1")),
+            F.col("c_nationkey") == F.col("n1.n_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r["r_regionkey"])
+        .join(
+            F.broadcast(n.alias("n2")),
+            F.col("s_nationkey") == F.col("n2.n_nationkey"),
+        )
+        .crossJoin(F.broadcast(target))
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", _RATE))
+    agg = vol.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col("n2.n_name") == F.col("_target"), volume).otherwise(
+                    F.lit(0).cast("decimal(15,2)")
+                )
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("nation_u"),
+        (F.sum(volume) * 10000).cast("long").alias("total_u"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_u",
+        "total_u",
+        F.expr(
+            "(nation_u div 1000) * 1000000 div NULLIF(total_u div 1000, 0)"
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — small-quantity revenue (TPC-H Q17 shape): the correlated-
+# aggregate-subquery pattern. Catalyst rewrites the correlated
+# "l_quantity < 0.2 * avg(per part)" into a per-part aggregate joined
+# back to the fact — the avg side is part-cardinality (broadcastable),
+# so the threshold test costs one broadcast join, not a per-row
+# subquery execution. Threshold in exact integer: qty*10 < 2*sum/cnt
+# avoids the 0.2 float entirely (both sides integer under the
+# whole-number l_quantity domain).
+@register(
+    "q147_small_qty_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * 10) AS BIGINT)
+           AS qty10_sum,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+         AS revenue_cents,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) * 100
+            AS BIGINT) // 7 AS BIGINT) AS yearly_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND CAST(CAST(l.l_quantity AS DECIMAL(15,2)) * 10 AS BIGINT) * pa.cnt * 10
+      < 2 * pa.qty10_sum
+""",
+    doc="TPC-H Q17 shape: revenue from quantities below 20% of the "
+    "part's average — the correlated-aggregate threshold every 'flag "
+    "anomalously small orders' report uses. The per-part average is "
+    "ONE part-keyed aggregate broadcast back onto the fact (the "
+    "decorrelated plan); the 0.2 factor is exact integer arithmetic "
+    "(qty*10*cnt*10 < 2*sum(qty*10)), no float thresholds. Single "
+    "fact scan + one broadcast join + a global count/sum.",
+)
+def q147_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    pa = l.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity") * 10)).cast("long").alias("qty10_sum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(pa), "l_partkey")
+        .where(
+            (_dec("l_quantity") * 10).cast("long") * F.col("cnt") * 10
+            < 2 * F.col("qty10_sum")
+        )
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        (F.sum(_dec("l_extendedprice")) * 100).cast("long").alias(
+            "revenue_cents"
+        ),
+        F.expr(
+            "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) * 100"
+            " AS BIGINT) div 7 AS BIGINT)"
+        ).alias("yearly_cents"),
+    )

@@ -427,3 +427,20 @@ def test_key_skew_profile_topk_single_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_market_share_broadcasts_all_dimensions(spark):
+    # q146: 7-relation tree — every dimension join must be a broadcast;
+    # the only sort-merge/shuffle join allowed is orders<->lineitem
+    plan = _plan(spark, "q146_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_threshold_is_broadcast_join(spark):
+    # q147: the decorrelated per-part average must come back as a
+    # broadcast join, not a shuffle or per-row subquery
+    plan = _plan(spark, "q147_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
