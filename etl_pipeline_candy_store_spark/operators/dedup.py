@@ -488,9 +488,8 @@ _SIMHASH_BANDS = 4  # q68: 4 bands x 8 bits over a 32-bit simhash
 _HAMMING_MAX = 3
 
 
-@register(
-    "q68_simhash_neardup",
-    oracle=f"""
+#: q68's full oracle — also composed by q149's gate calibration.
+_SIMHASH_PAIRS_SQL = f"""
 WITH sims AS ({_simhash_sql(32)}),
 bands AS (
   SELECT doc_id, simhash, u.band_idx,
@@ -507,7 +506,12 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
-""",
+"""
+
+
+@register(
+    "q68_simhash_neardup",
+    oracle=_SIMHASH_PAIRS_SQL,
     doc="SimHash banded near-dup: 32-bit simhash split into 4 x 8-bit "
     "bands; pairs sharing >=1 band are candidates, verified by hamming "
     "distance. EXACT for this radius, not approximate: any pair within "
@@ -1177,4 +1181,70 @@ def q140_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_dup_span_tokens"),
             (F.coalesce("max_run", F.lit(0)) + 2 >= 10).alias("long_dup"),
         )
+    )
+
+
+@register(
+    "q149_simhash_gate_calibration",
+    oracle=f"""
+WITH s AS ({_SIMHASH_PAIRS_SQL}),
+j AS ({_JACCARD_PAIRS_SQL}),
+m AS (
+  SELECT COALESCE(s.doc_a, j.doc_a) AS doc_a,
+         COALESCE(s.doc_b, j.doc_b) AS doc_b,
+         (s.doc_a IS NOT NULL) AS in_s,
+         (j.doc_a IS NOT NULL) AS in_j
+  FROM s FULL JOIN j ON s.doc_a = j.doc_a AND s.doc_b = j.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       CAST(SUM(CASE WHEN in_j THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard,
+       CAST(SUM(CASE WHEN in_s AND in_j THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(SUM(CASE WHEN in_s AND in_j THEN 1 ELSE 0 END) * 1000000
+            // NULLIF(SUM(CASE WHEN in_s THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS precision_ppm,
+       CAST(SUM(CASE WHEN in_s AND in_j THEN 1 ELSE 0 END) * 1000000
+            // NULLIF(SUM(CASE WHEN in_j THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS recall_ppm
+FROM m
+""",
+    doc="Dedup-gate calibration: precision/recall (ppm) of the banded "
+    "SimHash pair set (q68, hamming<=3) against the exact n-gram "
+    "Jaccard ground truth (q51) — the measurement that justifies "
+    "running the cheap bit-signature gate instead of the shingle join "
+    "on the next 100 TB batch, and the alarm when a corpus shift "
+    "degrades it. One full-outer equi-join on the pair key between two "
+    "already-thresholded pair relations (both far smaller than the "
+    "corpus), then a single global count — no pair-space scan beyond "
+    "what q68/q51 already did. NULLIF keeps empty pair sets NULL in "
+    "both engines.",
+)
+def q149_simhash_gate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = q68_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_s")
+    )
+    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_j")
+    )
+    m = s.join(j, ["doc_a", "doc_b"], "full_outer")
+    return m.agg(
+        F.sum(F.coalesce("in_s", F.lit(0))).cast("long").alias("n_simhash"),
+        F.sum(F.coalesce("in_j", F.lit(0))).cast("long").alias("n_jaccard"),
+        F.sum(
+            F.coalesce("in_s", F.lit(0)) * F.coalesce("in_j", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_both"),
+    ).select(
+        "n_simhash",
+        "n_jaccard",
+        "n_both",
+        F.expr("n_both * 1000000 div NULLIF(n_simhash, 0)")
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr("n_both * 1000000 div NULLIF(n_jaccard, 0)")
+        .cast("long")
+        .alias("recall_ppm"),
     )

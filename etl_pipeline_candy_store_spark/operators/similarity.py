@@ -1248,3 +1248,84 @@ def q129_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("entry_id"), "embedding"
     )
     return pq_code_groups(e, cb, m=3)
+
+
+@register(
+    "q148_sq8_reconstruction_error",
+    oracle=f"""
+WITH {_SQ8_CODES_SQL},
+d AS (
+  SELECT e.vec_id, e.label,
+         list_transform(range(1, len(e.embedding) + 1),
+           i -> CASE WHEN maxs[i] = mins[i] THEN 0.0
+                ELSE CAST(e.embedding[i] AS DOUBLE)
+                     - (mins[i] + (CAST(c.codes[i] AS DOUBLE) + 0.5)
+                        * (maxs[i] - mins[i]) / 255.0) END) AS diffs
+  FROM embeddings e JOIN codes c USING (vec_id), arrs
+),
+errs AS (
+  SELECT vec_id, label,
+         CAST(floor(list_reduce(list_transform(diffs, x -> x * x),
+              (p, s) -> p + s) * 1000000000000.0) AS BIGINT) AS sse_fp
+  FROM d
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(sse_fp) AS BIGINT) AS total_sse_fp,
+       CAST(MAX(sse_fp) AS BIGINT) AS max_sse_fp
+FROM errs GROUP BY label
+""",
+    doc="SQ8 quantization-quality report: per-vector squared "
+    "reconstruction error of the q69 int8 codes (midpoint decode), "
+    "rolled up per label — the measurement that says whether the 4x "
+    "compression is safe for the search workload, and the drift alarm "
+    "when new data leaves the calibrated min/max range. Per-vector "
+    "error is a row-local array fold over the broadcast stats (same "
+    "one-scan shape as encoding); the only shuffle is the label "
+    "rollup. The double arithmetic is identically associated in both "
+    "engines (array-ordered fold, 0-init addition is IEEE-exact), then "
+    "floored to integer picounits BEFORE the distributed sum — so the "
+    "cross-engine hash stays exact.",
+)
+def q148_sq8_reconstruction_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    codes = _sq8_codes(e)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    stats = ex.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+    diffs = (
+        "transform(sequence(1, size(embedding)), i ->"
+        " CASE WHEN element_at(maxs, i) = element_at(mins, i) THEN 0.0D"
+        " ELSE CAST(element_at(embedding, i) AS DOUBLE)"
+        " - (element_at(mins, i) + (CAST(element_at(codes, i) AS DOUBLE)"
+        " + 0.5D) * (element_at(maxs, i) - element_at(mins, i)) / 255.0D)"
+        " END)"
+    )
+    sse = (
+        f"CAST(floor(aggregate(transform({diffs}, x -> x * x), 0.0D,"
+        " (p, s) -> p + s) * 1000000000000.0D) AS BIGINT)"
+    )
+    return (
+        e.join(codes, "vec_id")
+        .crossJoin(F.broadcast(arrs))
+        .select("label", F.expr(sse).alias("sse_fp"))
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sse_fp").cast("long").alias("total_sse_fp"),
+            F.max("sse_fp").cast("long").alias("max_sse_fp"),
+        )
+    )
