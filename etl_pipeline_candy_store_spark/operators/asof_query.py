@@ -4,7 +4,7 @@ the engine's union+window implementation."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.asof import asof_join, sessionize
@@ -125,5 +125,81 @@ def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "q151_conversion_paths",
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+ctx AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER wv AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN ts END) OVER wv AS last_error
+  FROM sess
+  WINDOW wv AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN last_view IS NOT NULL
+                     AND (last_error IS NULL OR last_error < last_view)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM ctx WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    doc="Event-sequence pattern matching (MATCH_RECOGNIZE-lite): per "
+    "purchase, was there a preceding 'view' in the SAME 30-min session "
+    "with no 'error' between them — the clean view→purchase conversion "
+    "path, per user. Sequence logic runs as session-partitioned "
+    "running-max windows over the event timeline (last view / last "
+    "error strictly before each event), NOT string/regex matching over "
+    "collected sequences — no per-session array materialization, no "
+    "regex-engine dialect risk, and every window is bounded by one "
+    "user's session. Composes the q34 sessionizer (same gap rule, "
+    "single copy of the session semantics).",
+)
+def q151_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    s = sessionize(ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes")
+    wv = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ctx = s.select(
+        "user_id",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(wv).alias(
+            "last_view"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(wv).alias(
+            "last_error"
+        ),
+    )
+    clean = F.col("last_view").isNotNull() & (
+        F.col("last_error").isNull() | (F.col("last_error") < F.col("last_view"))
+    )
+    return (
+        ctx.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_clean"),
         )
     )

@@ -535,3 +535,38 @@ def q111_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("int").alias("n_kept"),
         F.array_join(kept, " ").alias("text_aug"),
     )
+
+
+@register(
+    "q150_eval_holdout",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+           AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+    doc="Exact-k-per-stratum holdout: the 5 docs per language with the "
+    "smallest content-md5 — a fixed-size, deterministic, "
+    "content-addressed eval sample (rate-based q56 cannot guarantee "
+    "per-stratum counts; benchmark construction needs exactly k). "
+    "Hash order is pseudo-random but identical on every run/engine/"
+    "retry. The per-stratum top-k runs as a lang-PARTITIONED window — "
+    "bounded by one stratum per task, never a global sort (and at "
+    "extreme stratum skew the q89-style orderBy().limit() per-group "
+    "top-k applies).",
+)
+def q150_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+    )

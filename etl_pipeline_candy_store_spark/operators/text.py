@@ -1548,3 +1548,53 @@ def q139_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_subword_micros"),
         )
     )
+
+
+@register(
+    "q152_lexical_diversity",
+    oracle="""
+WITH tc AS (
+  SELECT d.source, t.tok, COUNT(*) AS n
+  FROM (SELECT doc_id, source FROM documents) d
+  JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t USING (doc_id)
+  GROUP BY d.source, t.tok
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_ppm,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS hapax_ppm
+FROM tc GROUP BY source
+""",
+    doc="Lexical-diversity profile per source: type-token ratio and "
+    "hapax-legomenon share (both ppm) — the vocabulary-richness "
+    "signals that expose template-generated or boilerplate-heavy "
+    "sources (low TTR, low hapax share) before they flood a training "
+    "mix. One explode into a (source, token)-keyed combinable count, "
+    "then a source rollup that folds the per-type relation — the "
+    "corpus is touched once; no distinct-count sketch needed because "
+    "the exact type table IS the intermediate.",
+)
+def q152_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("count(1) * 1000000 div sum(n)").cast("long").alias("ttr_ppm"),
+        F.expr(
+            "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
