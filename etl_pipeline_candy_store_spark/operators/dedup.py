@@ -1248,3 +1248,137 @@ def q149_simhash_gate_calibration(
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+_SIG_COLS_SQL = ", ".join(
+    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASHES)
+)
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES)
+)
+
+
+@register(
+    "q154_minhash_estimator_error",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+p AS ({_JACCARD_PAIRS_SQL}),
+j AS (
+  SELECT p.n_common, p.n_union, ({_AGREE_SQL}) AS agree
+  FROM p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT CAST(agree AS INTEGER) AS agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(agree * 1000000 // {_N_HASHES} AS BIGINT) AS est_ppm,
+       CAST(SUM(n_common * 1000000 // n_union) // COUNT(*) AS BIGINT)
+         AS avg_exact_ppm
+FROM j GROUP BY agree
+""",
+    doc="MinHash estimator calibration: for every exact-Jaccard pair "
+    "(q51 ground truth), how many of the 6 signature components agree "
+    "(the q52 gate's similarity estimate, E[agree/k] = J), bucketed by "
+    "agreement count with the mean exact Jaccard (ppm) per bucket — "
+    "the curve that says what signature agreement actually MEANS in "
+    "similarity terms, i.e. how to set the band threshold. Signatures "
+    "come from the same per-doc aggregation q52 uses (single copy); "
+    "the pair relation is the already-thresholded q51 set, so the "
+    "calibration costs two doc-keyed broadcast-size joins plus one "
+    "tiny agg — never a pair-space scan.",
+)
+def q154_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_per_doc(d).drop("n", "S")
+    p = q51_ngram_jaccard_pairs(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    j = p.join(a, "doc_a").join(b, "doc_b").select(
+        "n_common", "n_union", agree.alias("agree")
+    )
+    return (
+        j.groupBy(F.col("agree").cast("int").alias("agree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(n_common * 1000000 div n_union) div count(1)")
+            .cast("long")
+            .alias("avg_exact_ppm"),
+        )
+        .select(
+            "agree",
+            "n_pairs",
+            F.expr(f"agree * 1000000 div {_N_HASHES}")
+            .cast("long")
+            .alias("est_ppm"),
+            "avg_exact_ppm",
+        )
+    )
+
+
+@register(
+    "q153_dedup_savings",
+    oracle=f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+m AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT cluster_id, COUNT(*) AS n_members,
+         SUM(n_chars) AS chars_total, MIN(doc_id) AS keep_id
+  FROM m GROUP BY cluster_id
+),
+perk AS (
+  SELECT p.n_members, p.chars_total, d.n_chars AS chars_kept
+  FROM per p JOIN documents d ON d.doc_id = p.keep_id
+)
+SELECT CAST(n_members AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+       CAST(SUM(chars_total - chars_kept) AS BIGINT) AS chars_saved
+FROM perk GROUP BY n_members
+""",
+    doc="Dedup savings report: per duplicate-cluster size, how many "
+    "clusters exist and how many characters deduplication removes "
+    "(total member chars minus the kept canonical's) — the "
+    "storage-and-compute business case for running the dedup stage, "
+    "and the skew readout (one giant cluster vs many doubletons needs "
+    "different handling). Spark side needs NO join-back for the "
+    "canonical's size: ONE cluster-keyed aggregate with combinable "
+    "min_by(n_chars, doc_id) (the oracle expresses the same argmin "
+    "relationally), then a tiny rollup on cluster size.",
+)
+def q153_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q54_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per = (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("chars_total"),
+            F.expr("min_by(n_chars, doc_id)").alias("chars_kept"),
+        )
+    )
+    return per.groupBy(
+        F.col("n_members").cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("chars_total").cast("long").alias("chars_total"),
+        F.sum(F.col("chars_total") - F.col("chars_kept"))
+        .cast("long")
+        .alias("chars_saved"),
+    )
