@@ -99,3 +99,66 @@ def test_auc_no_global_score_window(spark):
     plan = buf.getvalue()
     assert "windowspecdefinition(score" not in plan, plan
     assert "windowspecdefinition(bkt" in plan
+
+
+def _py_pagerank(edges, n_iter):
+    deg, adj = {}, {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        adj.setdefault(d, []).append(s)
+    pr = {n: 1_000_000 for n in deg}
+    for _ in range(n_iter):
+        c = {n: pr[n] // deg[n] for n in deg}
+        pr = {
+            n: 150_000 + (850 * sum(c[s] for s in srcs)) // 1000
+            for n, srcs in adj.items()
+        }
+    return {n: (deg[n], pr[n]) for n in deg}
+
+
+def test_pagerank_matches_python_reference_random_graphs(spark):
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        nodes = list(range(1, 13))
+        pairs = set()
+        while len(pairs) < 14:
+            a, b = rng.sample(nodes, 2)
+            pairs.add((min(a, b), max(a, b)))
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        got = {
+            r["node"]: (r["degree"], r["pr_micros"])
+            for r in pagerank(
+                spark.createDataFrame(sym, "src long, dst long"), n_iter=3
+            ).collect()
+        }
+        assert got == _py_pagerank(sym, 3), f"seed {seed}"
+
+
+def _py_auc(rows):
+    pos = sorted(s for s, y in rows if y == 1)
+    neg = sorted(s for s, y in rows if y == 0)
+    if not pos or not neg:
+        return None
+    num = 0
+    for p in pos:
+        num += 2 * sum(1 for n in neg if n < p) + sum(1 for n in neg if n == p)
+    return (num * 1_000_000) // (2 * len(pos) * len(neg))
+
+
+def test_binary_auc_matches_python_reference_random_scores(spark):
+    import random
+
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        # heavy ties + negatives + cross-bucket magnitudes
+        rows = [
+            (rng.choice([-200_000, -3, -1, 0, 1, 4, 70_000, 200_000]),
+             rng.randint(0, 1))
+            for _ in range(60)
+        ]
+        got = binary_auc(
+            spark.createDataFrame(rows, "score long, y int")
+        ).collect()[0]["auc_ppm"]
+        assert got == _py_auc(rows), f"seed {seed}"
