@@ -54,6 +54,9 @@ HEADLINE = [
     "q137_probe_auc",           # tie-corrected distributed AUC (r5)
     "q140_dup_span_profile",    # substring-dedup span gate (r5)
     "q141_token_budget_mix",    # per-source token-budget selection (r5)
+    "q146_market_share",        # 7-relation broadcast join tree (r5)
+    "q151_conversion_paths",    # session-windowed sequence matching (r5)
+    "q152_lexical_diversity",   # TTR/hapax per source (r5)
 ]
 
 

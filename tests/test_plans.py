@@ -444,3 +444,19 @@ def test_small_qty_threshold_is_broadcast_join(spark):
     plan = _plan(spark, "q147_small_qty_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_conversion_paths_windows_session_partitioned(spark):
+    # q151: every window is partitioned by user (sessionize) or
+    # (user, session); no global event-timeline window
+    plan = _plan(spark, "q151_conversion_paths")
+    assert "windowspecdefinition(user_id" in plan
+    assert "windowspecdefinition(ts" not in plan
+
+
+def test_gate_calibration_no_pair_scan(spark):
+    # q149/q154: calibration joins two already-thresholded pair
+    # relations — never a cartesian over the corpus
+    for name in ("q149_simhash_gate_calibration", "q154_minhash_estimator_error"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
