@@ -40,9 +40,7 @@ def q38_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(c, updates, keys=["c_custkey"])
 
 
-@register(
-    "q39_scd2_history",
-    oracle="""
+_SCD2_SQL = """
 WITH marked AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
          CASE WHEN lag(o_orderpriority) OVER w IS NULL
@@ -58,7 +56,12 @@ SELECT o_custkey, o_orderpriority,
        CASE WHEN lead(o_orderdate) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
 FROM versions
 WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
+"""
+
+
+@register(
+    "q39_scd2_history",
+    oracle=_SCD2_SQL,
     doc="SCD2 dimension history from a change stream: each customer's "
     "priority changes become versioned rows with validity ranges.",
 )
@@ -97,4 +100,59 @@ def q39_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lead("o_orderdate").over(w2).isNull(), 1)
         .otherwise(0)
         .alias("is_current"),
+    )
+
+
+@register(
+    "q155_point_in_time_join",
+    oracle=f"""
+WITH hist AS ({_SCD2_SQL})
+SELECT o.o_orderkey, o.o_custkey,
+       h.o_orderpriority AS version_priority,
+       h.valid_from,
+       CAST(date_diff('day', h.valid_from, CAST(o.o_orderdate AS DATE))
+            AS BIGINT) AS age_days
+FROM orders o
+JOIN hist h ON h.o_custkey = o.o_custkey
+  AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+  AND CAST(o.o_orderdate AS DATE) < h.valid_to
+""",
+    doc="Point-in-time (temporal) join: every order matched to the SCD2 "
+    "dimension version (q39's history) valid AT its order date — the "
+    "bitemporal-correctness pattern that prevents training/reporting "
+    "on future attribute values (feature leakage). Each fact matches "
+    "EXACTLY one version: the validity intervals partition each key's "
+    "timeline (new version effective ON its change date, half-open "
+    "[from, to)). Plan shape: equi-join on the customer key carries "
+    "the selectivity, the range predicate prunes to the single valid "
+    "version — never a blind interval cross-product; version_age_days "
+    "is the staleness readout. Composes q39's registered SQL (single "
+    "copy of the SCD2 semantics).",
+)
+def q155_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    h = q39_scd2_history(spark, sf_dir).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("version_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        o.join(
+            h,
+            (o["o_custkey"] == h["o_custkey"])
+            & (o["od"] >= h["valid_from"])
+            & (o["od"] < h["valid_to"]),
+        )
+        .select(
+            "o_orderkey",
+            o["o_custkey"].alias("o_custkey"),
+            "version_priority",
+            "valid_from",
+            F.datediff(F.col("od"), F.col("valid_from"))
+            .cast("long")
+            .alias("age_days"),
+        )
     )

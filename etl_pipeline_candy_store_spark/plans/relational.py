@@ -1296,3 +1296,34 @@ def q147_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) div 7 AS BIGINT)"
         ).alias("yearly_cents"),
     )
+
+
+_Q156_SQL = """
+WITH ranked AS (
+  SELECT c.c_nationkey, o.o_custkey, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+             ORDER BY CAST(o.o_totalprice AS DECIMAL(15,2)) DESC,
+                      o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT c_nationkey, o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register(
+    "q156_sql_surface",
+    oracle=_Q156_SQL,
+    doc="The raw-SQL entry path: top-3 orders per nation executed via "
+    "spark.sql() over registered temp views — the SAME SQL text both "
+    "engines run (the oracle IS the Spark query), proving a user can "
+    "drive this engine through ANSI SQL and get hash-identical results "
+    "to the DataFrame API. Catalyst plans the text identically to the "
+    "equivalent DataFrame chain: nation-partitioned rank (never a "
+    "global sort), customer dim broadcast. DECIMAL ordering key with "
+    "an orderkey tiebreak keeps the top-3 deterministic.",
+)
+def q156_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q156_SQL)
