@@ -58,6 +58,12 @@ HEADLINE = [
     "q138_salted_join_revenue",
     "q140_dup_span_profile",
     "q141_token_budget_mix",
+    # round-5 batch 3: q146 joins the K× fact through 6 broadcast dims;
+    # q147's per-part threshold agg grows with the fact; q155 range-joins
+    # the K× fact to its K×-order-derived SCD2 history on the customer key
+    "q146_market_share",
+    "q147_small_qty_revenue",
+    "q155_point_in_time_join",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
