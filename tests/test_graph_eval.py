@@ -162,3 +162,20 @@ def test_binary_auc_matches_python_reference_random_scores(spark):
             spark.createDataFrame(rows, "score long, y int")
         ).collect()[0]["auc_ppm"]
         assert got == _py_auc(rows), f"seed {seed}"
+
+
+def test_pagerank_midloop_checkpoint_branch_identical(spark):
+    # n_iter > checkpoint_every exercises the lineage-cut branch; the
+    # trajectory must be identical to the unchecked plan and to the
+    # python reference
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1)]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    a = {
+        r["node"]: (r["degree"], r["pr_micros"])
+        for r in pagerank(df, n_iter=9, checkpoint_every=4).collect()
+    }
+    b = {
+        r["node"]: (r["degree"], r["pr_micros"])
+        for r in pagerank(df, n_iter=9, checkpoint_every=100).collect()
+    }
+    assert a == b == _py_pagerank(sym, 9)
