@@ -60,6 +60,10 @@ def binary_auc(scored: DataFrame, score_col: str = "score", label_col: str = "y"
         )
     )
     per = per.withColumn("bkt", F.expr(f"score div {_AUC_BUCKET}"))
+    # `per` (score-level, far smaller than the input) feeds the local
+    # window, the bucket totals, AND the final join — checkpoint it so
+    # the upstream corpus aggregation runs once, not three times
+    per = per.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("bkt")
         .orderBy("score")

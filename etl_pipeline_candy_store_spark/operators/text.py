@@ -1400,9 +1400,15 @@ def probe_doc_scores(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
+    # the labeled feature relation feeds BOTH the gradient and the
+    # scoring pass; without a materialization point Catalyst plans two
+    # independent subtrees (two full featurization scans of the corpus
+    # per consumer — 8 source scans in q137's plan). A LAZY
+    # localCheckpoint makes it a shared leaf computed once (reliable
+    # checkpoint on a cluster).
+    fy = feats.join(y, "doc_id").localCheckpoint(eager=False)
     w = (
-        feats.join(y, "doc_id")
-        .groupBy("dim")
+        fy.groupBy("dim")
         .agg(
             F.sum((F.lit(1) - 2 * F.col("y")) * F.col("weight"))
             .cast("long")
@@ -1411,7 +1417,7 @@ def probe_doc_scores(docs: DataFrame) -> DataFrame:
         .select("dim", (-F.col("g2")).alias("w"))
     )
     scores = (
-        feats.join(F.broadcast(w), "dim")
+        fy.join(F.broadcast(w), "dim")
         .groupBy("doc_id")
         .agg(F.sum(F.col("weight") * F.col("w")).cast("long").alias("score"))
     )
