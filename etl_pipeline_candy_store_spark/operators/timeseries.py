@@ -220,7 +220,15 @@ LEFT JOIN s3 ON s3.user_id = u.user_id
     "pushed to the scan.",
 )
 def q103_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # ev feeds all three stage relations plus the user spine — a lazy
+    # checkpoint makes it ONE events scan instead of four (the q137
+    # shared-leaf discipline; contrast jaccard_pairs, where measurement
+    # showed recomputing the cheap projection beats materializing)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=False)
+    )
     s1, s2, s3 = _funnel_stages(ev)
     u = ev.select("user_id").distinct()
     stage = (
