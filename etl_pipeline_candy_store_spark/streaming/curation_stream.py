@@ -258,3 +258,77 @@ def read_admitted_docs(spark: SparkSession, state_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, text string, source string"
         )
+
+
+# --- Streaming drift monitor (the q145 statistic, on arrival) ---------
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """(bin, n) token-length histogram — the shared binning of q145."""
+    return (
+        docs.select(
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT) div 8").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def drift_stat(batch_hist: DataFrame, ref_hist: DataFrame) -> DataFrame:
+    """One-row two-sample chi-square (integer micros) between a batch
+    histogram and the reference histogram — q145's algebraic form with
+    the same staged integer division, so the statistic is deterministic
+    and engine-independent. Inputs are bin-level relations (tiny); the
+    full-outer join aligns bins present in only one side."""
+    m = (
+        batch_hist.withColumnRenamed("n", "o1")
+        .join(ref_hist.withColumnRenamed("n", "o2"), "bin", "full_outer")
+        .select(
+            F.coalesce("o1", F.lit(0)).alias("o1"),
+            F.coalesce("o2", F.lit(0)).alias("o2"),
+        )
+    )
+    t = m.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                "CAST(((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1))"
+                " div (n1 * n2) * 1000000 div (o1 + o2) AS BIGINT)"
+            ).alias("c"),
+            "n1",
+        )
+        .agg(
+            F.max("n1").cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("chi2_micros"),
+        )
+    )
+
+
+def apply_drift_batch(
+    batch: DataFrame, ref_hist: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Emit one drift row per micro-batch: the arriving batch's length
+    histogram tested against the (broadcast) reference histogram. Pure
+    per-batch computation — no cross-batch state at all — so replay
+    rewrites the identical row (batch=N overwrite)."""
+    row = drift_stat(length_histogram(batch), ref_hist).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    row.write.mode("overwrite").parquet(f"{state_dir}/drift/batch={batch_id}")
+
+
+def stream_drift_monitor(doc_stream: DataFrame, ref_hist: DataFrame, state_dir: str):
+    """Wire a documents stream into the per-batch drift monitor.
+    ``ref_hist`` is the fixed reference histogram (e.g. the vetted
+    corpus the model was trained on); each arriving batch gets a
+    chi-square drift score against it — the alarm that a crawler or
+    upstream format change shifted the data BEFORE it pollutes the mix."""
+    ref = ref_hist.localCheckpoint(eager=True)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_drift_batch(batch, ref, state_dir, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")

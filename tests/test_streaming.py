@@ -1435,3 +1435,60 @@ def test_transform_with_state_source_totals_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_drift_monitor_scores_each_batch(spark, tmp_path):
+    """Per-batch chi-square drift vs a fixed reference histogram: an
+    in-distribution batch must score low, a shifted batch (every doc
+    truncated to 3 tokens) must score high, and each emitted row must
+    equal the batch-computed statistic for the same slice (the stream
+    is stateless per batch, so stream≡batch is exact equality)."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        drift_stat,
+        length_histogram,
+        stream_drift_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").localCheckpoint(eager=True)
+    ref = length_histogram(docs).localCheckpoint(eager=True)
+
+    normal = docs.filter(F.col("doc_id") < 250)
+    shifted = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "text",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+    )
+    src = str(tmp_path / "drift_src")
+    normal.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.05)
+    shifted.coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "drift_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_drift_monitor(stream, ref, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["batch_id"]: (r["n_docs"], r["chi2_micros"])
+        for r in spark.read.parquet(f"{state}/drift").collect()
+    }
+    want = {
+        0: drift_stat(length_histogram(normal), ref).collect()[0],
+        1: drift_stat(length_histogram(shifted), ref).collect()[0],
+    }
+    assert got[0] == (want[0]["n_docs"], want[0]["chi2_micros"])
+    assert got[1] == (want[1]["n_docs"], want[1]["chi2_micros"])
+    # in-distribution batch scores far below the shifted batch
+    assert got[1][1] > 10 * got[0][1]
