@@ -1327,3 +1327,167 @@ def q156_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q156_SQL)
+
+
+# --------------------------------------------------------------------------
+# q157 — disjunctive predicate revenue (TPC-H Q19 shape): an OR of three
+# conjunctive (brand, size-range, qty-range) clauses across the join.
+# The Catalyst behavior under test: the OR-of-ANDs SPLITS — the
+# lineitem-only qty disjunction and the part-only brand/size disjunction
+# each push to their own scan (PushedFilters shows the per-side OR),
+# while the cross-table residual evaluates post-join. A naive engine
+# evaluates the whole disjunction post-join and scans both tables fully.
+@register(
+    "q157_disjunctive_revenue",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) * 10000
+            AS BIGINT) AS revenue_u
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape: revenue under an OR of three conjunctive "
+    "(brand, size, quantity) clauses spanning the join. Catalyst "
+    "factors the disjunction per side — the quantity-only OR pushes to "
+    "the lineitem scan and the brand/size OR to the part scan "
+    "(plan-locked) — so both scans prune before the join instead of "
+    "evaluating the whole predicate post-join. Exact scale-4 integer "
+    "revenue units.",
+)
+def q157_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("revenue_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q158 — sole-supplier orders (TPC-H Q21 family, adapted to this schema:
+# no commit/receipt dates): for each supplier, how many multi-line
+# orders they serve ALONE. The semi+anti composition: EXISTS another
+# lineitem on the same order (multi-line) AND NOT EXISTS a lineitem
+# from a different supplier. Both subqueries decorrelate to order-level
+# aggregates — never per-row subquery execution.
+@register(
+    "q158_sole_supplier_orders",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_lines,
+         MIN(l_suppkey) AS smin,
+         MAX(l_suppkey) AS smax
+  FROM lineitem GROUP BY l_orderkey
+),
+sole AS (
+  SELECT l_orderkey, smin AS l_suppkey, n_lines
+  FROM per_order WHERE n_lines > 1 AND smin = smax
+)
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_sole_orders,
+       CAST(SUM(sole.n_lines) AS BIGINT) AS n_lines
+FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 family (sole-supplier orders): multi-line orders "
+    "served by exactly one supplier, counted per supplier. The "
+    "EXISTS/NOT-EXISTS pair decorrelates to ONE order-keyed aggregate "
+    "(count + min/max supplier; min=max tests single-supplier without "
+    "a distinct count), then a broadcast join to supplier names — one "
+    "fact shuffle total, no correlated execution.",
+)
+def q158_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    sole = per.where(
+        (F.col("n_lines") > 1) & (F.col("smin") == F.col("smax"))
+    ).select(F.col("smin").alias("s_suppkey"), "n_lines")
+    return (
+        sole.join(F.broadcast(s.select("s_suppkey", "s_name")), "s_suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sole_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q159 — supplier diversity per part class (TPC-H Q16 shape): distinct
+# suppliers per (brand, size band) excluding a blacklist, via anti-join
+# + countDistinct. The anti side is a tiny broadcast; the distinct
+# aggregation is the one shuffle.
+@register(
+    "q159_supplier_diversity",
+    oracle="""
+WITH bad AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, CAST(p.p_size // 10 AS BIGINT) AS size_band,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p.p_brand, size_band
+""",
+    doc="TPC-H Q16 shape: how many DISTINCT suppliers serve each "
+    "(brand, size-band) part class, excluding blacklisted suppliers "
+    "(negative balance) — the supplier-diversity / single-source-risk "
+    "report. The NOT IN decorrelates to a broadcast anti-join (the "
+    "blacklist is dimension-sized); countDistinct plans as the "
+    "standard two-phase expand-aggregate on the group key.",
+)
+def q159_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    bad = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", F.expr("p_size div 10").cast("long").alias("size_band"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

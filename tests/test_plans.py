@@ -460,3 +460,22 @@ def test_gate_calibration_no_pair_scan(spark):
     for name in ("q149_simhash_gate_calibration", "q154_minhash_estimator_error"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_disjunctive_predicate_splits_to_both_scans(spark):
+    # q157: the OR-of-ANDs must factor per side — the quantity-only
+    # disjunction reaches the lineitem scan, brand/size the part scan
+    plan = _plan(spark, "q157_disjunctive_revenue")
+    assert "PushedFilters" in plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = " | ".join(pushed)
+    assert "l_quantity" in joined, joined   # lineitem-side OR pushed
+    assert "p_brand" in joined or "p_size" in joined, joined  # part-side
+
+
+def test_sole_supplier_single_fact_shuffle(spark):
+    # q158: decorrelated to one order-keyed agg + broadcast join
+    plan = _plan(spark, "q158_sole_supplier_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
