@@ -101,7 +101,10 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imported for their registration side effects.
-    from etl_pipeline_candy_store_spark.plans import relational  # noqa: F401
+    from etl_pipeline_candy_store_spark.plans import (  # noqa: F401
+        curation_pipeline,
+        relational,
+    )
     from etl_pipeline_candy_store_spark.operators import (  # noqa: F401
         allocation_query,
         asof_query,

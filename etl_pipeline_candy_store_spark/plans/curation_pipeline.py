@@ -42,7 +42,7 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
 )
-from etl_pipeline_candy_store_spark.plans.catalog import load
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, load, register
 from etl_pipeline_candy_store_spark.sources.writers import write_training_shards
 
 
@@ -177,3 +177,138 @@ def curate(
     for df in (docs, d1, d2, d3, d3r, d4):
         df.unpersist()
     return report
+
+
+@register(
+    "q160_curation_ledger",
+    oracle=None,  # composed below from the gates' registered SQL
+    doc="Auditable per-document curation decision record: every gate's "
+    "verdict as an independent boolean (exact dup, near dup, quality "
+    "fail, repetition, eval-set contamination, eval membership) plus "
+    "the conjunction keep flag — the ledger a compliance review reads "
+    "to answer WHY a document was dropped, where the funnel "
+    "(:func:`curate`) only reports stage counts. Each verdict composes "
+    "the SAME registered semantics as the standalone gate queries "
+    "(q50/q54/q59/q122/q58 — single copy, fetched from the registry), "
+    "evaluated INDEPENDENTLY on the full corpus (documented difference "
+    "from the staged funnel, where later gates see only survivors). "
+    "Gate relations that only emit flagged/signal rows join back LEFT "
+    "with NULL→false, so signal-less docs are never silently dropped "
+    "(the q58/q122 NULL-handling lesson).",
+)
+def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        _EVAL_MAX_DOC,
+        q58_decontamination,
+        quality_gate,
+    )
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        q54_dedup_clusters,
+    )
+    from etl_pipeline_candy_store_spark.operators.text import (
+        repetition_signals,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, load, register
+
+    d = load(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    ex = d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w_fp)).alias("is_exact_dup"),
+    )
+    near = q54_dedup_clusters(spark, sf_dir).select(
+        "doc_id", (F.col("cluster_id") != F.col("doc_id")).alias("is_near_dup")
+    )
+    qual = quality_gate(d).select(
+        "doc_id", (F.col("passed") == 0).alias("fails_quality")
+    )
+    rep = repetition_signals(d).select(
+        "doc_id",
+        (
+            (F.col("top_bigram_frac_micros") > 600_000)
+            | (F.col("dup_trigram_frac_micros") > 400_000)
+        ).alias("rep_hit"),
+    )
+    contam = q58_decontamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contam_hit")
+    )
+    out = (
+        ex.join(near, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "is_near_dup",
+            "fails_quality",
+            F.coalesce("rep_hit", F.lit(False)).alias("is_repetitive"),
+            F.coalesce("contam_hit", F.lit(False)).alias("is_contaminated"),
+            (F.col("doc_id") < _EVAL_MAX_DOC).alias("is_eval"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~(
+            F.col("is_exact_dup")
+            | F.col("is_near_dup")
+            | F.col("fails_quality")
+            | F.col("is_repetitive")
+            | F.col("is_contaminated")
+            | F.col("is_eval")
+        ),
+    )
+
+
+def _q160_oracle() -> str:
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        _EVAL_MAX_DOC,
+    )
+    from etl_pipeline_candy_store_spark.operators import text  # noqa: F401
+    from etl_pipeline_candy_store_spark.operators.dedup import _CLUSTERS_SQL
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    q59 = REGISTRY["q59_quality_filter"].oracle
+    q122 = REGISTRY["q122_repetition_signals"].oracle
+    q58 = REGISTRY["q58_decontamination"].oracle
+    return f"""
+WITH cl AS ({_CLUSTERS_SQL}),
+q59 AS ({q59}),
+q122 AS ({q122}),
+contam AS ({q58}),
+ex AS (
+  SELECT doc_id,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+  FROM documents
+),
+led AS (
+  SELECT d.doc_id,
+         ex.is_exact_dup,
+         cl.cluster_id <> d.doc_id AS is_near_dup,
+         q59.passed = 0 AS fails_quality,
+         COALESCE(q122.top_bigram_frac_micros > 600000
+                  OR q122.dup_trigram_frac_micros > 400000, FALSE)
+           AS is_repetitive,
+         contam.doc_id IS NOT NULL AS is_contaminated,
+         d.doc_id < {_EVAL_MAX_DOC} AS is_eval
+  FROM documents d
+  JOIN ex ON ex.doc_id = d.doc_id
+  JOIN cl ON cl.doc_id = d.doc_id
+  JOIN q59 ON q59.doc_id = d.doc_id
+  LEFT JOIN q122 ON q122.doc_id = d.doc_id
+  LEFT JOIN contam ON contam.doc_id = d.doc_id
+)
+SELECT *,
+       NOT (is_exact_dup OR is_near_dup OR fails_quality OR is_repetitive
+            OR is_contaminated OR is_eval) AS keep
+FROM led
+"""
+
+
+import dataclasses as _dc_led
+
+REGISTRY["q160_curation_ledger"] = _dc_led.replace(
+    REGISTRY["q160_curation_ledger"], oracle=_q160_oracle()
+)
