@@ -238,3 +238,77 @@ def q95_payload_manifest(spark, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("digest"),
         F.expr("(length(payload) + 63) div 64").cast("long").alias("n_chunks"),
     )
+
+
+# --- Python UDTF surface (Spark 4): imperative cursor parsing ---------
+#
+# The one API in SURVEY §2.10 the engine had not exercised. Stance
+# unchanged — UDTFs are the slow path (row-at-a-time Python, no
+# codegen): this exists for the genuinely imperative case, a cursor
+# parse that walks a payload emitting a variable number of typed
+# records. When the fan-out rule is pure arithmetic (fixed-size
+# chunking), the declarative explode (q49) or frame-count expression
+# (q95) is strictly better and stays JVM-side; the catalog entry
+# documents the boundary by computing the SAME frame table both ways.
+
+
+def payload_frames_udtf():
+    """Build the frame-parsing UDTF class (lazily, so importing this
+    module never requires the UDTF runtime)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frame_idx int, off bigint, n_bytes bigint, frame_md5 string")
+    class PayloadFrames:
+        def eval(self, payload, frame_size: int):
+            if payload is None:
+                return
+            off = 0
+            idx = 0
+            data = bytes(payload)
+            while off < len(data):
+                chunk = data[off : off + frame_size]
+                yield idx, off, len(chunk), hashlib.md5(chunk).hexdigest()
+                idx += 1
+                off += frame_size
+
+    return PayloadFrames
+
+
+@register(
+    "q161_payload_frames_udtf",
+    oracle="""
+SELECT d.doc_id,
+       CAST(u.i AS INTEGER) AS frame_idx,
+       CAST(u.i * 64 AS BIGINT) AS off,
+       CAST(least(64, length(d.text) - u.i * 64) AS BIGINT) AS n_bytes,
+       md5(substr(d.text, CAST(u.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM documents d,
+     unnest(range(0, (length(d.text) + 63) // 64)) AS u(i)
+WHERE length(d.text) > 0
+""",
+    doc="Python UDTF surface (Spark 4 `@udtf` + SQL LATERAL): an "
+    "imperative cursor walks each binary payload emitting one typed "
+    "row per 64-byte frame (index, offset, length, frame digest) — "
+    "the variable-fan-out parse shape (container demuxing, record "
+    "splitting) that genuinely needs per-row Python. The oracle "
+    "derives the identical frame table declaratively (range + substr "
+    "arithmetic), which doubles as the documentation of the boundary: "
+    "when the frame rule IS arithmetic, prefer the JVM-side explode "
+    "(q49/q95); reach for a UDTF only when it is not. ASCII payloads "
+    "make byte and character offsets coincide (same assumption q95's "
+    "digest parity already relies on).",
+)
+def q161_payload_frames_udtf(spark, sf_dir: str) -> DataFrame:
+    spark.udtf.register("payload_frames", payload_frames_udtf())
+    load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).createOrReplaceTempView("q161_payloads")
+    return spark.sql(
+        """
+        SELECT p.doc_id, f.frame_idx, f.off, f.n_bytes, f.frame_md5
+        FROM q161_payloads p,
+             LATERAL payload_frames(p.payload, 64) f
+        """
+    )
