@@ -136,3 +136,72 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     assert pairs.count() > 0
     # and all three splits are actually populated
     assert split.select("split").distinct().count() == 3
+
+
+def _py_dup_span(texts):
+    """Brute-force reference for q140 on {doc_id: text}."""
+    sh = {
+        d: [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        for d, t in ((d, txt.split(" ")) for d, txt in texts.items())
+    }
+    docs_of = {}
+    for d, ss in sh.items():
+        for s in ss:
+            docs_of.setdefault(s, set()).add(d)
+    out = {}
+    for d, ss in sh.items():
+        flags = [len(docs_of[s]) > 1 for s in ss]
+        run = best = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            best = max(best, run)
+        out[d] = (len(ss), sum(flags), best, best + 2 if best else 0)
+    return out
+
+
+def test_dup_span_matches_python_reference_random_docs(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> real cross-doc dups
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))),
+         "en", "s", 1)
+        for i in range(1, 31)
+    ]
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"], r["n_dup_shingles"],
+            r["max_dup_run"], r["max_dup_span_tokens"],
+        )
+        for r in _run(spark, "q140_dup_span_profile", rows, tmp_path)
+    }
+    assert got == _py_dup_span({i: t for i, t, *_ in rows})
+
+
+def test_token_budget_matches_python_greedy_random(spark, tmp_path):
+    import random
+
+    rng = random.Random(5)
+    rows, lens = [], {}
+    for i in range(1, 41):
+        n = rng.randint(50, 400)
+        src = f"s{rng.randint(0, 3)}"
+        rows.append((i, " ".join(f"t{i}x{j}" for j in range(n)), "en", src, n))
+        lens[i] = (src, n)
+    got = {r["doc_id"]: r["cum_toks"]
+           for r in _run(spark, "q141_token_budget_mix", rows, tmp_path)}
+    # python greedy: per source, longest-first (doc_id tiebreak), prefix
+    want = {}
+    by_src = {}
+    for d, (s, n) in lens.items():
+        by_src.setdefault(s, []).append((d, n))
+    for s, ds in by_src.items():
+        cum = 0
+        for d, n in sorted(ds, key=lambda x: (-x[1], x[0])):
+            cum += n
+            if cum <= 800:
+                want[d] = cum
+            else:
+                break
+    assert got == want
