@@ -668,3 +668,146 @@ FROM (SELECT * FROM counts ORDER BY n_rows DESC, key LIMIT 20) c, tot
 )
 def q135_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(load(spark, sf_dir, "events"), "user_id")
+
+
+# --- Per-series integer recursions as array folds ---------------------
+#
+# Sequential state appears in this engine three ways, by state shape:
+# unbounded cross-row feedback -> mapInPandas (allocation, q30);
+# linear-in-prefix state -> window functions (q09/q112); and BOUNDED
+# per-series recursions -> the pattern here: collect each series into
+# an array (bounded by series length, never corpus size), run the
+# recursion as a row-local higher-order `aggregate` fold entirely
+# JVM-side, and explode the trajectory back out. No Python, no state
+# store, one shuffle on the series key. Integer state with explicit
+# `div` keeps the trajectory bit-identical to the oracle's recursive
+# CTE replay.
+
+_EWMA_FOLD = """
+posexplode(aggregate(
+  xs,
+  struct(CAST(0 AS BIGINT) AS s,
+         CAST(array() AS ARRAY<STRUCT<d: DATE, n: BIGINT, e: BIGINT>>) AS o),
+  (acc, x) -> struct(
+     (acc.s + x.n) div 2 AS s,
+     array_append(acc.o, named_struct(
+       'd', x.d, 'n', x.n, 'e', (acc.s + x.n) div 2)) AS o),
+  acc -> acc.o))
+"""
+
+
+@register(
+    "q162_ewma_daily_orders",
+    oracle="""
+WITH RECURSIVE
+daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT pri, d, n,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY d) AS r
+  FROM daily
+),
+ew(pri, d, n, r, e) AS (
+  SELECT pri, d, n, r, n // 2 FROM seq WHERE r = 1
+  UNION ALL
+  SELECT s.pri, s.d, s.n, s.r, (ew.e + s.n) // 2
+  FROM seq s JOIN ew ON ew.pri = s.pri AND s.r = ew.r + 1
+)
+SELECT pri, d, n, CAST(e AS BIGINT) AS ewma
+FROM ew
+""",
+    doc="Integer EWMA (alpha = 1/2) of daily order counts per priority: "
+    "s_t = (s_{t-1} + n_t) div 2 from s_0 = 0 — the smoothing "
+    "recursion no window frame can express (each state depends on the "
+    "FOLDED previous state, not a prefix aggregate). Runs as a "
+    "row-local JVM `aggregate` fold over the collected per-series "
+    "array (bounded by #days, never corpus-sized), one shuffle on the "
+    "series key; the oracle replays the identical recursion with a "
+    "recursive CTE. The third sequential-state strategy beside "
+    "mapInPandas (unbounded feedback, q30) and windows (prefix "
+    "aggregates, q09).",
+)
+def q162_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per = daily.groupBy("pri").agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("xs")
+    )
+    return per.select("pri", F.expr(_EWMA_FOLD).alias("pos", "t")).select(
+        "pri",
+        F.col("t.d").alias("d"),
+        F.col("t.n").alias("n"),
+        F.col("t.e").alias("ewma"),
+    )
+
+
+_CUSUM_K = 2    # per-day drift allowance
+_CUSUM_H = 4    # alarm threshold
+
+_CUSUM_FOLD = f"""
+posexplode(aggregate(
+  xs,
+  struct(CAST(0 AS BIGINT) AS s,
+         CAST(array() AS ARRAY<STRUCT<d: DATE, n: BIGINT, c: BIGINT>>) AS o),
+  (acc, x) -> struct(
+     greatest(CAST(0 AS BIGINT), acc.s + x.n - {_CUSUM_K}) AS s,
+     array_append(acc.o, named_struct(
+       'd', x.d, 'n', x.n,
+       'c', greatest(CAST(0 AS BIGINT), acc.s + x.n - {_CUSUM_K}))) AS o),
+  acc -> acc.o))
+"""
+
+
+@register(
+    "q163_cusum_alarm",
+    oracle=f"""
+WITH RECURSIVE
+daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT pri, d, n,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY d) AS r
+  FROM daily
+),
+cu(pri, d, n, r, c) AS (
+  SELECT pri, d, n, r, greatest(0, n - {_CUSUM_K}) FROM seq WHERE r = 1
+  UNION ALL
+  SELECT s.pri, s.d, s.n, s.r, greatest(0, cu.c + s.n - {_CUSUM_K})
+  FROM seq s JOIN cu ON cu.pri = s.pri AND s.r = cu.r + 1
+)
+SELECT pri, d, n, CAST(c AS BIGINT) AS cusum, c > {_CUSUM_H} AS alarm
+FROM cu
+""",
+    doc="One-sided CUSUM change detection on daily order counts per "
+    "priority: c_t = max(0, c_{{t-1}} + n_t - k), alarm when c exceeds "
+    "h — the classic sequential shift detector (detects sustained "
+    "upward drift a threshold-per-day check misses), again an order-"
+    "dependent recursion with a max clamp that no window expresses. "
+    "Same bounded-series array-fold execution and recursive-CTE oracle "
+    "as q162; all integer.",
+)
+def q163_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per = daily.groupBy("pri").agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("xs")
+    )
+    return per.select("pri", F.expr(_CUSUM_FOLD).alias("pos", "t")).select(
+        "pri",
+        F.col("t.d").alias("d"),
+        F.col("t.n").alias("n"),
+        F.col("t.c").alias("cusum"),
+        (F.col("t.c") > _CUSUM_H).alias("alarm"),
+    )
