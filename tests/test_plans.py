@@ -479,3 +479,13 @@ def test_sole_supplier_single_fact_shuffle(spark):
     plan = _plan(spark, "q158_sole_supplier_orders")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_series_recursions_fold_not_window(spark):
+    # q162/q163: the recursion runs as a row-local array fold after one
+    # series-key aggregation — no window, no Python operator
+    for name in ("q162_ewma_daily_orders", "q163_cusum_alarm"):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition" not in plan, name
+        assert "Generate" in plan, name          # the trajectory explode
+        assert "mapInPandas" not in plan.lower(), name
