@@ -57,6 +57,7 @@ HEADLINE = [
     "q146_market_share",        # 7-relation broadcast join tree (r5)
     "q151_conversion_paths",    # session-windowed sequence matching (r5)
     "q152_lexical_diversity",   # TTR/hapax per source (r5)
+    "q162_ewma_daily_orders",   # per-series integer fold recursion (r5)
 ]
 
 
