@@ -1491,3 +1491,126 @@ def q159_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "q164_incremental_rollup",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Incremental materialized-rollup maintenance: the per-(month, "
+    "status) order rollup is maintained by MERGING PARTIAL AGGREGATES "
+    "— the historical base (orders before 1997-01-01) is aggregated "
+    "once into (count, sum) partials, the delta batch is aggregated "
+    "separately, and the published rollup is a re-aggregation of the "
+    "two partial sets (count+count, sum+sum). The oracle recomputes "
+    "from scratch over the full table; hash-equality proves the merge "
+    "of partials is exact, which is the property that lets a 100 TB "
+    "deployment refresh a daily rollup by scanning ONLY the new "
+    "partition instead of the whole fact. Sums are decimal-routed so "
+    "the split accumulation order cannot drift from the oracle's.",
+)
+def q164_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+        )
+
+    base = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            (F.sum("rev") * 100).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q165_robust_outliers",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority,
+         CAST(2 * MEDIAN(cents) AS BIGINT) AS med2
+  FROM c GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT c.o_orderpriority, c.cents, m.med2,
+         ABS(2 * c.cents - m.med2) AS dev
+  FROM c JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority,
+         CAST(2 * MEDIAN(dev) AS BIGINT) AS mad4
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(d.med2) AS med2_cents,
+       MAX(a.mad4) AS mad4_cents,
+       CAST(SUM(CASE WHEN 2 * d.dev > 3 * a.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+""",
+    doc="Robust (median/MAD) outlier gate per priority class — the "
+    "heavy-tail-safe alternative to q85's mean/stddev z-score for "
+    "flagging anomalous order values. All thresholds are exact "
+    "integers: prices become cents, medians are doubled before the "
+    "BIGINT cast (an even-count median is (a+b)/2, so 2*median of "
+    "integers is integral — no float threshold can drift between "
+    "engines), and the 3-MAD test is 2*dev > 3*mad4. Plan: two "
+    "priority-keyed exact-percentile aggregates (5 groups — tiny "
+    "state) with the per-group constants broadcast back onto the "
+    "fact; no window over the fact, no sort.",
+)
+def q165_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("o_orderpriority").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        (2 * F.expr("percentile(dev, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med2").alias("med2_cents"),
+            F.max("mad4").alias("mad4_cents"),
+            F.sum(
+                (2 * F.col("dev") > 3 * F.col("mad4")).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
