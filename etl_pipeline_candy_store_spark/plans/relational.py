@@ -1586,10 +1586,14 @@ GROUP BY d.o_orderpriority
 )
 def q165_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # c feeds the median agg AND the dev relation; dev feeds the MAD
+    # agg AND the final gate — two lazy checkpoints make this ONE
+    # orders scan + one dev materialization instead of four fact scans
+    # (the q103/q137 shared-leaf discipline)
     c = o.select(
         "o_orderpriority",
         (_dec("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     med = c.groupBy("o_orderpriority").agg(
         (2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med2")
     )
@@ -1598,7 +1602,7 @@ def q165_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "med2",
         F.abs(2 * F.col("cents") - F.col("med2")).alias("dev"),
-    )
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("o_orderpriority").agg(
         (2 * F.expr("percentile(dev, 0.5)")).cast("long").alias("mad4")
     )

@@ -489,3 +489,21 @@ def test_series_recursions_fold_not_window(spark):
         assert "windowspecdefinition" not in plan, name
         assert "Generate" in plan, name          # the trajectory explode
         assert "mapInPandas" not in plan.lower(), name
+
+
+def test_incremental_rollup_merges_partials_without_join(spark):
+    # q164: partial-merge maintenance is union + re-aggregate — no join
+    # of any kind, no sort, and the merge agg sits above the partials
+    plan = _plan(spark, "q164_incremental_rollup")
+    assert "Join" not in plan, plan
+    assert "Sort " not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 partials + merge (x2 phases)
+
+
+def test_robust_outliers_broadcast_constants_no_window(spark):
+    # q165: per-group median/MAD constants come back as broadcast
+    # joins; the fact is never sorted or windowed
+    plan = _plan(spark, "q165_robust_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan

@@ -64,6 +64,19 @@ HEADLINE = [
     "q146_market_share",
     "q147_small_qty_revenue",
     "q155_point_in_time_join",
+    # round-5 batch 4: q157's disjunctive pushdown and q158/q159's
+    # semi/anti chains track the K× lineitem scan (dims stay fixed);
+    # q162/q163's fold recursions and q164's partial-merge rollup are
+    # keyed aggs over the K× orders whose group count (days / months)
+    # is fixed; q165's median/MAD runs two 5-group percentile aggs over
+    # the K× fact.
+    "q157_disjunctive_revenue",
+    "q158_sole_supplier_orders",
+    "q159_supplier_diversity",
+    "q162_ewma_daily_orders",
+    "q163_cusum_alarm",
+    "q164_incremental_rollup",
+    "q165_robust_outliers",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
