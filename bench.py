@@ -58,6 +58,8 @@ HEADLINE = [
     "q151_conversion_paths",    # session-windowed sequence matching (r5)
     "q152_lexical_diversity",   # TTR/hapax per source (r5)
     "q162_ewma_daily_orders",   # per-series integer fold recursion (r5)
+    "q164_incremental_rollup",  # partial-aggregate merge maintenance (r5)
+    "q165_robust_outliers",     # median/MAD gate, broadcast constants (r5)
 ]
 
 
