@@ -193,3 +193,72 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    shuffle: bool = False,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files and atomically swap the new
+    version in. Returns ``{files_before, files_after, bytes_before,
+    bytes_after, rows}``.
+
+    The small-files problem is the steady-state failure mode of every
+    incremental sink (streaming appends, per-batch upserts): a 100 TB
+    table accreting KB-sized files pays per-file open/footer costs on
+    every scan and overwhelms the namenode. Compaction is the
+    maintenance pass that restores scan-sized files.
+
+    Scale posture: with ``shuffle=False`` (default) the rewrite is a
+    ``coalesce`` — tasks concatenate co-located input files with NO
+    exchange, the right default when input files are uniformly small.
+    ``shuffle=True`` round-robins rows for evenly-sized outputs at the
+    cost of one full exchange — for inputs with pathological size skew.
+    The swap reuses the CDC sink's two-rename protocol (write temp →
+    rename aside → rename in), so concurrent readers always see a
+    complete version and a crash between renames is repaired by the
+    next maintenance run (``_fs_recover``).
+    """
+    import math
+
+    from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+        _fs_recover,
+        _fs_swap,
+        _hadoop_fs,
+    )
+
+    target = path.rstrip("/")
+    _fs_recover(spark, target)
+    jvm, fs = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    statuses = fs.listStatus(P(target))
+    data_files = [
+        s
+        for s in statuses
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    bytes_before = sum(s.getLen() for s in data_files)
+    n_out = max(1, math.ceil(bytes_before / (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(target)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    tmp = target + "._compact-tmp"
+    out.write.mode("overwrite").parquet(tmp)
+
+    rows = spark.read.parquet(tmp).count()
+    _fs_swap(spark, tmp, target)
+    after = [
+        s
+        for s in fs.listStatus(P(target))
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes_before": int(bytes_before),
+        "bytes_after": int(sum(s.getLen() for s in after)),
+        "rows": int(rows),
+    }
