@@ -811,3 +811,43 @@ def q163_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.c").alias("cusum"),
         (F.col("t.c") > _CUSUM_H).alias("alarm"),
     )
+
+
+@register(
+    "q166_click_attribution",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 60 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+    doc="Click-to-view attribution: each click joined to every "
+    "same-user view at most 60 minutes earlier — the bounded-horizon "
+    "event-time interval join (q35's range-join family applied to the "
+    "attribution shape). This is the oracle-anchored batch twin of the "
+    "streaming surface's watermarked stream-stream join "
+    "(streaming/interval_join_stream.py) — the equivalence test proves "
+    "stream==batch on the same events, and this entry proves the batch "
+    "semantics against DuckDB. Plan: user-keyed equi-join (one "
+    "exchange per side) with the time bound as a post-join filter; "
+    "candidate pairs are bounded per user by rate x horizon, never "
+    "the cross of the event timeline.",
+)
+def q166_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.streaming.interval_join_stream import (
+        attribution_pairs,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return attribution_pairs(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon_min=60,
+    )
