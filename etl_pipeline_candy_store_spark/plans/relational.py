@@ -1618,3 +1618,45 @@ def q165_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q167_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+    doc="TPC-H Q13 shape: the distribution of customers by how many "
+    "(non-urgent) orders they placed — the agg-of-agg double "
+    "aggregation, with the LEFT join keeping zero-order customers in "
+    "the n_orders=0 bucket (the row an inner join silently drops; "
+    "same trap as J2). The join filter sits on the ORDERS side of the "
+    "left join, not in WHERE (where it would turn the join inner). "
+    "Plan: one custkey-keyed shuffle join + per-customer count, then "
+    "a second tiny aggregation over the count domain (dozens of "
+    "distinct values) — the second shuffle moves customer-count rows, "
+    "not facts.",
+)
+def q167_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )

@@ -36,13 +36,27 @@ def save_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
 
 
 def save_partitioned_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    dynamic: bool = False,
 ) -> None:
     """The 100 TB sink: multi-part parquet, optionally hive-partitioned
-    (e.g. by business_date so downstream scans prune days)."""
+    (e.g. by business_date so downstream scans prune days).
+
+    ``dynamic=True`` switches overwrite to per-partition semantics
+    (``partitionOverwriteMode=dynamic``): only partitions PRESENT in
+    ``df`` are replaced, the rest of the table is untouched. This is
+    the difference between an incremental daily load and truncating a
+    100 TB table to rewrite one day — static overwrite (the default,
+    matching Spark's) deletes every existing partition first. The mode
+    is set as a writer option so it scopes to this write, not the
+    session."""
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 
