@@ -1,0 +1,78 @@
+"""Example: the table-maintenance lifecycle an incremental deployment
+runs every day — incremental day-load with dynamic partition overwrite,
+rollup refresh by partial-aggregate merge, then small-files compaction
+with an atomic swap.
+
+    python examples/run_table_maintenance.py [sf_dir]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
+from etl_pipeline_candy_store_spark.session import get_spark
+from etl_pipeline_candy_store_spark.sources.writers import (
+    compact_parquet,
+    save_partitioned_parquet,
+)
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = get_spark("maintenance-example")
+spark.sparkContext.setLogLevel("ERROR")
+_ensure_loaded()
+
+work = tempfile.mkdtemp(prefix="maintenance-")
+table = os.path.join(work, "orders_by_month")
+try:
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    months = sorted(r["month"] for r in orders.select("month").distinct().collect())
+    history, today = months[:-1], months[-1]
+
+    # 1. Historical load, hive-partitioned by month.
+    save_partitioned_parquet(
+        orders.where(F.col("month").isin(history)), table, partition_by=["month"]
+    )
+    n_parts = len([d for d in os.listdir(table) if d.startswith("month=")])
+    print(f"history load: {n_parts} month partitions")
+
+    # 2. Incremental day: ONLY the newest month is (re)written — dynamic
+    #    overwrite leaves every sibling partition untouched.
+    save_partitioned_parquet(
+        orders.where(F.col("month") == today),
+        table,
+        partition_by=["month"],
+        dynamic=True,
+    )
+    total = spark.read.parquet(table).count()
+    print(f"after incremental load of {today}: {total} rows "
+          f"(source {orders.count()})")
+
+    # 3. Rollup refresh: the registered partial-merge query (q164) —
+    #    in a deployment the base partials are stored and only the new
+    #    partition is scanned.
+    rollup = REGISTRY["q164_incremental_rollup"].builder(spark, sf_dir)
+    print(f"rollup rows: {rollup.count()}")
+
+    # 4. Compaction: the incremental writes left small files; merge
+    #    each month's files into scan-sized ones. Compaction works per
+    #    directory, so partitioned tables compact partition-by-partition
+    #    (each swap is independent and atomic).
+    month_dirs = sorted(
+        d for d in os.listdir(table) if d.startswith("month=")
+    )[:3]
+    for d in month_dirs:
+        stats = compact_parquet(spark, os.path.join(table, d), target_mb=128)
+        print(f"compact {d}: {stats['files_before']} -> "
+              f"{stats['files_after']} files, {stats['rows']} rows")
+finally:
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
