@@ -77,6 +77,11 @@ HEADLINE = [
     "q163_cusum_alarm",
     "q164_incremental_rollup",
     "q165_robust_outliers",
+    # q167 left-joins the FIXED customer dim to the K× orders — the
+    # per-customer counts grow with the fact, the second agg's domain
+    # (distinct counts) stays tiny. q166 is not probed: events is not
+    # expanded by this harness (fixed dims only).
+    "q167_order_count_distribution",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
