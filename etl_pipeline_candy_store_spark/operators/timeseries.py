@@ -851,3 +851,55 @@ def q166_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         horizon_min=60,
     )
+
+
+@register(
+    "q168_hopping_window_traffic",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS w0
+  FROM events
+),
+x AS (
+  SELECT user_id, event_type, unnest([w0, w0 - 1800]) AS win_epoch
+  FROM e
+)
+SELECT CAST(to_timestamp(win_epoch) AS TIMESTAMP) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM x
+GROUP BY win_epoch
+""",
+    doc="Hopping-window traffic: 60-minute windows sliding every 30 "
+    "minutes over the event stream (each event lands in exactly "
+    "duration/slide = 2 windows) — the overlapping-window load curve "
+    "every monitoring dashboard draws, and the batch twin of "
+    "Structured Streaming's F.window(ts, '60 minutes', '30 minutes') "
+    "windowed aggregation (the tumbling form runs in "
+    "streaming/allocation_stream.py). Spark expands each row to its "
+    "covering windows row-locally (a Generate, no join against a "
+    "window spine) then runs ONE window-keyed aggregate; the oracle "
+    "replays the same 2-window expansion with epoch arithmetic. "
+    "distinct-user counts go through the standard two-phase expand.",
+)
+def q168_hopping_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "n_users",
+            "n_purchases",
+        )
+    )
