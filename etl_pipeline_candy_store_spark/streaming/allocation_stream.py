@@ -497,3 +497,34 @@ def histogram_quantiles(
         "bin",
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est_upper"),
     )
+
+
+def stream_hopping_traffic(
+    event_stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    duration: str = "60 minutes",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Hopping-window traffic rollup — the streaming twin of the batch
+    q168 (operators/timeseries.py): every event lands in duration/slide
+    overlapping windows via the same row-local expansion, then ONE
+    window-keyed stateful aggregate. State per key is two counters and
+    the watermark closes windows duration+watermark behind the front.
+    (No distinct-user column here: countDistinct needs unbounded per-
+    window sets, which streaming aggregation rightly refuses — the
+    streaming-safe cardinality path is the rolling HLL sketch,
+    stream_rolling_hll.)"""
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "n_events", "n_purchases"
+        )
+    )

@@ -1492,3 +1492,47 @@ def test_stream_drift_monitor_scores_each_batch(spark, tmp_path):
     assert got[1] == (want[1]["n_docs"], want[1]["chi2_micros"])
     # in-distribution batch scores far below the shifted batch
     assert got[1][1] > 10 * got[0][1]
+
+
+def test_stream_hopping_traffic_matches_batch_q168(spark, tmp_path):
+    """Sliding (hopping) windows in streaming: complete-mode result over
+    the real events equals the batch q168 on the shared columns."""
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_hopping_traffic,
+    )
+
+    _ensure_loaded()
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_hopping_traffic(stream)
+        .writeStream.format("memory")
+        .queryName("hopping_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.sql(
+            "select win_start, n_events, n_purchases from hopping_stream"
+        ).collect())
+    )
+    batch = REGISTRY["q168_hopping_window_traffic"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    want = sorted(
+        map(tuple, batch.select("win_start", "n_events", "n_purchases").collect())
+    )
+    assert len(want) > 0
+    assert got == want
