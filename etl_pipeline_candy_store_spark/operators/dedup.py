@@ -1382,3 +1382,48 @@ def q153_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_saved"),
     )
+
+
+@register(
+    "q169_edit_distance_neardup",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a
+JOIN documents b
+  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 40
+""",
+    doc="Character-level near-dup gate: candidate pairs from prefix "
+    "blocking (equi-join on the first 16 chars — one shuffle on a "
+    "selective key) verified by Levenshtein edit distance <= 40. "
+    "Complements the token-level family (shingle/MinHash/SimHash "
+    "catch reordered or resampled text; edit distance catches "
+    "character-noise variants — OCR errors, encoding mojibake, "
+    "truncation — that tokenization smears). The O(len^2) distance "
+    "runs ONLY on blocked candidates, never all pairs, and "
+    "F.levenshtein is JVM-side (no Python). At 100 TB the prefix "
+    "block generalizes to any cheap deterministic key (simhash band, "
+    "length bucket x rare shingle); the gate stage is unchanged.",
+)
+def q169_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 16).alias("blk")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "blk"
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 40)
+    )
