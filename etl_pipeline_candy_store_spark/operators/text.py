@@ -1604,3 +1604,93 @@ def q152_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hapax_ppm"),
     )
+
+
+_BM25_TERMS = ("dup", "vector", "key")
+
+
+@register(
+    "q170_bm25_scores",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, tok
+),
+idf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl
+  FROM lens
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(
+         (((tot.n - idf.df) * 1000000) // (idf.df + 1))
+         * 22 * tf.tf * tot.tl
+         // (10 * tf.tf * tot.tl + 3 * tot.tl + 9 * lens.dl * tot.n)
+       ) AS BIGINT) AS score_micros
+FROM tf
+JOIN lens USING (doc_id)
+JOIN idf USING (tok)
+CROSS JOIN tot
+GROUP BY tf.doc_id
+""",
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query "
+    "over the corpus — the retrieval-quality primitive a curation "
+    "pipeline uses to pull topic-relevant training documents. All "
+    "arithmetic is integer-staged for cross-engine exactness: with "
+    "k1=12/10 and b=3/4, the per-term saturation tf*(k1+1)/(tf + "
+    "k1*(1-b+b*dl/avgdl)) reduces to the pure-integer ratio "
+    "22*tf*TL / (10*tf*TL + 3*TL + 9*dl*N) (avgdl=TL/N cleared by "
+    "multiplying through by N), and idf uses the rational surrogate "
+    "(N-df)*1e6 div (df+1) — monotone in df like the log form, but "
+    "hash-identical across engines (a float ln could drift an ulp). "
+    "Plan: the corpus explode is filtered to the query terms AT the "
+    "generate (pushdown), so the tf relation is query-sized; df and "
+    "the corpus totals come back as broadcasts; doc length is a "
+    "row-local split — no second corpus shuffle. BIGINT stages hold "
+    "to ~1e13 corpus tokens; beyond that route the products through "
+    "DECIMAL(38,0) unchanged.",
+)
+def q170_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tl"),
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(((n - df) * 1000000) div (df + 1)) * 22 * tf * tl"
+                " div (10 * tf * tl + 3 * tl + 9 * dl * n)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("term_score").cast("long").alias("score_micros"),
+    )
