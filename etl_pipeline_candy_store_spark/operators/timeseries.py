@@ -903,3 +903,153 @@ def q168_hopping_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
         )
     )
+
+
+@register(
+    "q171_trailing_median_value",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT pri, month, cents,
+         list(cents) OVER (PARTITION BY pri ORDER BY month
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS win
+  FROM m
+)
+SELECT pri, month, cents,
+       CAST(2 * MEDIAN(u.c) AS BIGINT) AS med2_trailing
+FROM w, unnest(w.win) AS u(c)
+GROUP BY pri, month, cents
+""",
+    doc="Trailing-3-month exact median of monthly revenue per priority "
+    "— the robust trend line a mean-based rolling average can't give "
+    "(one promotional month doesn't drag the median). Technique: the "
+    "window is BOUNDED (3 rows), so the exact percentile runs as "
+    "collect_list over the frame + a row-local sorted-array pick — "
+    "O(frame) per row with frame=3, no per-group re-sort, usable "
+    "wherever the frame is a small constant (contrast q165, where the "
+    "whole-group median goes through the percentile aggregate). The "
+    "2x-median BIGINT staging keeps even-count interpolation integral "
+    "across engines. Window partitioned by priority over ~84 months — "
+    "bounded state, never a fact-sized window.",
+)
+def q171_trailing_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(15,2)") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(win)
+    lo = F.element_at(win, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(win, (n / 2 + 1).cast("int"))
+    return m.select(
+        "pri", "month", "cents", (lo + hi).cast("long").alias("med2_trailing")
+    )
+
+
+@register(
+    "q172_revenue_gini",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+  FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((2 * CAST(SUM(rk * cents) AS HUGEINT)
+             - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT)) * 1000000
+            // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(cents) AS HUGEINT))
+            AS BIGINT) AS gini_ppm
+FROM r
+""",
+    doc="Gini concentration of per-customer revenue — the inequality "
+    "metric that tells a curation pipeline whether a source's token "
+    "mass (or a market's revenue) is dominated by a few heavy keys "
+    "(gini->1) or spread evenly (gini->0); the same computation over "
+    "per-source token counts flags corpus concentration before "
+    "training. Formula: G = (2*sum(rank*x) - (n+1)*sum(x)) / "
+    "(n*sum(x)) over ascending ranks — all-integer with cents and a "
+    "final ppm division, so cross-engine exact. The global rank "
+    "runs as the q119-style two-level bucketed prefix sum: rows land "
+    "in 32 VALUE-RANGE buckets (monotone in the sort key, so global "
+    "order = bucket order + within-bucket order), within-bucket "
+    "row_numbers are bucket-partitioned windows, and the cross-bucket "
+    "rank base is a 32-row bucket-totals window; sum(rank*x) "
+    "decomposes per bucket as base*sum(x) + sum(rn*x). No "
+    "whole-relation window at any cardinality.",
+)
+def q172_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(15,2)") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    nb = 32
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # the range bucket is monotone in cents, so ordering by
+    # (bkt, cents, o_custkey) equals the global (cents, o_custkey) order
+    b = c.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "cents",
+        F.expr(f"CAST((cents - lo) * {nb} div (hi - lo + 1) AS INT)").alias(
+            "bkt"
+        ),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    rn = b.select("bkt", "cents", F.row_number().over(w_in).alias("rn"))
+    per_bkt = rn.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("cents").alias("sum_b"),
+        F.sum(F.col("rn") * F.col("cents")).alias("rnx_b"),
+    )
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    merged = per_bkt.select(
+        "n_b",
+        "sum_b",
+        "rnx_b",
+        F.coalesce(F.sum("n_b").over(w_bkt), F.lit(0)).alias("base"),
+    )
+    # per bucket: sum(rk*x) = base*sum(x) + sum(rn*x); buckets then merge
+    r = merged.select(
+        "n_b",
+        "sum_b",
+        (F.col("base") * F.col("sum_b") + F.col("rnx_b")).alias("rkx"),
+    )
+    return r.agg(
+        F.sum("n_b").cast("long").alias("n_customers"),
+        F.sum("sum_b").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * CAST(sum(rkx) AS DECIMAL(38,0))"
+            " - (sum(n_b) + 1) * CAST(sum(sum_b) AS DECIMAL(38,0)))"
+            " * 1000000 div (CAST(sum(n_b) AS DECIMAL(38,0))"
+            " * CAST(sum(sum_b) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -507,3 +507,23 @@ def test_robust_outliers_broadcast_constants_no_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_revenue_gini_rank_is_bucketed_not_global(spark):
+    # q172: the global rank must run as the two-level bucketed prefix
+    # sum — within-bucket windows partitioned by bkt, and the only
+    # unpartitioned window over the 32 bucket-total rows. A window
+    # ordered directly by (cents, o_custkey) with no partition would
+    # serialize every customer through one task.
+    plan = _plan(spark, "q172_revenue_gini")
+    assert "windowspecdefinition(cents" not in plan, plan
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_trailing_median_window_is_bounded_and_partitioned(spark):
+    # q171: the collect_list percentile runs over a 3-row frame
+    # partitioned by priority — never an unpartitioned or unbounded
+    # frame over the monthly series
+    plan = _plan(spark, "q171_trailing_median_value")
+    assert "windowspecdefinition(pri" in plan
+    assert "unboundedpreceding" not in plan.lower(), plan
