@@ -276,3 +276,45 @@ def compact_parquet(
         "bytes_after": int(sum(s.getLen() for s in after)),
         "rows": int(rows),
     }
+
+
+def compact_partitioned_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    shuffle: bool = False,
+) -> dict:
+    """Compact every partition directory of a hive-partitioned table
+    (``<path>/<col>=<val>/...``), one independent atomic swap per
+    partition. Returns ``{partition: stats}`` plus a ``_total`` row.
+
+    Per-partition compaction is deliberate: each swap is atomic on its
+    own directory, so a crash mid-table leaves every partition either
+    old or new (never mixed), readers of untouched partitions see no
+    churn, and the maintenance job parallelizes/restarts trivially —
+    re-running skips nothing but redoes no completed work either
+    (an already-compact partition rewrites to the same file count).
+    Only leaf data directories are touched; ``_``-prefixed entries
+    (markers, ledgers) are left alone."""
+    from etl_pipeline_candy_store_spark.streaming.upsert_sink import _hadoop_fs
+
+    jvm, fs = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    parts = [
+        s.getPath().getName()
+        for s in fs.listStatus(P(path.rstrip("/")))
+        if s.isDirectory()
+        and "=" in s.getPath().getName()
+        and not s.getPath().getName().startswith(("_", "."))
+    ]
+    report: dict = {}
+    total = {"files_before": 0, "files_after": 0, "rows": 0}
+    for part in sorted(parts):
+        stats = compact_parquet(
+            spark, path.rstrip("/") + "/" + part, target_mb, shuffle
+        )
+        report[part] = stats
+        for k in total:
+            total[k] += stats[k]
+    report["_total"] = total
+    return report

@@ -34,7 +34,10 @@ from etl_pipeline_candy_store_spark.operators.merge import merge_upsert
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+    # resolve through hadoop Path, not java.net.URI: raw URI.create
+    # rejects legal filesystem characters (spaces — e.g. hive partition
+    # values like "pri=4-NOT SPECIFIED"), which Path escapes itself
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     return jvm, fs
 
 

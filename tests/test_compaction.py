@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql.functions import col as F_col
+
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.sources.writers import compact_parquet
 
@@ -64,3 +66,31 @@ def test_compact_recovers_mid_swap_crash(spark, tmp_path):
     assert stats["rows"] == len(before)
     assert _rows(spark, target) == before
     assert not os.path.exists(target + "._old")
+
+
+def test_compact_partitioned_table_per_partition_swap(spark, tmp_path):
+    from etl_pipeline_candy_store_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    orders = load(spark, SF, "orders")
+    (
+        orders.withColumn(
+            "pri", F_col("o_orderpriority")
+        ).repartition(10).write.partitionBy("pri").parquet(path)
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(path).drop("pri").collect())
+    )
+
+    report = compact_partitioned_parquet(spark, path, target_mb=128)
+
+    parts = [k for k in report if k != "_total"]
+    assert len(parts) == 5  # five priorities
+    assert all(report[p]["files_after"] == 1 for p in parts)
+    assert report["_total"]["files_before"] > report["_total"]["files_after"]
+    after = sorted(
+        map(tuple, spark.read.parquet(path).drop("pri").collect())
+    )
+    assert after == before
