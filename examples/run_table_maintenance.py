@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
 from etl_pipeline_candy_store_spark.session import get_spark
 from etl_pipeline_candy_store_spark.sources.writers import (
-    compact_parquet,
+    compact_partitioned_parquet,
     save_partitioned_parquet,
 )
 
@@ -63,16 +63,13 @@ try:
     print(f"rollup rows: {rollup.count()}")
 
     # 4. Compaction: the incremental writes left small files; merge
-    #    each month's files into scan-sized ones. Compaction works per
-    #    directory, so partitioned tables compact partition-by-partition
-    #    (each swap is independent and atomic).
-    month_dirs = sorted(
-        d for d in os.listdir(table) if d.startswith("month=")
-    )[:3]
-    for d in month_dirs:
-        stats = compact_parquet(spark, os.path.join(table, d), target_mb=128)
-        print(f"compact {d}: {stats['files_before']} -> "
-              f"{stats['files_after']} files, {stats['rows']} rows")
+    #    each month's files into scan-sized ones — one independent
+    #    atomic swap per partition, so a crash mid-table leaves every
+    #    month either old or new, never mixed.
+    report = compact_partitioned_parquet(spark, table, target_mb=128)
+    t = report["_total"]
+    print(f"compacted {len(report) - 1} partitions: "
+          f"{t['files_before']} -> {t['files_after']} files, {t['rows']} rows")
 finally:
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
