@@ -121,6 +121,30 @@ def allocate_sequential(
     )
 
 
+def _numeric_seq(df: DataFrame, col: str):
+    """Order-preserving numeric view of a sequence column for range
+    bucketing: numeric passes through, date → days since epoch,
+    timestamp → epoch seconds. Monotone in the column's own order, so
+    range buckets stay contiguous. Other types (strings) have no cheap
+    order-preserving numeric embedding — fail with a pointer instead of
+    silently mis-bucketing."""
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt == "date":
+        return F.unix_date(c).cast("double")
+    if dt.startswith("timestamp"):
+        return c.cast("double")
+    if dt in ("string", "binary", "boolean") or dt.startswith(
+        ("array", "map", "struct")
+    ):
+        raise ValueError(
+            f"allocate_bucketed needs a numeric/date/timestamp leading "
+            f"sequence column for range bucketing; {col!r} is {dt}. "
+            "Put a numeric ordering column first in seq_cols."
+        )
+    return c.cast("double")
+
+
 def allocate_bucketed(
     requests: DataFrame,
     *,
@@ -176,7 +200,7 @@ def allocate_bucketed(
     # sequence order (equal values share a bucket, so contiguity holds
     # under the full seq_cols order), and are balanced enough for any
     # roughly uniform sequence column (timestamps, ids).
-    s0 = F.col(seq_cols[0]).cast("double")
+    s0 = _numeric_seq(requests, seq_cols[0])
     rng = requests.groupBy(*key_cols).agg(
         F.min(s0).alias("_lo"), F.max(s0).alias("_hi")
     )

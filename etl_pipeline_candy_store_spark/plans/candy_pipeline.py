@@ -37,7 +37,11 @@ from etl_pipeline_candy_store_spark.functions.money import (
     format_money,
     round_half_even,
 )
-from etl_pipeline_candy_store_spark.operators.allocation import allocate_sequential
+from etl_pipeline_candy_store_spark.operators.allocation import (
+    allocate,
+    allocate_bucketed,
+    allocate_sequential,
+)
 from etl_pipeline_candy_store_spark.plans.forecast import forecast_sales_profit
 from etl_pipeline_candy_store_spark.sources.readers import (
     read_customers_csv,
@@ -60,6 +64,15 @@ class CandyConfig:
     #: it (src/data_processor.py:519); True enriches orders with customer
     #: name/email via a broadcast left join.
     enrich_customers: bool = False
+    #: ST1 physical strategy: "auto" (default) probes the key-skew shape
+    #: and picks between the partition-sorted single pass and the
+    #: bucketed hot-key escape (operators/allocation.py:allocate);
+    #: "sequential"/"bucketed" force a strategy. All three are
+    #: result-identical — only wall-clock differs.
+    allocation_strategy: str = "auto"
+    #: kwargs forwarded to the chosen allocation strategy (thresholds,
+    #: n_buckets, sample_fraction) — see operators/allocation.py.
+    allocation_options: dict = field(default_factory=dict)
 
 
 class CandyPipeline:
@@ -86,6 +99,13 @@ class CandyPipeline:
         explode (F7) → null-qty filter (P3) → inner broadcast join to
         products (P4+J1: unknown ids drop) → ST1 sequential allocation in
         (day, file order, item position) sequence.
+
+        The allocation's physical strategy is picked by
+        ``config.allocation_strategy``: the default "auto" runs the
+        skew-aware dispatcher, whose probe is one map-side-combinable
+        aggregate over distinct keys — the only eager action on the
+        otherwise-lazy spine, and the price of not serializing a hot
+        product key at 100 TB.
         """
         tx = self.load_transactions()
         products = self.load_products().select(
@@ -118,13 +138,28 @@ class CandyPipeline:
             if self.config.reload_inventory_daily
             else "product_id"
         )
-        allocated = allocate_sequential(
-            requests,
+        alloc_kwargs = dict(
             key_col=key,
             seq_cols=["business_date", "file_seq", "item_pos"],
             qty_col="requested_qty",
             stock_col="opening_stock",
         )
+        strategy = self.config.allocation_strategy
+        if strategy == "auto":
+            allocated = allocate(
+                requests, **alloc_kwargs, **self.config.allocation_options
+            )
+        elif strategy == "sequential":
+            allocated = allocate_sequential(requests, **alloc_kwargs)
+        elif strategy == "bucketed":
+            allocated = allocate_bucketed(
+                requests, **alloc_kwargs, **self.config.allocation_options
+            )
+        else:
+            raise ValueError(
+                "allocation_strategy must be 'auto', 'sequential' or "
+                f"'bucketed', got {strategy!r}"
+            )
         # line_total in double, matching the reference's Python float math
         # (qty * float(price), src/data_processor.py:419-431); cancelled
         # lines contribute 0.0 (:440,445-453).
@@ -262,7 +297,8 @@ class CandyPipeline:
     # -- orchestration -----------------------------------------------------
 
     def run(self) -> dict[str, DataFrame]:
-        """Build every output lazily; no actions triggered here."""
+        """Build every output lazily; the only eager work is the
+        allocation dispatcher's skew probe (strategy "auto")."""
         lines = self.allocated_lines()
         orders = self.order_aggregates(lines)
         summary = self.daily_summary(orders)

@@ -13,6 +13,17 @@ Ordering: within a micro-batch, the operator sorts by (business_date,
 timestamp string, transaction id, item position); cross-batch order is
 batch arrival — exactly the reference's per-day granularity when each
 day is one file/batch.
+
+Why the batch pipeline's skew-aware ``allocate()`` dispatcher is NOT
+wired here: the dispatcher's probe and the bucketed escape's fixpoint
+are multi-job batch constructs (eager collect/localCheckpoint), which a
+streaming plan cannot run mid-query; and the shape they guard against —
+one product key with millions of rows in a single pass — cannot arise
+inside a micro-batch, whose size is bounded by the trigger (one day-file
+here). Cross-batch, the hot key's history lives in the state store as a
+single counter, so a hot key costs O(its rows per batch), already
+bounded. If a single micro-batch were ever hot enough to matter, the
+right lever is the trigger size, not a different operator.
 """
 
 from __future__ import annotations

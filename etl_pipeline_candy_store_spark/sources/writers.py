@@ -52,6 +52,11 @@ def save_partitioned_parquet(
     matching Spark's) deletes every existing partition first. The mode
     is set as a writer option so it scopes to this write, not the
     session."""
+    if dynamic and not partition_by:
+        raise ValueError(
+            "dynamic=True requires partition_by: without partition columns "
+            "the overwrite is a full table truncate, not per-partition"
+        )
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -257,12 +262,18 @@ def compact_parquet(
     bytes_before = sum(s.getLen() for s in data_files)
     n_out = max(1, math.ceil(bytes_before / (target_mb * 1024 * 1024)))
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(target)
     out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    # row count piggybacks on the rewrite via observe — no second scan
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     tmp = target + "._compact-tmp"
     out.write.mode("overwrite").parquet(tmp)
 
-    rows = spark.read.parquet(tmp).count()
+    rows = obs.get["rows"]
     _fs_swap(spark, tmp, target)
     after = [
         s
@@ -295,17 +306,40 @@ def compact_partitioned_parquet(
     re-running skips nothing but redoes no completed work either
     (an already-compact partition rewrites to the same file count).
     Only leaf data directories are touched; ``_``-prefixed entries
-    (markers, ledgers) are left alone."""
-    from etl_pipeline_candy_store_spark.streaming.upsert_sink import _hadoop_fs
+    (markers, ledgers) are left alone. Swap artifacts from a crashed
+    prior run (``<part>._old`` / ``<part>._compact-tmp``) are NOT
+    partitions: ``._old`` leftovers trigger ``_fs_recover`` on their
+    base partition first (completing the interrupted swap), and both
+    suffixes are excluded from the listing so they are never compacted
+    as bogus partition values."""
+    from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+        _fs_recover,
+        _hadoop_fs,
+    )
 
     jvm, fs = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    _SWAP_SUFFIXES = ("._old", "._compact-tmp")
+
+    def _dir_names() -> list[str]:
+        return [
+            s.getPath().getName()
+            for s in fs.listStatus(P(root))
+            if s.isDirectory()
+        ]
+
+    # repair first: a crash between _fs_swap's two renames leaves
+    # '<part>._old' with no '<part>' — restore it before compacting
+    for name in _dir_names():
+        if name.endswith("._old"):
+            _fs_recover(spark, root + "/" + name[: -len("._old")])
     parts = [
-        s.getPath().getName()
-        for s in fs.listStatus(P(path.rstrip("/")))
-        if s.isDirectory()
-        and "=" in s.getPath().getName()
-        and not s.getPath().getName().startswith(("_", "."))
+        name
+        for name in _dir_names()
+        if "=" in name
+        and not name.startswith(("_", "."))
+        and not name.endswith(_SWAP_SUFFIXES)
     ]
     report: dict = {}
     total = {"files_before": 0, "files_after": 0, "rows": 0}

@@ -67,10 +67,13 @@ def stream_incremental_rollup(
         target = target_path.rstrip("/")
         applied: list[int] = []
         if fs.exists(P(target)):
-            applied = [
-                r["batch_id"]
-                for r in spark.read.parquet(target + "/" + _LEDGER).collect()
-            ]
+            # an externally-seeded target may have no ledger yet —
+            # treat that as "no batches applied", don't wedge the stream
+            if fs.exists(P(target + "/" + _LEDGER)):
+                applied = [
+                    r["batch_id"]
+                    for r in spark.read.parquet(target + "/" + _LEDGER).collect()
+                ]
             if batch_id in applied:
                 return  # replayed delivery — already merged, skip
             merged = (

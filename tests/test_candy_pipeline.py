@@ -276,3 +276,96 @@ def test_customer_enrichment_join(spark, fixture_dir):
     assert all(r["customer_name"] and "@" in r["email"] for r in orders)
     r = next(r for r in orders if r["customer_id"] == 3)
     assert r["customer_name"] == "First3 Last3"
+
+
+def test_allocation_strategy_dispatch_choice(spark, fixture_dir, monkeypatch):
+    """The flagship spine routes through the skew-aware dispatcher:
+    default thresholds pick the sequential pass on this small fixture;
+    forced-low thresholds route the same config to the bucketed escape;
+    results are identical either way."""
+    from etl_pipeline_candy_store_spark.operators import allocation as alloc_mod
+    from etl_pipeline_candy_store_spark.plans import candy_pipeline as cp_mod
+
+    calls = []
+    real_seq, real_bkt = alloc_mod.allocate_sequential, alloc_mod.allocate_bucketed
+    monkeypatch.setattr(
+        alloc_mod,
+        "allocate_sequential",
+        lambda *a, **k: calls.append("seq") or real_seq(*a, **k),
+    )
+    monkeypatch.setattr(
+        alloc_mod,
+        "allocate_bucketed",
+        lambda *a, **k: calls.append("bkt") or real_bkt(*a, **k),
+    )
+    import glob
+
+    base = dict(
+        products_csv=os.path.join(fixture_dir, "products.csv"),
+        customers_csv=os.path.join(fixture_dir, "customers.csv"),
+        transactions_paths=sorted(
+            glob.glob(os.path.join(fixture_dir, "transactions_*.json"))
+        ),
+    )
+    seq_rows = sorted(
+        map(
+            tuple,
+            CandyPipeline(spark, CandyConfig(**base))
+            .allocated_lines()
+            .collect(),
+        )
+    )
+    assert calls and calls[0] == "seq"  # small fixture: sequential wins
+
+    calls.clear()
+    hot_cfg = CandyConfig(
+        **base,
+        allocation_options={
+            "hot_row_threshold": 5,
+            "exhaust_hot_row_threshold": 5,
+            "n_buckets": 4,
+        },
+    )
+    hot_rows = sorted(
+        map(tuple, CandyPipeline(spark, hot_cfg).allocated_lines().collect())
+    )
+    assert calls and calls[0] == "bkt"  # skew thresholds crossed
+    assert hot_rows == seq_rows  # strategy changes wall-clock, not results
+
+
+def test_allocation_strategy_forced_and_invalid(spark, fixture_dir, pipeline):
+    import glob
+
+    base = dict(
+        products_csv=os.path.join(fixture_dir, "products.csv"),
+        customers_csv=os.path.join(fixture_dir, "customers.csv"),
+        transactions_paths=sorted(
+            glob.glob(os.path.join(fixture_dir, "transactions_*.json"))
+        ),
+    )
+    auto = sorted(map(tuple, pipeline.allocated_lines().collect()))
+    forced_seq = CandyConfig(**base, allocation_strategy="sequential")
+    forced_bkt = CandyConfig(
+        **base, allocation_strategy="bucketed", allocation_options={"n_buckets": 4}
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                CandyPipeline(spark, forced_seq).allocated_lines().collect(),
+            )
+        )
+        == auto
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                CandyPipeline(spark, forced_bkt).allocated_lines().collect(),
+            )
+        )
+        == auto
+    )
+    bad = CandyConfig(**base, allocation_strategy="nope")
+    with pytest.raises(ValueError, match="allocation_strategy"):
+        CandyPipeline(spark, bad).allocated_lines()

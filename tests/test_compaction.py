@@ -94,3 +94,54 @@ def test_compact_partitioned_table_per_partition_swap(spark, tmp_path):
         map(tuple, spark.read.parquet(path).drop("pri").collect())
     )
     assert after == before
+
+
+def test_partitioned_compact_repairs_crashed_partition_swap(spark, tmp_path):
+    """A '<part>._old' leftover (crash between the swap renames, the
+    original partition dir vanished) must be restored and compacted
+    under its REAL partition value — not compacted as a bogus
+    'X._old' partition."""
+    import shutil
+
+    from etl_pipeline_candy_store_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    orders = load(spark, SF, "orders")
+    (
+        orders.withColumn("pri", F_col("o_orderpriority"))
+        .repartition(6)
+        .write.partitionBy("pri")
+        .parquet(path)
+    )
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("pri=") and "=" in d
+    )
+    crashed = os.path.join(path, parts[0])
+    # simulate the crash window: partition moved aside, not yet replaced
+    shutil.move(crashed, crashed + "._old")
+    # plus a stale tmp from the interrupted rewrite
+    os.makedirs(crashed + "._compact-tmp", exist_ok=True)
+
+    report = compact_partitioned_parquet(spark, path, target_mb=128)
+
+    listed = [k for k in report if k != "_total"]
+    assert sorted(listed) == parts  # no 'X._old' / 'X._compact-tmp' keys
+    assert os.path.isdir(crashed)  # recovered, then compacted in place
+    assert not os.path.exists(crashed + "._old")
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+
+
+def test_dynamic_without_partition_by_raises(spark):
+    from etl_pipeline_candy_store_spark.sources.writers import (
+        save_partitioned_parquet,
+    )
+
+    df = spark.range(3)
+    import pytest
+
+    with pytest.raises(ValueError, match="partition_by"):
+        save_partitioned_parquet(df, "/tmp/never-written", dynamic=True)

@@ -102,3 +102,29 @@ def test_stream_rollup_recovers_mid_swap_crash(spark, tmp_path):
     expected = sorted(map(tuple, batch.collect()))
     assert _rollup_rows(spark, target) == expected
     assert not os.path.exists(target + "._old")
+
+
+def test_stream_rollup_bootstrapped_target_without_ledger(spark, tmp_path):
+    """A target seeded by an external batch writer has no ``_applied``
+    ledger; the sink must treat that as 'no batches applied' and merge
+    into it instead of raising on the missing ledger path."""
+    _ensure_loaded()
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    orders = load(spark, SF, "orders")
+
+    # externally-seeded rollup: even keys, batch-written, NO ledger
+    from etl_pipeline_candy_store_spark.streaming.rollup_stream import (
+        _batch_partials,
+    )
+
+    _batch_partials(orders.where("o_orderkey % 2 = 0")).write.parquet(target)
+    assert not os.path.exists(os.path.join(target, "_applied"))
+
+    # stream the odd keys on top
+    orders.where("o_orderkey % 2 = 1").coalesce(1).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+
+    batch = REGISTRY["q164_incremental_rollup"].builder(spark, SF)
+    expected = sorted(map(tuple, batch.collect()))
+    assert _rollup_rows(spark, target) == expected
