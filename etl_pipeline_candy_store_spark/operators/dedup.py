@@ -257,6 +257,44 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
+_PAIRS_MEMO: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q51 pair relation, eagerly materialized (``localCheckpoint``)
+    and memoized per (session, sf_dir).
+
+    Six catalog queries consume the verified Jaccard pairs (q54/q125
+    cluster them, q136 ranks them, q142/q153/q160 compose those), and
+    compositions like q142 would otherwise re-derive the shingle
+    self-join two or three times inside ONE query plan. Checkpointing
+    truncates the lineage so every consumer — and every later query in
+    the same session — reads the materialized pairs instead of
+    re-shuffling shingles. The relation is pair-space-bounded (near-dup
+    pairs only, not the corpus), so executor block storage is cheap.
+
+    ``localCheckpoint`` blocks are non-resilient: on a cluster with
+    dynamic allocation or preemption, swap for ``checkpoint()`` on a
+    reliable store — same contract, durable blocks. Memo lifetime is
+    tied to the session via a weak key, so a torn-down session never
+    serves stale block references to a new one.
+    """
+    global _PAIRS_MEMO
+    import weakref
+
+    if _PAIRS_MEMO is None:
+        _PAIRS_MEMO = weakref.WeakKeyDictionary()
+    per_session = _PAIRS_MEMO.get(spark)
+    if per_session is None:
+        per_session = {}
+        _PAIRS_MEMO[spark] = per_session
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        per_session[sf_dir] = df
+    return df
+
+
 def jaccard_pairs(
     d: DataFrame, threshold: float = _JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -590,7 +628,7 @@ FROM reach GROUP BY node
     "(a~b, b~c must not drop both b and c against different keepers).",
 )
 def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
@@ -640,7 +678,7 @@ def q55_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster-resolution capability (SURVEY §2.12).",
 )
 def q125_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components_star(pairs, "doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
@@ -1041,7 +1079,7 @@ GROUP BY 1, 2
 )
 def q123_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = q51_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir)
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     return (
@@ -1225,7 +1263,7 @@ def q149_simhash_gate_calibration(
     s = q68_simhash_neardup(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_s")
     )
-    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+    j = jaccard_pairs_checkpointed(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_j")
     )
     m = s.join(j, ["doc_a", "doc_b"], "full_outer")
@@ -1293,7 +1331,7 @@ def q154_minhash_estimator_error(
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sig = minhash_per_doc(d).drop("n", "S")
-    p = q51_ngram_jaccard_pairs(spark, sf_dir)
+    p = jaccard_pairs_checkpointed(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASHES)],

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_candy_store_spark.operators.dedup import (
     _CLUSTERS_SQL,
     _JACCARD_PAIRS_SQL,
-    q51_ngram_jaccard_pairs,
+    jaccard_pairs_checkpointed,
 )
 from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
@@ -152,7 +152,7 @@ FROM deg d JOIN pr3 p ON p.node = d.node
     "bit-identical across engines and cluster layouts.",
 )
 def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q51_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
     # symmetrize with a row-local explode, NOT a self-union: a union of
     # two selects would evaluate the (expensive) pair pipeline twice
     edges = pairs.select(

@@ -168,3 +168,22 @@ class TestStarContraction:
         labels = self._labels(connected_components_star(df))
         assert len(labels) == 401
         assert set(labels.values()) == {0}
+
+
+def test_jaccard_pairs_checkpointed_memoized_and_consistent(spark):
+    """The shared pair relation is computed once per (session, sf_dir)
+    and returns the same materialized frame; its rows equal the direct
+    q51 build."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        jaccard_pairs_checkpointed,
+        q51_ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = jaccard_pairs_checkpointed(spark, sf)
+    b = jaccard_pairs_checkpointed(spark, sf)
+    assert a is b  # memo hit, no recompute
+    direct = sorted(map(tuple, q51_ngram_jaccard_pairs(spark, sf).collect()))
+    assert sorted(map(tuple, a.collect())) == direct
+    # the checkpointed plan is lineage-free (scan of materialized RDD)
+    assert "Scan ExistingRDD" in a._jdf.queryExecution().executedPlan().toString()
