@@ -104,6 +104,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_candy_store_spark.plans import (  # noqa: F401
         curation_pipeline,
         relational,
+        tpch_shapes,
     )
     from etl_pipeline_candy_store_spark.operators import (  # noqa: F401
         allocation_query,

@@ -527,3 +527,74 @@ def test_trailing_median_window_is_bounded_and_partitioned(spark):
     plan = _plan(spark, "q171_trailing_median_value")
     assert "windowspecdefinition(pri" in plan
     assert "unboundedpreceding" not in plan.lower(), plan
+
+
+# --- round 6: canonical TPC-H shapes (plans/tpch_shapes.py) ----------------
+
+
+def test_q173_regional_cycle_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "q173_regional_revenue_cycle")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # orders date window pushed to the scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q174_nation_roles_both_broadcast(spark):
+    plan = _plan(spark, "q174_nation_trade_volume")
+    # two nation roles + shipdate window pushed down
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q175_part_filter_prunes_before_broadcast(spark):
+    plan = _plan(spark, "q175_profit_by_nation_year")
+    # the LIKE lands on the part scan (as StringContains), so only the
+    # widget family broadcasts
+    assert "StringContains(p_name,widget)" in plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q176_returns_topk_not_full_sort(spark):
+    plan = _plan(spark, "q176_returns_ranking")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+
+
+def test_q177_bands_partial_agg(spark):
+    plan = _plan(spark, "q177_ship_delay_bands")
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q178_promo_month_pruned_scan(spark):
+    plan = _plan(spark, "q178_promo_share")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q179_max_is_broadcast_one_row_join(spark):
+    plan = _plan(spark, "q179_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    # never a whole-relation window for the max
+    assert "Window" not in plan
+
+
+def test_q180_large_orders_topk_and_broadcast_customer(spark):
+    plan = _plan(spark, "q180_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q181_semi_join_chain_ends_left_semi(spark):
+    plan = _plan(spark, "q181_dominant_part_suppliers")
+    assert "LeftSemi" in plan
+    assert "StringContains(p_name,bolt)" in plan.replace(" ", "")
+
+
+def test_q182_anti_join_and_broadcast_threshold(spark):
+    plan = _plan(spark, "q182_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the anti side's date prune reaches its scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
