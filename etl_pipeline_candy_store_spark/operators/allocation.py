@@ -45,6 +45,7 @@ def allocate_sequential(
     seq_cols: Sequence[str],
     qty_col: str,
     stock_col: str,
+    input_partitioned: bool = False,
 ) -> DataFrame:
     """Greedily allocate ``qty_col`` against ``stock_col`` per ``key_col``.
 
@@ -67,6 +68,19 @@ def allocate_sequential(
     across Arrow batches within a partition; that is safe because the
     repartition puts every row of a key in exactly one partition and the
     partition sort makes batch order the global per-key order.
+
+    ``input_partitioned=True`` skips the repartition: pass it when the
+    input's physical layout ALREADY co-locates every key in one
+    partition — a table written with
+    :func:`~etl_pipeline_candy_store_spark.sources.writers.write_bucketed_table`
+    on the key columns (each bucket reads as exactly one task while
+    ``spark.sql.sources.bucketing.enabled`` holds, the default), or an
+    upstream stage that repartitioned on the keys. The operator then
+    plans with ZERO Exchange — the bucket layout is the shuffle, paid
+    once at write time (``tests/test_bucketed_allocation.py`` locks the
+    plan). Setting it on a non-co-located input silently computes wrong
+    allocations (a key split across partitions allocates from two
+    independent stock counters) — it is a layout contract, not a hint.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     seq_cols = list(seq_cols)
@@ -114,10 +128,9 @@ def allocate_sequential(
             out["stock_after"] = stock_after
             yield out
 
-    return (
-        requests.repartition(*key_cols)
-        .sortWithinPartitions(*key_cols, *seq_cols)
-        .mapInPandas(_allocate, schema=out_schema)
+    src = requests if input_partitioned else requests.repartition(*key_cols)
+    return src.sortWithinPartitions(*key_cols, *seq_cols).mapInPandas(
+        _allocate, schema=out_schema
     )
 
 

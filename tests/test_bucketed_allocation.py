@@ -1,0 +1,90 @@
+"""Bucketed-input allocation: facts bucketed on the allocation key run
+the ST1 operator with ZERO Exchange — the bucket layout (paid once at
+write) replaces the operator's keyed repartition, composing round 5's
+write_bucketed_table with the allocation family."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.allocation import (
+    allocate_sequential,
+)
+from etl_pipeline_candy_store_spark.sources.writers import write_bucketed_table
+
+_KW = dict(
+    key_col="product_id",
+    seq_cols=["seq"],
+    qty_col="qty",
+    stock_col="stock",
+)
+
+
+def _requests(spark):
+    # 40 products x 50 requests, stocks low enough to exhaust mid-stream
+    rows = [
+        {
+            "product_id": p,
+            "seq": i,
+            "qty": (p * 31 + i * 7) % 5 + 1,
+            "stock": 60 + (p % 7) * 10,
+        }
+        for p in range(40)
+        for i in range(50)
+    ]
+    return spark.createDataFrame(
+        rows, "product_id int, seq int, qty int, stock int"
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_requests(spark):
+    write_bucketed_table(
+        _requests(spark),
+        "b_alloc_requests",
+        ["product_id"],
+        8,
+        sort_cols=["product_id", "seq"],
+    )
+    yield spark.table("b_alloc_requests")
+    spark.sql("DROP TABLE IF EXISTS b_alloc_requests")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_allocation_plans_zero_exchange(spark, bucketed_requests):
+    out = allocate_sequential(bucketed_requests, input_partitioned=True, **_KW)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan  # the bucket layout IS the shuffle
+    assert "MapInPandas" in plan
+
+
+def test_unbucketed_allocation_still_shuffles(spark):
+    out = allocate_sequential(_requests(spark), **_KW)
+    assert "Exchange" in _plan(out)
+
+
+def test_bucketed_allocation_identical_to_unbucketed(spark, bucketed_requests):
+    bucketed = sorted(
+        map(
+            tuple,
+            allocate_sequential(
+                bucketed_requests, input_partitioned=True, **_KW
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(tuple, allocate_sequential(_requests(spark), **_KW).collect())
+    )
+    assert bucketed == plain
+    # cancellation feedback actually exercised (stocks exhaust)
+    assert any(r[-2] == 1 for r in bucketed)
