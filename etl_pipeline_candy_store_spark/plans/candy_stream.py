@@ -80,9 +80,50 @@ def stream_validated_items(
     dim = products.select(
         "product_id",
         F.col("sales_price").cast("double").alias("unit_price"),
+        F.col("cost_to_make").cast("double").alias("unit_cost"),
         F.col("stock").cast("long").alias("opening_stock"),
     )
     return items.join(F.broadcast(dim), "product_id", "inner")
+
+
+def derive_candy_outputs(
+    spark: SparkSession, lines: DataFrame, products_csv: str
+) -> dict[str, DataFrame]:
+    """The post-stream batch stage: derive the pipeline's output tables
+    (orders, order_line_items, daily_summary, products_updated) from
+    accumulated allocated lines — the reference's daily-batch outputs
+    (src/data_processor.py:467-520) over a streaming-sunk spine.
+
+    ``lines`` is any frame carrying the streamed allocation schema
+    (ALLOC_STREAM_OUTPUT: ids, business_date, unit_price/unit_cost,
+    quantity/cancelled/stock_after) — typically
+    ``spark.read.parquet(<stream sink path>)``. The aggregates are the
+    SAME CandyPipeline methods the batch pipeline runs, so stream+derive
+    equals batch end-to-end (``tests/test_candy_stream.py``)."""
+    from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
+        CandyConfig,
+        CandyPipeline,
+    )
+
+    pipe = CandyPipeline(
+        spark,
+        CandyConfig(
+            products_csv=products_csv, customers_csv="", transactions_paths=[]
+        ),
+    )
+    full = lines.withColumn(
+        "line_total", F.col("quantity") * F.col("unit_price")
+    ).withColumn(
+        "line_profit",
+        F.col("quantity") * (F.col("unit_price") - F.col("unit_cost")),
+    )
+    orders = pipe.order_aggregates(full)
+    return {
+        "orders": pipe.orders_output(orders),
+        "order_line_items": pipe.order_line_items_output(full),
+        "daily_summary": pipe.daily_summary(orders),
+        "products_updated": pipe.products_updated(full),
+    }
 
 
 def stream_candy_allocation(

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DateType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -38,13 +40,29 @@ ALLOC_STREAM_OUTPUT = StructType(
     [
         StructField("product_id", IntegerType(), False),
         StructField("order_id", LongType(), False),
+        StructField("customer_id", IntegerType(), True),
         StructField("order_datetime", StringType(), True),
+        StructField("business_date", DateType(), True),
+        StructField("item_pos", IntegerType(), True),
+        StructField("unit_price", DoubleType(), True),
+        StructField("unit_cost", DoubleType(), True),
         StructField("requested_qty", IntegerType(), False),
         StructField("quantity", IntegerType(), False),
         StructField("cancelled", IntegerType(), False),
         StructField("stock_after", LongType(), False),
     ]
 )
+
+# context columns passed through the stateful operator untouched — they
+# let a downstream batch stage derive the full output tables (orders,
+# daily summary, products_updated) from the sunk allocation lines
+_PASSTHROUGH = [
+    "customer_id",
+    "business_date",
+    "item_pos",
+    "unit_price",
+    "unit_cost",
+]
 
 _STATE_SCHEMA = StructType([StructField("remaining", LongType(), False)])
 
@@ -71,6 +89,7 @@ def allocate_stream(
             (remaining,) = state.get
         else:
             remaining = int(pdf["opening_stock"].iloc[0])
+        passthrough = [c for c in _PASSTHROUGH if c in pdf.columns]
         out = {
             "product_id": [], "order_id": [], "order_datetime": [],
             "requested_qty": [], "quantity": [], "cancelled": [], "stock_after": [],
@@ -90,7 +109,13 @@ def allocate_stream(
             out["cancelled"].append(canc)
             out["stock_after"].append(remaining)
         state.update((remaining,))
-        yield pd.DataFrame(out)
+        res = pd.DataFrame(out)
+        for c in passthrough:  # context rides along, post-sort order
+            res[c] = pdf[c].to_numpy()
+        for c in _PASSTHROUGH:
+            if c not in res.columns:
+                res[c] = None
+        yield res[[f.name for f in ALLOC_STREAM_OUTPUT.fields]]
 
     return item_stream.groupBy("product_id").applyInPandasWithState(
         _update,

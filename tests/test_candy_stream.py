@@ -229,3 +229,98 @@ def test_stream_crash_recovery_carries_state(spark, tmp_path):
     # out — a fresh state store would have re-fulfilled these lines)
     cancels_total = spark.read.parquet(out_dir).filter(F.col("cancelled") == 1).count()
     assert cancels_total > cancels_phase1 > 0
+
+
+def test_stream_outputs_equal_batch_outputs(spark, tmp_path):
+    """The full deployment story: day files stream into a parquet lines
+    sink; the post-stream batch stage derives orders / order_line_items /
+    daily_summary / products_updated — and every table equals the batch
+    pipeline's on the same lines order (batch reference sequenced by the
+    stream's in-day timestamp order)."""
+    from etl_pipeline_candy_store_spark.operators.allocation import (
+        allocate_sequential,
+    )
+    from etl_pipeline_candy_store_spark.plans.candy_stream import (
+        derive_candy_outputs,
+    )
+
+    root = str(tmp_path / "fix")
+    write_fixture(root)
+    day_files = sorted(glob.glob(os.path.join(root, "transactions_*.json")))
+    products_csv = os.path.join(root, "products.csv")
+
+    # --- stream: one micro-batch per day file -> parquet lines sink
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for f in day_files:
+        shutil.copy(f, watch)
+        time.sleep(1.05)
+    lines_dir = str(tmp_path / "lines")
+    stream = stream_candy_allocation(
+        spark, watch, products_csv, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", lines_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = derive_candy_outputs(
+        spark, spark.read.parquet(lines_dir), products_csv
+    )
+
+    # --- batch reference with the stream's sequencing
+    pipe = CandyPipeline(
+        spark,
+        CandyConfig(
+            products_csv=products_csv,
+            customers_csv=os.path.join(root, "customers.csv"),
+            transactions_paths=day_files,
+        ),
+    )
+    products = pipe.load_products().select(
+        "product_id",
+        F.col("sales_price").cast("double").alias("unit_price"),
+        F.col("cost_to_make").cast("double").alias("unit_cost"),
+        F.col("stock").cast("long").alias("opening_stock"),
+    )
+    items = (
+        pipe.load_transactions()
+        .select(
+            F.col("transaction_id").alias("order_id"),
+            "customer_id",
+            F.col("timestamp").alias("order_datetime"),
+            "business_date",
+            F.posexplode("items").alias("item_pos", "item"),
+        )
+        .select(
+            "order_id", "customer_id", "order_datetime", "business_date",
+            "item_pos",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("requested_qty"),
+        )
+        .filter(F.col("requested_qty").isNotNull())
+        .join(F.broadcast(products), "product_id", "inner")
+    )
+    batch_lines = allocate_sequential(
+        items,
+        key_col="product_id",
+        seq_cols=["business_date", "order_datetime", "order_id", "item_pos"],
+        qty_col="requested_qty",
+        stock_col="opening_stock",
+    )
+    want = derive_candy_outputs(spark, batch_lines, products_csv)
+
+    assert set(got) == set(want)
+    for name in want:
+        g = sorted(map(tuple, got[name].collect()))
+        w = sorted(map(tuple, want[name].collect()))
+        assert g == w, f"{name} diverged"
+    # the comparison is meaningful: cancellations happened
+    assert (
+        spark.read.parquet(lines_dir).filter(F.col("cancelled") == 1).count()
+        > 0
+    )
