@@ -60,6 +60,10 @@ HEADLINE = [
     "q162_ewma_daily_orders",   # per-series integer fold recursion (r5)
     "q164_incremental_rollup",  # partial-aggregate merge maintenance (r5)
     "q165_robust_outliers",     # median/MAD gate, broadcast constants (r5)
+    "q142_canonical_by_pagerank",  # checkpointed pair-relation composition (r6)
+    "q173_regional_revenue_cycle",  # TPC-H Q5 join cycle (r6)
+    "q176_returns_ranking",     # TPC-H Q10 windowed top-k (r6)
+    "q180_large_orders",        # TPC-H Q18 semi-aggregation (r6)
 ]
 
 

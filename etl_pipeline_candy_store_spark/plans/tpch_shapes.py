@@ -1,11 +1,17 @@
 """The remaining canonical TPC-H join shapes (SURVEY §2 widening,
-round 6): Q5, Q7, Q9, Q10, Q12, Q14, Q15, Q18, Q20, Q22 analogues on
-the available star schema — the query shapes a user migrating from the
-reference's relational surface (src/data_processor.py aggregation
+round 6): Q2, Q4, Q5, Q6, Q7, Q9, Q10, Q11, Q12, Q14, Q15, Q18, Q20,
+Q22 analogues on the available star schema — with these, every one of
+the 22 canonical TPC-H query shapes has a catalog entry (Q1 q01,
+Q3 q74, Q8 q146, Q13 q167, Q16 q159, Q17 q147, Q19 q157, Q21 q158
+live in plans/relational.py) — the query shapes a user migrating from
+the reference's relational surface (src/data_processor.py aggregation
 pipeline) reaches for first.
 
 Schema adaptations (testdata lacks partsupp, l_shipmode,
 l_commitdate/l_receiptdate, c_phone):
+- Q2's partsupp min-cost offer → min historical shipped unit price;
+- Q4's late-commit EXISTS → shipped >90 days after order;
+- Q11's stock value → shipped value per part through one nation;
 - Q9's ps_supplycost → a deterministic 60% - of - retail cost model on
   ``part`` (exact decimal math, so both engines agree bit-for-bit);
 - Q12's shipmode bands → shipping-delay bands derived from
@@ -588,4 +594,194 @@ def q182_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
             F.sum(cents).alias("total_acctbal_cents"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — TPC-H Q2: the correlated-min subquery. Without partsupp, the
+# supplier-part cost relation is derived from shipping history: a
+# supplier's offer price for a part is the MIN unit price they ever
+# shipped it at; the query keeps, per part of one size class, the
+# supplier(s) matching the part's global minimum offer. Exact integer
+# cents, no division (unit price = extendedprice/quantity is avoided by
+# comparing extendedprice * other_qty cross-products? No — unit cents
+# are exact because extendedprice = qty * unit price in the generator;
+# min() needs no arithmetic at all).
+# --------------------------------------------------------------------------
+@register(
+    "q183_min_cost_supplier",
+    oracle="""
+WITH offer AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                  // CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS unit_cents
+  FROM lineitem l
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, MIN(unit_cents) AS best_cents
+  FROM offer GROUP BY 1
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, o.unit_cents
+FROM part p
+JOIN offer o ON o.l_partkey = p.p_partkey
+JOIN best b  ON b.l_partkey = p.p_partkey AND o.unit_cents = b.best_cents
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_size = 10
+""",
+    doc="TPC-H Q2 shape: per part of one size class, the supplier(s) "
+    "offering the global-minimum unit price (offer = min historical "
+    "shipped unit price, exact integer cents — generator prices are "
+    "whole multiples of quantity). The correlated MIN becomes a "
+    "per-part aggregate joined back, the canonical decorrelation; "
+    "part and supplier broadcast.",
+)
+def q183_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    unit_cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    offer = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("unit_cents")
+    )
+    best = offer.groupBy("l_partkey").agg(
+        F.min("unit_cents").alias("best_cents")
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    s = load(spark, sf_dir, "supplier")
+    return (
+        offer.join(best, "l_partkey")
+        .where(F.col("unit_cents") == F.col("best_cents"))
+        .join(F.broadcast(p), p["p_partkey"] == offer["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == offer["l_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — TPC-H Q4: EXISTS semi-join — orders (by priority) having at
+# least one slow line. No l_commitdate, so "slow" is shipped >90 days
+# after the order date.
+# --------------------------------------------------------------------------
+@register(
+    "q184_priority_order_check",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
+  )
+GROUP BY 1
+""",
+    doc="TPC-H Q4 shape: per-priority count of one quarter's orders "
+    "with at least one slow-shipping line (>90 days after order). The "
+    "EXISTS plans as a left-semi join on orderkey — each order counted "
+    "once however many lines are slow.",
+)
+def q184_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        l,
+        (l["l_orderkey"] == o["o_orderkey"])
+        & (
+            F.datediff(F.to_date(l["l_shipdate"]), F.to_date(o["o_orderdate"]))
+            > 90
+        ),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — TPC-H Q6: the pure scan-filter-aggregate revenue-change probe.
+# Every predicate reaches the parquet scan; the whole query is one
+# pruned scan plus a one-row partial-aggregated sum.
+# --------------------------------------------------------------------------
+@register(
+    "q185_forecast_revenue_change",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+               * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: revenue impact of discounted small-quantity "
+    "lines in one year — scan, three pushed predicates, one exact "
+    "decimal sum. The reference's whole aggregation engine is this "
+    "shape on its orders frame (src/data_processor.py:467-484).",
+)
+def q185_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dsum(_dec("l_extendedprice") * _dec("l_discount", _RATE), "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — TPC-H Q11: group HAVING against a global-total scalar. Without
+# partsupp, "stock value" is each part's total shipped value for one
+# supplier nation; parts above 1/1000 of the nation's total survive.
+# Exact integer cents; threshold by integer cross-multiplication.
+# --------------------------------------------------------------------------
+@register(
+    "q186_important_part_value",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.value_cents
+FROM pv, tot
+WHERE pv.value_cents * 1000 > tot.total_cents
+""",
+    doc="TPC-H Q11 shape: parts whose shipped value through one "
+    "nation's suppliers exceeds 1/1000 of that nation's total — a "
+    "keyed aggregate HAVING'd against a one-row global scalar "
+    "(broadcast), threshold as integer cross-multiplication.",
+)
+def q186_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    pv = (
+        l.join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * 100).cast("long").alias("value_cents")
+        )
+    )
+    tot = pv.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
     )

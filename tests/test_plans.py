@@ -598,3 +598,30 @@ def test_q182_anti_join_and_broadcast_threshold(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the anti side's date prune reaches its scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q183_decorrelated_min_broadcasts_dims(spark):
+    plan = _plan(spark, "q183_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_size,10)" in plan.replace(" ", "")
+
+
+def test_q184_exists_is_left_semi(spark):
+    plan = _plan(spark, "q184_priority_order_check")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q185_all_predicates_pushed(spark):
+    plan = _plan(spark, "q185_forecast_revenue_change")
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in flat
+    assert "LessThan(l_quantity,24.0)" in flat or "LessThan(l_quantity,24" in flat
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q186_global_scalar_broadcast(spark):
+    plan = _plan(spark, "q186_important_part_value")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EqualTo(n_name,NATION_3)" in plan.replace(" ", "")
