@@ -82,6 +82,26 @@ HEADLINE = [
     # (distinct counts) stays tiny. q166 is not probed: events is not
     # expanded by this harness (fixed dims only).
     "q167_order_count_distribution",
+    # round-6: the canonical TPC-H shapes — every one joins the K× facts
+    # through fixed broadcast dims or keyed aggs whose group domain is
+    # dimension-sized (nations, priorities, parts), so all must track
+    # the scan. q176/q180's top-k stays TakeOrderedAndProject at any K;
+    # q142 rides the checkpointed pair relation (grows with the corpus).
+    "q142_canonical_by_pagerank",
+    "q173_regional_revenue_cycle",
+    "q174_nation_trade_volume",
+    "q175_profit_by_nation_year",
+    "q176_returns_ranking",
+    "q177_ship_delay_bands",
+    "q178_promo_share",
+    "q179_top_supplier",
+    "q180_large_orders",
+    "q181_dominant_part_suppliers",
+    "q182_idle_rich_customers",
+    "q183_min_cost_supplier",
+    "q184_priority_order_check",
+    "q185_forecast_revenue_change",
+    "q186_important_part_value",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
