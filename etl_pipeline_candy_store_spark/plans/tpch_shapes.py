@@ -384,21 +384,23 @@ def q178_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM({_REV}) * 100 AS BIGINT) AS total_cents
+         CAST(SUM({_REV}) * 10000 AS BIGINT) AS total_u
   FROM lineitem l
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_cents
+SELECT s.s_suppkey, s.s_name, r.total_u
 FROM supplier s
 JOIN rev r ON s.s_suppkey = r.l_suppkey
-WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+WHERE r.total_u = (SELECT MAX(total_u) FROM rev)
 """,
     doc="TPC-H Q15 shape: supplier(s) with the maximum quarterly "
-    "revenue. The max is a one-row broadcast joined back to the "
-    "supplier-cardinality revenue view — two passes over the pruned "
-    "scan, never a whole-relation window.",
+    "revenue (exact scale-4 integer units — the discounted revenue "
+    "has scale 4, so x10000 leaves nothing for the engines' different "
+    "decimal->int rounding to disagree on). The max is a one-row "
+    "broadcast joined back to the supplier-cardinality revenue view — "
+    "two passes over the pruned scan, never a whole-relation window.",
 )
 def q179_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").where(
@@ -406,14 +408,14 @@ def q179_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = l.groupBy("l_suppkey").agg(
-        (F.sum(_rev()) * 100).cast("long").alias("total_cents")
+        (F.sum(_rev()) * 10000).cast("long").alias("total_u")
     )
-    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    mx = rev.agg(F.max("total_u").alias("_mx"))
     s = load(spark, sf_dir, "supplier")
     return (
         s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
-        .join(F.broadcast(mx), F.col("total_cents") == F.col("_mx"))
-        .select("s_suppkey", "s_name", "total_cents")
+        .join(F.broadcast(mx), F.col("total_u") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_u")
     )
 
 
