@@ -28,6 +28,9 @@ Scale posture:
 
 from __future__ import annotations
 
+import contextlib
+import io
+import warnings
 from collections.abc import Sequence
 
 import numpy as np
@@ -73,14 +76,18 @@ def allocate_sequential(
     input's physical layout ALREADY co-locates every key in one
     partition — a table written with
     :func:`~etl_pipeline_candy_store_spark.sources.writers.write_bucketed_table`
-    on the key columns (each bucket reads as exactly one task while
-    ``spark.sql.sources.bucketing.enabled`` holds, the default), or an
-    upstream stage that repartitioned on the keys. The operator then
-    plans with ZERO Exchange — the bucket layout is the shuffle, paid
-    once at write time (``tests/test_bucketed_allocation.py`` locks the
-    plan). Setting it on a non-co-located input silently computes wrong
-    allocations (a key split across partitions allocates from two
-    independent stock counters) — it is a layout contract, not a hint.
+    on the key columns, or an upstream stage that repartitioned on the
+    keys. The operator then plans with ZERO Exchange — the bucket
+    layout is the shuffle, paid once at write time
+    (``tests/test_bucketed_allocation.py`` locks the plan). It is a
+    layout contract, not a hint, and the operator enforces it two ways:
+    (1) ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` is
+    forced to ``false`` for the session (with a warning) — otherwise
+    Spark's ``DisableUnnecessaryBucketedScan`` rule de-buckets the scan
+    (mapInPandas declares no required distribution) and bucket files
+    beyond ``maxPartitionBytes`` split a key across tasks; (2) the
+    built plan must show a ``Bucketed: true`` scan or an upstream
+    Exchange, else :class:`ValueError` at build time.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     seq_cols = list(seq_cols)
@@ -128,10 +135,73 @@ def allocate_sequential(
             out["stock_after"] = stock_after
             yield out
 
-    src = requests if input_partitioned else requests.repartition(*key_cols)
-    return src.sortWithinPartitions(*key_cols, *seq_cols).mapInPandas(
+    if input_partitioned:
+        _disable_auto_bucketed_scan(requests)
+        src = requests
+    else:
+        src = requests.repartition(*key_cols)
+    out = src.sortWithinPartitions(*key_cols, *seq_cols).mapInPandas(
         _allocate, schema=out_schema
     )
+    if input_partitioned:
+        _assert_colocated_plan(out, key_cols)
+    return out
+
+
+_AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+def _disable_auto_bucketed_scan(df: DataFrame) -> None:
+    """``input_partitioned=True`` safety: Spark's
+    ``DisableUnnecessaryBucketedScan`` rule (on by default via
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled``) drops the
+    bucketed scan when no operator in the plan declares a required hash
+    distribution — and ``mapInPandas``/``sortWithinPartitions`` do not.
+    A de-bucketed scan splits bucket files larger than
+    ``spark.sql.files.maxPartitionBytes`` across tasks, splitting a key
+    across partitions and silently corrupting the allocation at exactly
+    the scale the flag targets. Planning is lazy (the decision is made
+    at action time), so the conf must be off for the session before the
+    first action on the returned frame — we flip it here and warn."""
+    spark = df.sparkSession
+    try:
+        cur = spark.conf.get(_AUTO_BUCKETED_SCAN, "true")
+    except Exception:  # pragma: no cover - conf surface differences
+        cur = "true"
+    if str(cur).lower() == "true":
+        spark.conf.set(_AUTO_BUCKETED_SCAN, "false")
+        warnings.warn(
+            f"allocate(input_partitioned=True): set {_AUTO_BUCKETED_SCAN}="
+            "false for this session — with it on, Spark may silently "
+            "de-bucket the scan and split an allocation key across tasks.",
+            stacklevel=3,
+        )
+
+
+def _assert_colocated_plan(out: DataFrame, key_cols: Sequence[str]) -> None:
+    """Best-effort layout-contract check for ``input_partitioned=True``:
+    the physical plan must show EITHER a genuinely bucketed scan
+    (``Bucketed: true``) or an upstream Exchange (the caller's own
+    repartition on the keys). A plan with neither means every key can
+    span partitions — exactly the silent-corruption case — so fail at
+    build time instead. (A single-partition input is technically safe
+    but still rejected: repartition it or drop the flag.) Best-effort
+    because an unrelated upstream Exchange on other columns also
+    passes; the contract remains the caller's to honor."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    if "Exchange" not in plan and "Bucketed: true" not in plan:
+        raise ValueError(
+            "allocate(input_partitioned=True): the physical plan has no "
+            f"Exchange and no bucketed scan on {list(key_cols)} — the "
+            "input is not provably co-located per key, which would "
+            "allocate each key from multiple independent stock counters. "
+            "Read the facts from a write_bucketed_table table (with "
+            f"{_AUTO_BUCKETED_SCAN}=false), repartition on the key "
+            "columns upstream, or drop input_partitioned."
+        )
 
 
 def _numeric_seq(df: DataFrame, col: str):
@@ -359,6 +429,7 @@ def allocate(
     exhaust_hot_row_threshold: int = 10_000_000,
     n_buckets: int = 16,
     sample_fraction: float | None = None,
+    input_partitioned: bool = False,
 ) -> DataFrame:
     """Strategy-dispatching front door for sequential allocation: probe
     the skew shape, then run :func:`allocate_sequential` (one shuffle +
@@ -389,6 +460,13 @@ def allocate(
     only needs order-of-magnitude accuracy because the strategies tie
     at the crossover by definition. An empty/undersized sample falls
     back to the sequential path — the right default for small inputs.
+
+    ``input_partitioned`` forwards to :func:`allocate_sequential` (see
+    its layout contract — enforced there): when the facts come from a
+    key-bucketed table, the sequential path plans with zero Exchange.
+    The bucketed hot-key escape ignores the flag — it re-shuffles by
+    (key, sequence-bucket) by design, so input co-location neither
+    helps nor hurts it.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     probe = requests
@@ -410,14 +488,18 @@ def allocate(
         key_col=key_cols, seq_cols=seq_cols, qty_col=qty_col, stock_col=stock_col
     )
     if not row:
-        return allocate_sequential(requests, **kwargs)
+        return allocate_sequential(
+            requests, input_partitioned=input_partitioned, **kwargs
+        )
     hot_rows = row[0]["_n"] * scale
     # sampled qty sums scale up; stock is constant per key, never scaled
     hot_can_exhaust = row[0]["_q"] * scale > row[0]["_s"]
     threshold = exhaust_hot_row_threshold if hot_can_exhaust else hot_row_threshold
     if hot_rows >= threshold:
         return allocate_bucketed(requests, n_buckets=n_buckets, **kwargs)
-    return allocate_sequential(requests, **kwargs)
+    return allocate_sequential(
+        requests, input_partitioned=input_partitioned, **kwargs
+    )
 
 
 def allocate_windowed(

@@ -278,6 +278,17 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliable store — same contract, durable blocks. Memo lifetime is
     tied to the session via a weak key, so a torn-down session never
     serves stale block references to a new one.
+
+    Laziness: the checkpoint is ``eager=False``, so building or
+    explaining a consumer plan launches no jobs (the repo's lazy
+    contract); the first ACTION on any consumer materializes the pairs
+    once, and every later consumer reuses the blocks.
+
+    Staleness contract: the memo is keyed on (session, sf_dir) with NO
+    file-level invalidation — if files under ``sf_dir`` are rewritten
+    within a live session, consumers keep reading the already-
+    checkpointed pairs. Call :func:`invalidate_jaccard_pairs` after
+    mutating a directory a live session has already read.
     """
     global _PAIRS_MEMO
     import weakref
@@ -290,9 +301,24 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIRS_MEMO[spark] = per_session
     df = per_session.get(sf_dir)
     if df is None:
-        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=False)
         per_session[sf_dir] = df
     return df
+
+
+def invalidate_jaccard_pairs(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop the memoized pair checkpoint for ``sf_dir`` (or all dirs)
+    in ``spark``'s session — required after rewriting files a live
+    session already read through :func:`jaccard_pairs_checkpointed`."""
+    if _PAIRS_MEMO is None:
+        return
+    per_session = _PAIRS_MEMO.get(spark)
+    if not per_session:
+        return
+    if sf_dir is None:
+        per_session.clear()
+    else:
+        per_session.pop(sf_dir, None)
 
 
 def jaccard_pairs(
@@ -685,6 +711,18 @@ def q125_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("cluster_id"),
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster source the composition consumers (q142/q153/q160)
+    build on: star contraction (q125's algorithm). q54's min-label
+    propagation and q125 share the exact output contract (cluster_id =
+    the component's min doc_id; identical recursive-CTE oracle), so the
+    consumers' oracles are unchanged either way — but star contraction
+    converges in O(log n) shuffle rounds vs O(diameter) and measured
+    faster standalone at sf0.1 (5.1s vs 7.5s, round 6), so it is the
+    composition default. Swap here to re-point all three consumers."""
+    return q125_dedup_clusters_star(spark, sf_dir)
 
 
 # --- Bloom-filter incremental dedup -----------------------------------
@@ -1400,7 +1438,7 @@ FROM perk GROUP BY n_members
     "relationally), then a tiny rollup on cluster size.",
 )
 def q153_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = q54_dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     per = (
         clusters.join(d, "doc_id")

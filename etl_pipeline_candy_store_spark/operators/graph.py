@@ -195,8 +195,10 @@ SELECT b.cluster_id,
 FROM best b JOIN cnt c USING (cluster_id)
 WHERE b.rn = 1
 """,
-    doc="Centrality-aware canonical selection: within each q54 dup "
-    "cluster keep the member with the highest q136 PageRank (min "
+    doc="Centrality-aware canonical selection: within each dup "
+    "cluster (q54/q125's shared contract; computed via the faster "
+    "star-contraction source) keep the member with the highest q136 "
+    "PageRank (min "
     "doc_id tiebreak) — the 'hub variant as canonical' policy q136 "
     "motivates, replacing q55's min-doc_id convention with a "
     "quality-bearing choice. Spark side needs NO window: one "
@@ -206,11 +208,9 @@ WHERE b.rn = 1
     "to themselves.",
 )
 def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_candy_store_spark.operators.dedup import (
-        q54_dedup_clusters,
-    )
+    from etl_pipeline_candy_store_spark.operators.dedup import dedup_clusters
 
-    clusters = q54_dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
     pr = q136_pagerank(spark, sf_dir).select("doc_id", "pr_micros")
     m = clusters.join(pr, "doc_id", "left").select(
         "cluster_id",

@@ -135,3 +135,59 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.format(fmt).load(path)
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    media_type: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+    with_content: bool = True,
+) -> DataFrame:
+    """S-media — opaque media ingest over a directory of files via
+    Spark's ``binaryFile`` source (SURVEY §2.12's last unimplemented
+    mapping): each file becomes one row carrying a stable ``media_id``
+    (xxhash64 of the file path), ``path``, ``mod_time``, ``n_bytes``,
+    the raw bytes as ``payload``, and the engine's typed ``media``
+    metadata struct (see
+    :func:`~etl_pipeline_candy_store_spark.operators.multimodal.attach_media_columns`)
+    — ready for ``extract_media_features`` / ``q95``-style manifest
+    arithmetic without any codec on the ingest path.
+
+    Scale posture: ``binaryFile`` plans one row per file and PRUNES the
+    ``content`` column at the scan when unselected — pass
+    ``with_content=False`` for manifest-only listings (path/size/mtime)
+    and the bytes are never read off storage (the plan's ``ReadSchema``
+    drops ``content``; locked by ``tests/test_media_ingest.py``).
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``"*.png"``) and filters
+    at listing time, before any read. Files larger than
+    ``spark.sql.sources.binaryFile.maxLength`` (int32 max) fail the
+    scan — chunk giant assets upstream; one file is never split across
+    rows, so payload skew is partition skew (repartition by ``n_bytes``
+    ranges before a decode stage if sizes vary wildly).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    cols = [
+        F.xxhash64("path").alias("media_id"),
+        "path",
+        F.col("modificationTime").alias("mod_time"),
+        F.col("length").alias("n_bytes"),
+    ]
+    if not with_content:
+        return df.select(*cols)
+    from etl_pipeline_candy_store_spark.operators.multimodal import (
+        attach_media_columns,
+    )
+
+    return attach_media_columns(
+        df.select(*cols, F.col("content").alias("payload")),
+        "payload",
+        media_type,
+    )

@@ -66,6 +66,44 @@ def test_bucketed_allocation_plans_zero_exchange(spark, bucketed_requests):
     plan = _plan(out)
     assert "Exchange" not in plan, plan  # the bucket layout IS the shuffle
     assert "MapInPandas" in plan
+    # The scan must be GENUINELY bucketed — "no Exchange" alone is also
+    # true when DisableUnnecessaryBucketedScan de-buckets the scan, and
+    # that variant splits keys across tasks once bucket files exceed
+    # maxPartitionBytes (silent corruption at scale).
+    assert "Bucketed: true" in plan, plan
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        ).lower()
+        == "false"
+    )
+
+
+def test_non_colocated_input_partitioned_rejected(spark, tmp_path):
+    # A plain parquet read is NOT co-located per key: the flag's layout
+    # contract is violated and the operator must refuse at build time
+    # rather than allocate each key from several independent counters.
+    p = str(tmp_path / "plain_requests")
+    _requests(spark).write.parquet(p)
+    plain = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="not provably co-located"):
+        allocate_sequential(plain, input_partitioned=True, **_KW)
+
+
+def test_upstream_repartition_satisfies_contract(spark):
+    # Co-location via an explicit upstream repartition (no bucketing)
+    # is the other legitimate layout; results match the plain path.
+    pre = _requests(spark).repartition("product_id")
+    got = sorted(
+        map(
+            tuple,
+            allocate_sequential(pre, input_partitioned=True, **_KW).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, allocate_sequential(_requests(spark), **_KW).collect())
+    )
+    assert got == want
 
 
 def test_unbucketed_allocation_still_shuffles(spark):

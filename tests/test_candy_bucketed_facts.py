@@ -1,0 +1,99 @@
+"""Bucketed-facts pipeline path: CandyConfig.transactions_bucketed_table
+loads the exploded request lines from a product-bucketed catalog table
+and the allocation plans with ZERO fact-side Exchange (only the dim
+BroadcastExchange), output-identical to the per-day-JSON path."""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+import os
+
+import pytest
+
+from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
+    CandyConfig,
+    CandyPipeline,
+)
+from tests.candy_fixtures import write_fixture
+
+_TABLE = "b_candy_request_lines"
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("candy_bucketed"))
+    write_fixture(root)
+    return root
+
+
+def _cfg(fixture_dir, **kw) -> CandyConfig:
+    return CandyConfig(
+        products_csv=os.path.join(fixture_dir, "products.csv"),
+        customers_csv=os.path.join(fixture_dir, "customers.csv"),
+        transactions_paths=sorted(
+            glob.glob(os.path.join(fixture_dir, "transactions_*.json"))
+        ),
+        output_dir=os.path.join(fixture_dir, "output"),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_pipeline(spark, fixture_dir):
+    cfg = _cfg(fixture_dir, transactions_bucketed_table=_TABLE)
+    pipe = CandyPipeline(spark, cfg)
+    pipe.prepare_bucketed_transactions(n_buckets=4)
+    yield pipe
+    spark.sql(f"DROP TABLE IF EXISTS {_TABLE}")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_facts_plan_shuffle_free(spark, bucketed_pipeline):
+    plan = _plan(bucketed_pipeline.allocated_lines())
+    # the only Exchange is the product-dim broadcast; the fact side rides
+    # the bucket layout (genuinely bucketed scan, not just Exchange-free)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_bucketed_facts_outputs_match_json_path(spark, fixture_dir, bucketed_pipeline):
+    plain = CandyPipeline(spark, _cfg(fixture_dir))
+
+    def _norm(df):
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    got = bucketed_pipeline.allocated_lines()
+    want = plain.allocated_lines()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _norm(got) == _norm(want)
+    # downstream aggregates derive identically
+    assert _norm(bucketed_pipeline.daily_summary()) == _norm(plain.daily_summary())
+
+
+def test_bucketed_facts_respects_reload_inventory(spark, fixture_dir, bucketed_pipeline):
+    # composite (product_id, business_date) key rides the product_id
+    # bucketing: each product's rows — hence each of its dates — are in
+    # one partition, so the input_partitioned contract still holds
+    b = CandyPipeline(
+        spark,
+        _cfg(
+            fixture_dir,
+            transactions_bucketed_table=_TABLE,
+            reload_inventory_daily=True,
+        ),
+    )
+    p = CandyPipeline(spark, _cfg(fixture_dir, reload_inventory_daily=True))
+
+    def _norm(df):
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    assert _norm(b.allocated_lines()) == _norm(p.allocated_lines())

@@ -67,10 +67,6 @@ def test_stream_pipeline_matches_batch(spark, tmp_path):
         qty_col="requested_qty",
         stock_col="opening_stock",
     )
-    want = {
-        (r["order_id"], r["product_id"]): None
-        for r in batch.collect()
-    }
     want = {}
     for r in batch.collect():
         k = (r["order_id"], r["product_id"])
