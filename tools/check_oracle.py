@@ -137,8 +137,30 @@ def main() -> int:
     if json_path:
         import json
 
+        # stamp the exact commit the artifact describes, plus whether the
+        # tree was dirty — round 6 shipped an artifact generated BEFORE
+        # the fix the same snapshot commit contained, and the stamp makes
+        # that class of staleness self-evident
+        import subprocess
+
+        try:
+            git_sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+            ).stdout.strip()
+            dirty = bool(
+                subprocess.run(
+                    ["git", "status", "--porcelain"],
+                    capture_output=True,
+                    text=True,
+                ).stdout.strip()
+            )
+        except Exception:
+            git_sha, dirty = None, None
         summary = {
             "sf_dir": sf_dir,
+            "git_sha": git_sha,
+            "git_dirty": dirty,
+            "session": "plain" if plain else "tuned",
             "checked": len(results),
             "failures": failures,
             "pass": sum(1 for r in results.values() if r["status"] == "pass"),

@@ -79,9 +79,20 @@ HEADLINE = [
     "q165_robust_outliers",
     # q167 left-joins the FIXED customer dim to the K× orders — the
     # per-customer counts grow with the fact, the second agg's domain
-    # (distinct counts) stays tiny. q166 is not probed: events is not
-    # expanded by this harness (fixed dims only).
+    # (distinct counts) stays tiny.
     "q167_order_count_distribution",
+    # round-7: the events family, over a K× events table whose replicas
+    # are DISJOINT in both user space and time (user_id- and ts-shifted
+    # per replica, 31 days apart) so sessions/funnels/windows never
+    # merge across replicas: user count grows K× (q103/q151 funnel and
+    # attribution state per user), window-bucket count grows K× (q108's
+    # rolling frame, q168's hopping buckets) — the "more time, more
+    # users, more data" shape a year of 100 TB telemetry actually has.
+    "q103_event_funnel",
+    "q108_rolling_active_users",
+    "q151_conversion_paths",
+    "q166_click_attribution",
+    "q168_hopping_window_traffic",
     # round-6: the canonical TPC-H shapes — every one joins the K× facts
     # through fixed broadcast dims or keyed aggs whose group domain is
     # dimension-sized (nations, priorities, parts), so all must track
@@ -105,7 +116,7 @@ HEADLINE = [
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-KEEP = ["region", "nation", "customer", "supplier", "part", "events"]
+KEEP = ["region", "nation", "customer", "supplier", "part"]
 
 
 def expand(spark, src: str, dst: str, k: int) -> None:
@@ -158,6 +169,33 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     )
     wide.repartition(32).write.mode("overwrite").parquet(f"{dst}/documents_dir")
     os.rename(f"{dst}/documents_dir", f"{dst}/documents.parquet")
+
+    # events: K× rows with replicas disjoint in user space AND time —
+    # user_ids shift per replica (funnel/session/attribution state never
+    # merges across replicas) and timestamps shift 31 days per replica
+    # (the base span is 30 days, so window buckets are disjoint too and
+    # the hopping/rolling bucket count grows K×). Read through
+    # catalog.load so the TIMESTAMP(NANOS) source normalizes to micros;
+    # the rewrite lands as plain TIMESTAMP, which load passes through.
+    from etl_pipeline_candy_store_spark.plans.catalog import load as _load
+
+    ev = _load(spark, src, "events")
+    mx = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    max_eid, max_uid = mx[0] + 1, mx[1] + 1
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(max_eid))
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(max_uid))
+        .withColumn(
+            "ts",
+            F.timestampadd("DAY", (F.col("_rep") * 31).cast("int"), F.col("ts")),
+        )
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst}/events_dir")
+    )
+    os.rename(f"{dst}/events_dir", f"{dst}/events.parquet")
 
     # embeddings: K× vectors with shifted vec_ids, values unchanged —
     # the ANN queries' codebook/query/centroid seeds (vec_id < 16) stay
