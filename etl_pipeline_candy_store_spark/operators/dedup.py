@@ -279,10 +279,16 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied to the session via a weak key, so a torn-down session never
     serves stale block references to a new one.
 
-    Laziness: the checkpoint is ``eager=False``, so building or
-    explaining a consumer plan launches no jobs (the repo's lazy
-    contract); the first ACTION on any consumer materializes the pairs
-    once, and every later consumer reuses the blocks.
+    Laziness — a DOCUMENTED exception to the repo's lazy contract:
+    building (not acting on) the first consumer plan per (session,
+    sf_dir) launches the pair-materialization jobs. ``eager=False``
+    cannot avoid this: under AQE, ``localCheckpoint`` needs the
+    dataset's RDD, and producing an RDD from an adaptive plan executes
+    every intermediate query stage anyway (measured: 6 of 7 jobs still
+    run at build with ``eager=False``), so the flag would defer one
+    stage while pretending to defer the plan. We keep ``eager=True``
+    — explicit is better than 85%-eager. Consumers: q54/q125/q136/
+    q142/q153/q160 (their construction triggers this, once).
 
     Staleness contract: the memo is keyed on (session, sf_dir) with NO
     file-level invalidation — if files under ``sf_dir`` are rewritten
@@ -301,7 +307,7 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIRS_MEMO[spark] = per_session
     df = per_session.get(sf_dir)
     if df is None:
-        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
         per_session[sf_dir] = df
     return df
 

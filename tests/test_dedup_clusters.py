@@ -187,3 +187,32 @@ def test_jaccard_pairs_checkpointed_memoized_and_consistent(spark):
     assert sorted(map(tuple, a.collect())) == direct
     # the checkpointed plan is lineage-free (scan of materialized RDD)
     assert "Scan ExistingRDD" in a._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pairs_memo_and_invalidate(spark):
+    """jaccard_pairs_checkpointed: the memo returns the same frame per
+    (session, sf_dir), builds launch jobs ONCE per dir (the documented
+    eager-build exception — AQE materializes intermediate stages even
+    for eager=False, so the checkpoint is explicitly eager), and
+    invalidate drops the memo entry."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        invalidate_jaccard_pairs,
+        jaccard_pairs_checkpointed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    invalidate_jaccard_pairs(spark)  # isolate from earlier tests
+    sc = spark.sparkContext
+    a = jaccard_pairs_checkpointed(spark, sf)
+    # memo hit: no further jobs for repeat builds of the same dir
+    sc.setJobGroup("pairs-memo-check", "memo hit must not launch jobs")
+    try:
+        b = jaccard_pairs_checkpointed(spark, sf)
+        assert sc.statusTracker().getJobIdsForGroup("pairs-memo-check") == []
+    finally:
+        sc.setJobGroup("", "")
+    assert a is b
+    assert a.count() > 0
+    invalidate_jaccard_pairs(spark, sf)
+    c = jaccard_pairs_checkpointed(spark, sf)
+    assert c is not a  # invalidated -> rebuilt

@@ -188,7 +188,7 @@ def expand(spark, src: str, dst: str, k: int) -> None:
         .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(max_uid))
         .withColumn(
             "ts",
-            F.timestampadd("DAY", (F.col("_rep") * 31).cast("int"), F.col("ts")),
+            F.timestamp_add("DAY", (F.col("_rep") * 31).cast("int"), F.col("ts")),
         )
         .drop("_rep")
         .repartition(32)
