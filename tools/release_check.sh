@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# End-of-round artifact ritual (VERDICT r6 task 1): regenerate the
+# full-catalog oracle artifact at the FINAL query-touching commit, in
+# BOTH the tuned engine session and a plain driver-default session, with
+# the git SHA stamped inside (check_oracle.py --json records git_sha +
+# git_dirty). Refuses to run on a dirty tree so the artifact can never
+# misreport the committed code again.
+#
+#   tools/release_check.sh <round>     # writes ORACLE_FULL_r<round>.json
+#
+# The tuned run is the artifact; the plain run must also be 0-failure
+# (driver conditions) and is written alongside as *_plain.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+round="${1:?usage: tools/release_check.sh <round>}"
+sf_dir="${SPARK_GRAFT_SF_DIR_ORACLE:-/root/testdata/sf0.01}"
+
+if [[ -n "$(git status --porcelain)" ]]; then
+    echo "refusing: working tree is dirty — commit first so the artifact" >&2
+    echo "describes exactly one SHA (git_sha is stamped into the JSON)" >&2
+    exit 1
+fi
+
+echo "== tuned session sweep at ${sf_dir} (HEAD $(git rev-parse --short HEAD)) =="
+python tools/check_oracle.py --json "ORACLE_FULL_r${round}.json" "$sf_dir" \
+    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)"
+
+echo "== plain driver-default session sweep =="
+python tools/check_oracle.py --json "ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir" \
+    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)"
+
+python - "$round" <<'EOF'
+import json, sys
+r = sys.argv[1]
+for suffix in ("", "_plain"):
+    p = f"ORACLE_FULL_r{r}{suffix}.json"
+    d = json.load(open(p))
+    assert d["failures"] == 0, f"{p}: {d['failures']} failures — do not ship"
+    print(f"{p}: {d['pass']}/{d['checked']} pass, git_sha={d['git_sha'][:10]}, dirty={d['git_dirty']}")
+EOF
