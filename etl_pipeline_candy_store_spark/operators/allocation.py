@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 import warnings
 from collections.abc import Sequence
 
@@ -178,21 +179,33 @@ def _disable_auto_bucketed_scan(df: DataFrame) -> None:
         )
 
 
+#: Shuffle-exchange node header in ``explain("formatted")`` output:
+#: ``(3) Exchange`` — and NOT ``(5) BroadcastExchange``, whose node name
+#: starts with ``Broadcast``. A broadcast exchange redistributes the
+#: *dimension*, not the fact rows, so it proves nothing about key
+#: co-location; matching it let a mis-configured unbucketed fact table
+#: slip past the guard whenever the plan also broadcast-joined a dim
+#: (the candy pipeline always does).
+_SHUFFLE_EXCHANGE_RE = re.compile(r"\(\d+\)\s+Exchange\b")
+
+
 def _assert_colocated_plan(out: DataFrame, key_cols: Sequence[str]) -> None:
     """Best-effort layout-contract check for ``input_partitioned=True``:
     the physical plan must show EITHER a genuinely bucketed scan
-    (``Bucketed: true``) or an upstream Exchange (the caller's own
-    repartition on the keys). A plan with neither means every key can
+    (``Bucketed: true``) or an upstream SHUFFLE Exchange (the caller's
+    own repartition on the keys). BroadcastExchange does not count — it
+    moves the small joined dimension, not the fact rows, so the keys can
+    still span partitions. A plan with neither means every key can
     span partitions — exactly the silent-corruption case — so fail at
     build time instead. (A single-partition input is technically safe
     but still rejected: repartition it or drop the flag.) Best-effort
-    because an unrelated upstream Exchange on other columns also
-    passes; the contract remains the caller's to honor."""
+    because an unrelated shuffle on other columns also passes; the
+    contract remains the caller's to honor."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    if "Exchange" not in plan and "Bucketed: true" not in plan:
+    if not _SHUFFLE_EXCHANGE_RE.search(plan) and "Bucketed: true" not in plan:
         raise ValueError(
             "allocate(input_partitioned=True): the physical plan has no "
             f"Exchange and no bucketed scan on {list(key_cols)} — the "
@@ -467,6 +480,19 @@ def allocate(
     The bucketed hot-key escape ignores the flag — it re-shuffles by
     (key, sequence-bucket) by design, so input co-location neither
     helps nor hurts it.
+
+    .. warning::
+       ``input_partitioned=True`` disables
+       ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` for the
+       WHOLE SparkSession (with a warning), and the conf stays off after
+       this operator returns. Planning is lazy, so there is no safe
+       point to restore it: the flag must still be off when an action
+       finally runs this plan, and Spark reads it per-query, not
+       per-operator. The cost is that *other* bucketed-table scans in
+       the session lose the de-bucket-for-parallelism optimization
+       (they stay one-task-per-bucket). Restore it manually once every
+       frame built with ``input_partitioned=True`` has been fully
+       consumed, or isolate allocation runs in their own session.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     probe = requests

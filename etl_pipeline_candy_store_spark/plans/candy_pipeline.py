@@ -80,7 +80,8 @@ class CandyConfig:
     #: and runs the allocation with ``input_partitioned=True`` — the
     #: bucket layout replaces the allocation's keyed Exchange, paid
     #: once at write time and amortized over every pipeline run. The
-    #: 100 TB shape: raw transactions land daily, a prepare pass
+    #: 100 TB shape: raw transactions land daily, a prepare pass with
+    #: ``mode="append"`` (config pointed at just the new day's files)
     #: appends them into the bucketed facts, and every downstream
     #: allocation/reporting run plans shuffle-free on the fact side.
     transactions_bucketed_table: str | None = None
@@ -126,7 +127,7 @@ class CandyPipeline:
         )
 
     def prepare_bucketed_transactions(
-        self, table: str | None = None, n_buckets: int = 16
+        self, table: str | None = None, n_buckets: int = 16, mode: str = "overwrite"
     ) -> str:
         """Materialize the exploded request lines as a product-bucketed
         catalog table (the one-time shuffle the bucketed pipeline path
@@ -135,7 +136,14 @@ class CandyPipeline:
         :meth:`allocated_lines` calls with that config field set plan
         the allocation with zero fact-side Exchange. Size ``n_buckets``
         so each bucket's hot-path columns fit an executor task at the
-        target scale (buckets read as ONE task each on this path)."""
+        target scale (buckets read as ONE task each on this path).
+
+        ``mode`` mirrors the DataFrameWriter: the default "overwrite"
+        rebuilds the table from the CURRENT ``transactions_paths``;
+        "append" is the daily-ingest shape — point the config at just
+        the new day's files and append them into the existing bucketed
+        facts (Spark validates the bucket spec matches and buckets the
+        new files identically, so key co-location is preserved)."""
         from etl_pipeline_candy_store_spark.sources.writers import (
             write_bucketed_table,
         )
@@ -151,6 +159,7 @@ class CandyPipeline:
             ["product_id"],
             n_buckets,
             sort_cols=["product_id", "business_date", "file_seq", "item_pos"],
+            mode=mode,
         )
         return table
 

@@ -90,6 +90,25 @@ def test_non_colocated_input_partitioned_rejected(spark, tmp_path):
         allocate_sequential(plain, input_partitioned=True, **_KW)
 
 
+def test_broadcast_join_does_not_satisfy_contract(spark, tmp_path):
+    # Regression: the guard once matched the bare substring "Exchange",
+    # which "BroadcastExchange" contains — so an unbucketed fact table
+    # broadcast-joined to a dim (the candy pipeline's exact shape)
+    # passed the layout check and silently allocated each key from
+    # several independent stock counters. A broadcast exchange moves the
+    # DIM, not the fact rows; it proves nothing about key co-location
+    # and must NOT satisfy the contract.
+    p = str(tmp_path / "plain_requests_bj")
+    _requests(spark).write.parquet(p)
+    dim = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(40)], "product_id int, name string"
+    )
+    joined = spark.read.parquet(p).join(F.broadcast(dim), "product_id")
+    assert "BroadcastExchange" in _plan(joined)  # precondition of the bug
+    with pytest.raises(ValueError, match="not provably co-located"):
+        allocate_sequential(joined, input_partitioned=True, **_KW)
+
+
 def test_upstream_repartition_satisfies_contract(spark):
     # Co-location via an explicit upstream repartition (no bucketing)
     # is the other legitimate layout; results match the plain path.

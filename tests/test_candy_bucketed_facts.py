@@ -79,6 +79,70 @@ def test_bucketed_facts_outputs_match_json_path(spark, fixture_dir, bucketed_pip
     assert _norm(bucketed_pipeline.daily_summary()) == _norm(plain.daily_summary())
 
 
+def test_daily_append_equals_full_rebuild(spark, fixture_dir):
+    # The 100 TB ingest shape: day files land incrementally and are
+    # APPENDED into the bucketed facts (config pointed at just the new
+    # files, mode="append"). The accreted table must be row-identical to
+    # a one-shot rebuild over all days, and stay genuinely bucketed
+    # (Spark validates the bucket spec on append), so the shuffle-free
+    # allocation path keeps its layout contract as days accrete.
+    inc_tbl = "b_candy_incremental"
+    days = sorted(glob.glob(os.path.join(fixture_dir, "transactions_*.json")))
+    assert len(days) >= 2
+    try:
+        cfg0 = _cfg(fixture_dir, transactions_bucketed_table=inc_tbl)
+        cfg0.transactions_paths = days[:1]
+        CandyPipeline(spark, cfg0).prepare_bucketed_transactions(n_buckets=4)
+        for day in days[1:]:
+            cfg_d = _cfg(fixture_dir, transactions_bucketed_table=inc_tbl)
+            cfg_d.transactions_paths = [day]
+            CandyPipeline(spark, cfg_d).prepare_bucketed_transactions(
+                n_buckets=4, mode="append"
+            )
+        # file_seq is monotonically_increasing_id: partition-dependent in
+        # absolute value (only the within-day ORDER is contractual), so
+        # compare rows modulo file_seq...
+        full = CandyPipeline(spark, _cfg(fixture_dir))._request_items()
+        cols = [c for c in full.columns if c != "file_seq"]
+        got = sorted(map(tuple, spark.table(inc_tbl).select(*cols).collect()))
+        want = sorted(map(tuple, full.select(*cols).collect()))
+        assert got == want
+        # ...and prove the ordering semantics survived the append path by
+        # the order-SENSITIVE operator: allocation results must match the
+        # one-shot pipeline exactly (also re-checks the layout contract).
+        inc_pipe = CandyPipeline(
+            spark, _cfg(fixture_dir, transactions_bucketed_table=inc_tbl)
+        )
+        plain = CandyPipeline(spark, _cfg(fixture_dir))
+
+        def _norm(df):
+            keep = sorted(c for c in df.columns if c != "file_seq")
+            return sorted(map(tuple, df.select(keep).collect()))
+
+        assert _norm(inc_pipe.allocated_lines()) == _norm(plain.allocated_lines())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {inc_tbl}")
+
+
+def test_misconfigured_unbucketed_table_rejected(spark, fixture_dir):
+    # transactions_bucketed_table pointing at a PLAIN (unbucketed) saved
+    # table violates the layout contract; the pipeline's broadcast
+    # product join must not mask that (regression: the colocation guard
+    # once accepted any plan containing "BroadcastExchange"). Build must
+    # fail rather than run a key-split allocation.
+    plain_tbl = "plain_candy_request_lines"
+    src = CandyPipeline(spark, _cfg(fixture_dir))
+    src._request_items().write.mode("overwrite").saveAsTable(plain_tbl)
+    try:
+        bad = CandyPipeline(
+            spark, _cfg(fixture_dir, transactions_bucketed_table=plain_tbl)
+        )
+        with pytest.raises(ValueError, match="not provably co-located"):
+            bad.allocated_lines()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {plain_tbl}")
+
+
 def test_bucketed_facts_respects_reload_inventory(spark, fixture_dir, bucketed_pipeline):
     # composite (product_id, business_date) key rides the product_id
     # bucketing: each product's rows — hence each of its dates — are in

@@ -22,13 +22,17 @@ if [[ -n "$(git status --porcelain)" ]]; then
     exit 1
 fi
 
+# The grep filters are progress-noise reducers, not success checks —
+# "|| true" keeps pipefail from aborting a SUCCESSFUL sweep whose output
+# happened to match no filter line; the authoritative pass/fail gate is
+# the JSON assertion block below.
 echo "== tuned session sweep at ${sf_dir} (HEAD $(git rev-parse --short HEAD)) =="
 python tools/check_oracle.py --json "ORACLE_FULL_r${round}.json" "$sf_dir" \
-    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)"
+    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
 
 echo "== plain driver-default session sweep =="
 python tools/check_oracle.py --json "ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir" \
-    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)"
+    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
 
 python - "$round" <<'EOF'
 import json, sys
@@ -37,5 +41,7 @@ for suffix in ("", "_plain"):
     p = f"ORACLE_FULL_r{r}{suffix}.json"
     d = json.load(open(p))
     assert d["failures"] == 0, f"{p}: {d['failures']} failures — do not ship"
-    print(f"{p}: {d['pass']}/{d['checked']} pass, git_sha={d['git_sha'][:10]}, dirty={d['git_dirty']}")
+    # git_sha may be null if check_oracle's git subprocess failed
+    sha = (d.get("git_sha") or "unknown")[:10]
+    print(f"{p}: {d['pass']}/{d['checked']} pass, git_sha={sha}, dirty={d.get('git_dirty')}")
 EOF

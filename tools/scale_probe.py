@@ -1,10 +1,22 @@
-"""Scale probe: replicate the sf0.1 fact tables K× (key-shifted) into a
-temp dir, run the headline queries there, and report timings next to the
-sf0.1 numbers — evidence that the plans scale linearly rather than
-degrading (the thing local[32] can actually demonstrate about the
-100 TB posture).
+"""Scale probe + regression GATE: replicate the sf0.1 fact tables K×
+(key-shifted) into a temp dir, run the headline queries there, and
+compare timings against per-query growth budgets — evidence that the
+plans scale linearly rather than degrading (the thing local[32] can
+actually demonstrate about the 100 TB posture), enforced by exit code
+instead of hand-read prose.
 
-    python tools/scale_probe.py [K]
+    python tools/scale_probe.py [K] [--out SCALE_rN.json] [--only q103,...]
+
+Gate semantics: a query FAILS when ``t_big > budget × max(t_base,
+FLOOR_SEC)``. The budget defaults to ``K × SLACK`` (linear growth plus
+measured rep-to-rep noise headroom — SCALE_NOTES documents ±30% single
+reps, so base timings are median-of-3 and SLACK adds the rest); named
+agg-collapse queries (fixed output domain, cost = one scan + tiny agg)
+get the tighter ``K × 1.0``. ``FLOOR_SEC`` keeps overhead-dominated
+denominators (sub-½-second base runs, mostly fixed JVM/task-launch cost)
+from manufacturing scary-looking ratios — the round-7 q167 "7.3×" was
+exactly that artifact. Exit code 1 on any violation; the JSON artifact
+(``--out``) records timings, budgets, and verdicts for the round record.
 """
 
 from __future__ import annotations
@@ -179,8 +191,18 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     # the rewrite lands as plain TIMESTAMP, which load passes through.
     from etl_pipeline_candy_store_spark.plans.catalog import load as _load
 
+    if not os.path.exists(f"{src}/events.parquet"):
+        print(f"scale_probe: {src} has no events table — skipping its expansion")
+        return
     ev = _load(spark, src, "events")
     mx = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    if mx[0] is None or mx[1] is None:
+        # empty events table: nothing to shift; copy it through so the
+        # event-family queries still resolve (they'll see zero rows)
+        print("scale_probe: events table is empty — copying through unshifted")
+        shutil.copyfile(f"{src}/events.parquet", f"{dst}/events.parquet")
+        _expand_embeddings(spark, src, dst, reps)
+        return
     max_eid, max_uid = mx[0] + 1, mx[1] + 1
     (
         ev.crossJoin(reps)
@@ -197,6 +219,10 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     )
     os.rename(f"{dst}/events_dir", f"{dst}/events.parquet")
 
+    _expand_embeddings(spark, src, dst, reps)
+
+
+def _expand_embeddings(spark, src: str, dst: str, reps) -> None:
     # embeddings: K× vectors with shifted vec_ids, values unchanged —
     # the ANN queries' codebook/query/centroid seeds (vec_id < 16) stay
     # the ORIGINAL vectors, so only the searched corpus grows
@@ -213,22 +239,65 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     os.rename(f"{dst}/embeddings_dir", f"{dst}/embeddings.parquet")
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+#: Gate tuning. SLACK on top of linear growth absorbs measured noise
+#: (±30% single reps per SCALE_NOTES; big-side runs are single-rep) plus
+#: genuine super-constant-but-sub-quadratic terms like sort/shuffle
+#: log-factors. FLOOR_SEC is the fixed per-query overhead regime
+#: (planning + task launch on local[32]); base runs faster than it are
+#: denominator artifacts, not measurements of the data-dependent term.
+SLACK = 1.5
+FLOOR_SEC = 0.6
+#: Agg-collapse shapes: output domain fixed (dimension-sized groups or a
+#: scalar), cost = one fact scan + map-side-combined agg. These must not
+#: even reach linear-with-slack; K×1.0 catches a regression to a second
+#: fact shuffle. (Window/join/graph queries keep the default.)
+TIGHT_BUDGET = {
+    "q23_daily_summary": 1.0,
+    "q43_source_rollup": 1.0,
+    "q147_small_qty_revenue": 1.0,
+    "q162_ewma_daily_orders": 1.0,
+    "q164_incremental_rollup": 1.0,
+    "q174_nation_trade_volume": 1.0,
+    "q178_promo_share": 1.0,
+}
+
+
+def run(
+    spark, sf_dir: str, queries: list[str], reps: int = 1
+) -> dict[str, float]:
+    """Median-of-``reps`` wall time per query (noop sink)."""
     from etl_pipeline_candy_store_spark.plans import catalog
 
     catalog._ensure_loaded()
     out = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        catalog.REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = round(time.time() - t0, 2)
+    for name in queries:
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            catalog.REGISTRY[name].builder(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times.append(time.time() - t0)
+        times.sort()
+        out[name] = round(times[len(times) // 2], 2)
     return out
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = list(sys.argv[1:])
+    out_path = None
+    only = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    k = int(argv[0]) if argv else 10
+    queries = only or HEADLINE
+
     from etl_pipeline_candy_store_spark.session import get_spark
 
     spark = get_spark("scale-probe", master="local[32]")
@@ -238,24 +307,47 @@ def main() -> None:
     expand(spark, base, dst, k)
     spark.read.parquet(f"{dst}/lineitem.parquet").count()
 
-    t_base = run(spark, base)
-    t_big = run(spark, dst)
+    # base: median-of-3 (cheap at sf0.1, kills the ±30% rep noise in the
+    # gate's denominator); big side: single rep (the expensive one)
+    t_base = run(spark, base, queries, reps=3)
+    t_big = run(spark, dst, queries, reps=1)
     rows = spark.read.parquet(f"{dst}/lineitem.parquet").count()
-    print(
-        json.dumps(
-            {
-                "k": k,
-                "lineitem_rows": rows,
-                "sf0.1_sec": t_base,
-                f"sf{0.1 * k:g}_sec": t_big,
-                "ratio": {
-                    q: round(t_big[q] / max(t_base[q], 0.01), 1) for q in t_base
-                },
-            }
-        )
-    )
+
+    report, failures = {}, []
+    for q in queries:
+        budget = k * TIGHT_BUDGET.get(q, SLACK)
+        denom = max(t_base[q], FLOOR_SEC)
+        ratio = round(t_big[q] / denom, 1)
+        ok = t_big[q] <= budget * denom
+        report[q] = {
+            "base_sec": t_base[q],
+            "big_sec": t_big[q],
+            "ratio": ratio,
+            "budget": budget,
+            "floor_applied": t_base[q] < FLOOR_SEC,
+            "ok": ok,
+        }
+        if not ok:
+            failures.append(q)
+
+    result = {
+        "k": k,
+        "lineitem_rows": rows,
+        "slack": SLACK,
+        "floor_sec": FLOOR_SEC,
+        "base_reps": 3,
+        "queries": report,
+        "failures": failures,
+        "gate": "PASS" if not failures else "FAIL",
+    }
+    print(json.dumps(result))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
     shutil.rmtree(dst)
     spark.stop()
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
