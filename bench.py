@@ -7,6 +7,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is fully executed via the noop sink (forces the whole plan —
 joins, aggregations, pandas operators — without write-side cost).
+Headline timings are the MEDIAN of 3 reps per query (the "reps"/"stat"
+fields say so); rounds ≤7 reported best-of-2, which reads ~10-20% lower
+on the same code — compare medians to medians across rounds.
 """
 
 from __future__ import annotations
@@ -86,17 +89,23 @@ def main() -> None:
     # startup; excluded from timings.
     catalog.load(spark, sf_dir, "lineitem").count()
 
-    # best-of-2 per query: the first pass pays codegen/JIT warmup that a
-    # long-running cluster would amortize; min is the steady-state signal
+    # median-of-3 per query: single-rep timings carry ±30% rep-to-rep
+    # noise (SCALE_NOTES r7 — a phantom q51 "regression" came from one),
+    # and best-of-N biases low. Three reps, median: the first rep pays
+    # codegen/JIT warmup and lands as the max in the typical case, so
+    # the median is a warm steady-state rep without dedicated untimed
+    # warm-up passes (keeps total bench time inside harness budgets).
+    REPS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = catalog.REGISTRY[name].builder
-        best = float("inf")
-        for _ in range(2):
+        reps: list[float] = []
+        for _ in range(REPS):
             t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.time() - t0)
+        reps.sort()
+        timings[name] = round(reps[len(reps) // 2], 3)
 
     # hot-key allocator A/B on the 50%-hot-key shape (tools/hotkey_probe.py
     # at full size; here a fixed 8M-row instance — near the measured
@@ -190,10 +199,16 @@ def main() -> None:
                 lambda: allocate_sequential(hk, **hk_kw),
             ),
         )
+    # best-of-2: these legs run at the tail of a long session where a
+    # single rep has shown one-off 2-3× inflation (GC/memory churn from
+    # the headline sweep) that an isolated re-measure doesn't reproduce
     for label, fn in hk20:
-        t0 = time.time()
-        fn().write.format("noop").mode("overwrite").save()
-        extras[label] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        extras[label] = round(best, 3)
     hk.unpersist()
 
     # extras are fixed-size synthetic A/Bs: reported, but kept out of the
@@ -206,6 +221,8 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf": sf,
+        "reps": REPS,
+        "stat": "median",
     }
     # per-query delta vs the previous round's artifact, when present
     prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")

@@ -191,3 +191,70 @@ def read_media_dir(
         "payload",
         media_type,
     )
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    path: str,
+    target_schema=None,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Mixed-generation parquet reader: one directory, files from
+    DIFFERENT writer versions (added/dropped columns, widened types).
+    At 100 TB every long-lived table has this shape — schema evolution
+    ships file by file, never as a rewrite — and a plain
+    ``spark.read.parquet`` silently binds to ONE file's footer, dropping
+    newer columns or failing mid-scan on older files.
+
+    Two modes:
+
+    - **No ``target_schema`` (additive evolution only):**
+      ``mergeSchema=true`` unions the footers of every generation;
+      columns absent from a file read as null for its rows. Spark
+      REFUSES conflicting primitive types here (``CANNOT_MERGE_SCHEMAS``
+      — a fail-fast, not a silent cast), so this mode is for
+      added/missing columns only.
+
+    - **``target_schema`` (DDL string or StructType) — the general
+      policy:** every file is decoded *into* the target, so the caller
+      states the current-generation contract once. Missing columns read
+      as null; the vectorized reader widens per-file physical types
+      where lossless (verified on this Spark: parquet INT32 → ``bigint``,
+      INT32/INT64 → ``decimal(p,0)``; epoch-days DATE → ``timestamp``
+      variants per Spark's matrix). NOT every cast is a widening —
+      e.g. INT64 → ``double`` is lossy above 2^53 and the scan fails
+      with ``PARQUET_COLUMN_DATA_TYPE_MISMATCH`` rather than corrupt:
+      route such columns through ``decimal(20,0)`` in the target and
+      ``.cast("double")`` afterwards, making the precision loss an
+      explicit, visible step.
+
+    ``defaults`` (``{column: literal}``) back-fills generation gaps:
+    applied as ``coalesce(col, lit(default))``, i.e. wherever the
+    column is null — which is exactly the old-generation rows when the
+    column is non-null in every file that HAS it. (File provenance is
+    gone after the scan, so "null because old file" and "null in a new
+    file" are indistinguishable by design; keep evolved columns
+    non-nullable at write time if that distinction matters.)
+
+    Scale posture: ``mergeSchema`` reads every file footer up front
+    (a driver-coordinated parallel job — fine, but O(files)); the
+    ``target_schema`` mode reads none. Prefer the explicit schema on
+    wide directories — it is also the only mode that handles widening.
+    """
+    if target_schema is not None:
+        df = spark.read.schema(target_schema).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", True).parquet(path)
+    if defaults:
+        bad = set(defaults) - set(df.columns)
+        if bad:
+            raise ValueError(f"defaults for columns not in schema: {sorted(bad)}")
+        df = df.select(
+            *[
+                F.coalesce(F.col(c), F.lit(defaults[c])).alias(c)
+                if c in defaults
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df

@@ -35,11 +35,51 @@ def save_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
     return final
 
 
+def parquet_tuning_options(
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int | None = None,
+    row_group_bytes: int | None = None,
+) -> dict[str, str]:
+    """Writer options for scan-side pruning beyond min/max statistics.
+
+    ``bloom_filter_cols`` writes a split-block Bloom filter per row
+    group for each named column (``parquet.bloom.filter.enabled#col``).
+    This is the point-lookup lever for HIGH-CARDINALITY, UNSORTED keys
+    — exactly where min/max row-group stats cannot prune because every
+    row group's range spans the domain, and where dictionary-page
+    filtering bows out because the dictionary overflows to plain
+    encoding. On read, parquet-mr consults the filter per row group and
+    skips groups that definitely lack the probed value (``k = ?`` and
+    IN-list probes), so a selective dimension-key lookup on a 100 TB
+    fact reads a handful of row groups instead of every one — the
+    access pattern of the reference's per-id dimension lookups
+    (/root/reference/src/data_processor.py:294-306) at scale.
+    ``bloom_filter_ndv`` sizes the filter (expected distinct values per
+    row group; ~1M ndv ≈ 1.2 MB per column per group at the default
+    1% FPP — size it, don't default it, on wide tables).
+    ``row_group_bytes`` sets ``parquet.block.size`` — smaller groups =
+    finer skip granularity, more footer overhead.
+
+    The cost model: the filter is paid once at write (CPU + footer
+    bytes) and consulted from the footer on every selective scan —
+    same amortization story as bucketing, but for point predicates
+    instead of joins, and readable by ANY parquet engine."""
+    opts: dict[str, str] = {}
+    for c in bloom_filter_cols or []:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        if bloom_filter_ndv:
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(bloom_filter_ndv)
+    if row_group_bytes:
+        opts["parquet.block.size"] = str(row_group_bytes)
+    return opts
+
+
 def save_partitioned_parquet(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     dynamic: bool = False,
+    parquet_options: dict[str, str] | None = None,
 ) -> None:
     """The 100 TB sink: multi-part parquet, optionally hive-partitioned
     (e.g. by business_date so downstream scans prune days).
@@ -51,13 +91,19 @@ def save_partitioned_parquet(
     100 TB table to rewrite one day — static overwrite (the default,
     matching Spark's) deletes every existing partition first. The mode
     is set as a writer option so it scopes to this write, not the
-    session."""
+    session.
+
+    ``parquet_options`` passes writer options through (see
+    :func:`parquet_tuning_options` for the Bloom-filter / row-group
+    pruning surface)."""
     if dynamic and not partition_by:
         raise ValueError(
             "dynamic=True requires partition_by: without partition columns "
             "the overwrite is a full table truncate, not per-partition"
         )
     writer = df.write.mode("overwrite")
+    for k, v in (parquet_options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
         if dynamic:
@@ -193,6 +239,7 @@ def write_bucketed_table(
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    parquet_options: dict[str, str] | None = None,
 ) -> None:
     """Persist ``df`` as a BUCKETED catalog table: rows are hash-
     distributed into ``n_buckets`` files per partition on
@@ -207,8 +254,15 @@ def write_bucketed_table(
 
     Bucketing requires the session catalog (`saveAsTable`) — bucket
     metadata lives in the table definition, not the parquet files.
+
+    ``parquet_options`` passes writer options through (see
+    :func:`parquet_tuning_options`): bucketing co-locates JOIN keys;
+    a Bloom filter on a different high-cardinality column adds
+    row-group skipping for point lookups the bucket key doesn't serve.
     """
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    for k, v in (parquet_options or {}).items():
+        writer = writer.option(k, v)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)

@@ -265,7 +265,17 @@ TIGHT_BUDGET = {
 def run(
     spark, sf_dir: str, queries: list[str], reps: int = 1
 ) -> dict[str, float]:
-    """Median-of-``reps`` wall time per query (noop sink)."""
+    """Warm wall time per query (noop sink): with ``reps > 1`` the FIRST
+    rep is a discarded warm-up and the result is the median of the rest.
+
+    The warm-up discard must be symmetric between the base and big runs:
+    several queries share session-level state (the checkpointed Jaccard
+    pair relation feeds q123/q142/...; codegen caches), so a query's
+    first execution per (session, sf_dir) can be build-dominated. An
+    asymmetric discipline — warm base median vs cold big single-rep —
+    once mis-read q123 as 56× at K=30 when the steady-state ratio is
+    linear; the build itself is q51-shaped shingle-join work, measured
+    linear separately (SCALE_NOTES)."""
     from etl_pipeline_candy_store_spark.plans import catalog
 
     catalog._ensure_loaded()
@@ -278,7 +288,8 @@ def run(
                 "noop"
             ).mode("overwrite").save()
             times.append(time.time() - t0)
-        times.sort()
+        if len(times) > 1:
+            times = sorted(times[1:])
         out[name] = round(times[len(times) // 2], 2)
     return out
 
@@ -307,10 +318,12 @@ def main() -> None:
     expand(spark, base, dst, k)
     spark.read.parquet(f"{dst}/lineitem.parquet").count()
 
-    # base: median-of-3 (cheap at sf0.1, kills the ±30% rep noise in the
-    # gate's denominator); big side: single rep (the expensive one)
+    # base: warm-up + median-of-2 (cheap at sf0.1, kills the ±30% rep
+    # noise in the gate's denominator); big side: warm-up + 1 timed rep
+    # — SAME discipline, so session-shared builds (pair checkpoint,
+    # codegen) are excluded from both sides instead of only one
     t_base = run(spark, base, queries, reps=3)
-    t_big = run(spark, dst, queries, reps=1)
+    t_big = run(spark, dst, queries, reps=2)
     rows = spark.read.parquet(f"{dst}/lineitem.parquet").count()
 
     report, failures = {}, []
@@ -335,7 +348,7 @@ def main() -> None:
         "lineitem_rows": rows,
         "slack": SLACK,
         "floor_sec": FLOOR_SEC,
-        "base_reps": 3,
+        "reps": {"base": 3, "big": 2, "discipline": "discard first rep, median rest"},
         "queries": report,
         "failures": failures,
         "gate": "PASS" if not failures else "FAIL",
