@@ -41,6 +41,11 @@ HEADLINE = [
     "q30_allocation_sequential",
     # document-corpus operators (round 4/5): the expanded documents
     # table grows K× in docs AND vocabulary (per-replica token suffix)
+    # q51 gates the Jaccard pair-relation BUILD itself: its builder
+    # derives the shingle join directly (no checkpoint memo), so the
+    # warm-up-discard discipline — which hides the build inside the
+    # checkpoint consumers q123/q142 — still times the full build here
+    "q51_ngram_jaccard_pairs",
     "q89_vocab_coverage",
     "q119_vocab_growth",
     "q122_repetition_signals",
