@@ -174,9 +174,28 @@ def _disable_auto_bucketed_scan(df: DataFrame) -> None:
         warnings.warn(
             f"allocate(input_partitioned=True): set {_AUTO_BUCKETED_SCAN}="
             "false for this session — with it on, Spark may silently "
-            "de-bucket the scan and split an allocation key across tasks.",
+            "de-bucket the scan and split an allocation key across tasks. "
+            "Call restore_auto_bucketed_scan(spark) once every "
+            "input_partitioned frame has been fully consumed.",
             stacklevel=3,
         )
+
+
+def restore_auto_bucketed_scan(df_or_spark) -> None:
+    """Re-enable ``autoBucketedScan`` after bucketed-input allocation.
+
+    There is no safe AUTOMATIC restore point: planning is lazy, Spark
+    reads the conf at action time per query, and the operator cannot
+    know when the last action on a frame it built has run. So the
+    restore is an explicit user statement — "every frame built with
+    ``input_partitioned=True`` in this session has been fully
+    consumed" — after which other bucketed-table scans regain the
+    de-bucket-for-parallelism optimization. Calling it while such a
+    frame is still pending re-opens the key-split corruption window on
+    that frame's next action; the build-time plan assert cannot catch
+    it retroactively. Accepts a DataFrame or a SparkSession."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    spark.conf.set(_AUTO_BUCKETED_SCAN, "true")
 
 
 #: Shuffle-exchange node header in ``explain("formatted")`` output:

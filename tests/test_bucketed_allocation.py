@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.allocation import (
     allocate_sequential,
+    restore_auto_bucketed_scan,
 )
 from etl_pipeline_candy_store_spark.sources.writers import write_bucketed_table
 
@@ -123,6 +124,22 @@ def test_upstream_repartition_satisfies_contract(spark):
         map(tuple, allocate_sequential(_requests(spark), **_KW).collect())
     )
     assert got == want
+
+
+def test_restore_auto_bucketed_scan(spark, bucketed_requests):
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    # building an input_partitioned frame flips the conf off for the
+    # session (and consuming it fully is the precondition for restore)
+    out = allocate_sequential(bucketed_requests, input_partitioned=True, **_KW)
+    out.write.format("noop").mode("overwrite").save()
+    assert spark.conf.get(conf).lower() == "false"
+    restore_auto_bucketed_scan(spark)
+    assert spark.conf.get(conf).lower() == "true"
+    # accepts a DataFrame too; leave the module's expected state behind
+    spark.conf.set(conf, "false")
+    restore_auto_bucketed_scan(out)
+    assert spark.conf.get(conf).lower() == "true"
+    spark.conf.set(conf, "false")
 
 
 def test_unbucketed_allocation_still_shuffles(spark):
