@@ -147,9 +147,14 @@ def main() -> int:
             git_sha = subprocess.run(
                 ["git", "rev-parse", "HEAD"], capture_output=True, text=True
             ).stdout.strip()
+            # -uno: tracked modifications are the staleness signal; an
+            # UNTRACKED file can't make the code differ from git_sha —
+            # and the ritual itself writes the tuned artifact before the
+            # plain sweep runs, which used to stamp the second artifact
+            # dirty=True about a perfectly clean tree
             dirty = bool(
                 subprocess.run(
-                    ["git", "status", "--porcelain"],
+                    ["git", "status", "--porcelain", "--untracked-files=no"],
                     capture_output=True,
                     text=True,
                 ).stdout.strip()

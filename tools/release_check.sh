@@ -16,7 +16,10 @@ cd "$(dirname "$0")/.."
 round="${1:?usage: tools/release_check.sh <round>}"
 sf_dir="${SPARK_GRAFT_SF_DIR_ORACLE:-/root/testdata/sf0.01}"
 
-if [[ -n "$(git status --porcelain)" ]]; then
+# -uno: only TRACKED modifications make the artifact describe code that
+# differs from HEAD; untracked files (e.g. this ritual's own first
+# artifact, present when re-running) cannot
+if [[ -n "$(git status --porcelain --untracked-files=no)" ]]; then
     echo "refusing: working tree is dirty — commit first so the artifact" >&2
     echo "describes exactly one SHA (git_sha is stamped into the JSON)" >&2
     exit 1
