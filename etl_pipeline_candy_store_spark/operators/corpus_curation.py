@@ -444,14 +444,15 @@ _CLUSTER_HASH_SQL = (
     "a near-copy in train (the eval-contamination mode a doc-level "
     "split cannot prevent; see q51/q54). Stateless expression on top "
     "of cluster labels: no RNG, no coordination, retry-identical; "
-    "cost is exactly q54's clustering plus a row-local hash.",
+    "cost is a row-local hash over the session's checkpointed cluster "
+    "labels (star contraction; q54-identical contract).",
 )
 def q144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_candy_store_spark.operators.dedup import (
-        q54_dedup_clusters,
+        dedup_clusters_checkpointed,
     )
 
-    c = q54_dedup_clusters(spark, sf_dir)
+    c = dedup_clusters_checkpointed(spark, sf_dir)
     md5 = F.md5(F.col("cluster_id").cast("string").cast("binary"))
     nib = lambda i: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(md5, i, 1)

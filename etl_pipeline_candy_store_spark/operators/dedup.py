@@ -315,16 +315,19 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def invalidate_jaccard_pairs(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Drop the memoized pair checkpoint for ``sf_dir`` (or all dirs)
     in ``spark``'s session — required after rewriting files a live
-    session already read through :func:`jaccard_pairs_checkpointed`."""
-    if _PAIRS_MEMO is None:
-        return
-    per_session = _PAIRS_MEMO.get(spark)
-    if not per_session:
-        return
-    if sf_dir is None:
-        per_session.clear()
-    else:
-        per_session.pop(sf_dir, None)
+    session already read through :func:`jaccard_pairs_checkpointed`.
+    Cluster labels (:func:`dedup_clusters_checkpointed`) derive from
+    the pairs, so their memo is cleared with the same call."""
+    for memo in (_PAIRS_MEMO, _CLUSTERS_MEMO):
+        if memo is None:
+            continue
+        per_session = memo.get(spark)
+        if not per_session:
+            continue
+        if sf_dir is None:
+            per_session.clear()
+        else:
+            per_session.pop(sf_dir, None)
 
 
 def jaccard_pairs(
@@ -682,11 +685,12 @@ GROUP BY cluster_id
     doc="Keep-one-per-cluster materialization: the canonical document "
     "(min doc_id) and member count per duplicate cluster — the final "
     "shape a training-data pipeline consumes (join back on keep_doc_id "
-    "to emit the deduplicated corpus).",
+    "to emit the deduplicated corpus). Composition consumer: reads the "
+    "session's checkpointed cluster labels (q54-identical contract).",
 )
 def q55_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        q54_dedup_clusters(spark, sf_dir)
+        dedup_clusters_checkpointed(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(
             F.min("doc_id").cast("long").alias("keep_doc_id"),
@@ -720,15 +724,51 @@ def q125_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cluster source the composition consumers (q142/q153/q160)
-    build on: star contraction (q125's algorithm). q54's min-label
+    """The cluster source the composition consumers (q142/q144/q153/
+    q160) build on: star contraction (q125's algorithm). q54's min-label
     propagation and q125 share the exact output contract (cluster_id =
     the component's min doc_id; identical recursive-CTE oracle), so the
     consumers' oracles are unchanged either way — but star contraction
     converges in O(log n) shuffle rounds vs O(diameter) and measured
     faster standalone at sf0.1 (5.1s vs 7.5s, round 6), so it is the
-    composition default. Swap here to re-point all three consumers."""
+    composition default. Swap here to re-point all consumers."""
     return q125_dedup_clusters_star(spark, sf_dir)
+
+
+_CLUSTERS_MEMO = None
+
+
+def dedup_clusters_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_clusters` memoized per (session, sf_dir) — one level
+    up the same composition economics as
+    :func:`jaccard_pairs_checkpointed`: four catalog consumers
+    (q142/q144/q153/q160) each re-ran the full star contraction —
+    O(log n) rounds of exchanges — on top of the already-checkpointed
+    pair relation, paying the iterative-graph cost per QUERY for labels
+    that only change when the pairs do. The label relation is one short
+    row per document (doc_id, cluster_id), so the localCheckpoint is
+    executor-block-cheap at any corpus size; at 100 TB a real pipeline
+    materializes cluster labels exactly once per corpus version and
+    every downstream stage joins against them.
+
+    Same caveats as the pairs memo, shared staleness contract:
+    clusters derive from pairs, so :func:`invalidate_jaccard_pairs`
+    clears BOTH memos. q54/q125 themselves stay un-memoized — they are
+    the algorithm benchmarks; this wrapper is the composition source."""
+    global _CLUSTERS_MEMO
+    import weakref
+
+    if _CLUSTERS_MEMO is None:
+        _CLUSTERS_MEMO = weakref.WeakKeyDictionary()
+    per_session = _CLUSTERS_MEMO.get(spark)
+    if per_session is None:
+        per_session = {}
+        _CLUSTERS_MEMO[spark] = per_session
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+        per_session[sf_dir] = df
+    return df
 
 
 # --- Bloom-filter incremental dedup -----------------------------------
@@ -1444,7 +1484,7 @@ FROM perk GROUP BY n_members
     "relationally), then a tiny rollup on cluster size.",
 )
 def q153_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters_checkpointed(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     per = (
         clusters.join(d, "doc_id")

@@ -208,9 +208,11 @@ WHERE b.rn = 1
     "to themselves.",
 )
 def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_candy_store_spark.operators.dedup import dedup_clusters
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dedup_clusters_checkpointed,
+    )
 
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters_checkpointed(spark, sf_dir)
     pr = q136_pagerank(spark, sf_dir).select("doc_id", "pr_micros")
     m = clusters.join(pr, "doc_id", "left").select(
         "cluster_id",

@@ -205,7 +205,7 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_gate,
     )
     from etl_pipeline_candy_store_spark.operators.dedup import (
-        dedup_clusters,
+        dedup_clusters_checkpointed,
     )
     from etl_pipeline_candy_store_spark.operators.text import (
         repetition_signals,
@@ -218,7 +218,7 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") != F.min("doc_id").over(w_fp)).alias("is_exact_dup"),
     )
-    near = dedup_clusters(spark, sf_dir).select(
+    near = dedup_clusters_checkpointed(spark, sf_dir).select(
         "doc_id", (F.col("cluster_id") != F.col("doc_id")).alias("is_near_dup")
     )
     qual = quality_gate(d).select(

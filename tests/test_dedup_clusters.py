@@ -216,3 +216,26 @@ def test_pairs_memo_and_invalidate(spark):
     invalidate_jaccard_pairs(spark, sf)
     c = jaccard_pairs_checkpointed(spark, sf)
     assert c is not a  # invalidated -> rebuilt
+
+
+def test_clusters_memo_consistent_and_invalidated_with_pairs(spark):
+    """dedup_clusters_checkpointed: same memo discipline one level up —
+    one frame per (session, sf_dir), rows identical to the direct star
+    contraction, and the PAIRS invalidate clears it too (labels derive
+    from pairs, so a stale-cluster/fresh-pair split state must be
+    impossible)."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_checkpointed,
+        invalidate_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    invalidate_jaccard_pairs(spark)  # isolate from earlier tests
+    a = dedup_clusters_checkpointed(spark, sf)
+    assert dedup_clusters_checkpointed(spark, sf) is a  # memo hit
+    direct = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
+    assert sorted(map(tuple, a.collect())) == direct
+    assert "Scan ExistingRDD" in a._jdf.queryExecution().executedPlan().toString()
+    invalidate_jaccard_pairs(spark, sf)
+    assert dedup_clusters_checkpointed(spark, sf) is not a  # rebuilt
