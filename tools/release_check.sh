@@ -25,17 +25,27 @@ if [[ -n "$(git status --porcelain --untracked-files=no)" ]]; then
     exit 1
 fi
 
+# Artifacts are written to a temp dir and moved into the tree only
+# after BOTH sweeps finish: when a previous round's artifact is already
+# committed, writing the tuned JSON in place modifies a TRACKED file
+# and the plain sweep then truthfully-but-uselessly stamps
+# git_dirty=true about the ritual's own first output.
+tmpdir="$(mktemp -d)"
+trap 'rm -rf "$tmpdir"' EXIT
+
 # The grep filters are progress-noise reducers, not success checks —
 # "|| true" keeps pipefail from aborting a SUCCESSFUL sweep whose output
 # happened to match no filter line; the authoritative pass/fail gate is
 # the JSON assertion block below.
 echo "== tuned session sweep at ${sf_dir} (HEAD $(git rev-parse --short HEAD)) =="
-python tools/check_oracle.py --json "ORACLE_FULL_r${round}.json" "$sf_dir" \
+python tools/check_oracle.py --json "$tmpdir/ORACLE_FULL_r${round}.json" "$sf_dir" \
     2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
 
 echo "== plain driver-default session sweep =="
-python tools/check_oracle.py --json "ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir" \
+python tools/check_oracle.py --json "$tmpdir/ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir" \
     2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
+
+mv "$tmpdir/ORACLE_FULL_r${round}.json" "$tmpdir/ORACLE_FULL_r${round}_plain.json" .
 
 python - "$round" <<'EOF'
 import json, sys
