@@ -127,7 +127,11 @@ class CandyPipeline:
         )
 
     def prepare_bucketed_transactions(
-        self, table: str | None = None, n_buckets: int = 16, mode: str = "overwrite"
+        self,
+        table: str | None = None,
+        n_buckets: int = 16,
+        mode: str = "overwrite",
+        analyze: bool = True,
     ) -> str:
         """Materialize the exploded request lines as a product-bucketed
         catalog table (the one-time shuffle the bucketed pipeline path
@@ -143,7 +147,16 @@ class CandyPipeline:
         "append" is the daily-ingest shape — point the config at just
         the new day's files and append them into the existing bucketed
         facts (Spark validates the bucket spec matches and buckets the
-        new files identically, so key co-location is preserved)."""
+        new files identically, so key co-location is preserved).
+
+        ``analyze`` (default True) refreshes table-level optimizer
+        statistics (rowCount/sizeInBytes) after the write — the prepare
+        pass just scanned everything anyway, and accurate fact-side
+        size estimates keep downstream join planning honest as the
+        table accretes (stats go stale on every append otherwise;
+        column-level ndv stats are the dimension tables' concern —
+        see sources/stats.py)."""
+        from etl_pipeline_candy_store_spark.sources.stats import analyze_table
         from etl_pipeline_candy_store_spark.sources.writers import (
             write_bucketed_table,
         )
@@ -161,6 +174,8 @@ class CandyPipeline:
             sort_cols=["product_id", "business_date", "file_seq", "item_pos"],
             mode=mode,
         )
+        if analyze:
+            analyze_table(self.spark, table, columns=None)
         return table
 
     # -- core derivations --------------------------------------------------

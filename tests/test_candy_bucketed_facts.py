@@ -124,6 +124,17 @@ def test_daily_append_equals_full_rebuild(spark, fixture_dir):
         spark.sql(f"DROP TABLE IF EXISTS {inc_tbl}")
 
 
+def test_prepare_refreshes_table_stats(spark, bucketed_pipeline):
+    # the prepare pass analyzes the table it just wrote: rowCount lands
+    # in the metastore and matches the actual table size, so downstream
+    # join planning costs the facts accurately as days accrete
+    row = spark.sql(f"DESCRIBE TABLE EXTENDED {_TABLE}").collect()
+    stats = {r["col_name"]: r["data_type"] for r in row}
+    assert "Statistics" in stats, stats.keys()
+    n = spark.table(_TABLE).count()
+    assert f"{n} rows" in stats["Statistics"], stats["Statistics"]
+
+
 def test_misconfigured_unbucketed_table_rejected(spark, fixture_dir):
     # transactions_bucketed_table pointing at a PLAIN (unbucketed) saved
     # table violates the layout contract; the pipeline's broadcast
