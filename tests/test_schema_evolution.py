@@ -109,3 +109,62 @@ def test_defaults_for_unknown_column_rejected(spark, two_gen_dir):
             target_schema="id long, val long, source string",
             defaults={"nope": 1},
         )
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    # each generation: a random subset of optional columns and a random
+    # physical int width for "val" — the space of states a long-lived
+    # directory actually visits as writers evolve
+    _GEN = st.lists(
+        st.tuples(
+            st.booleans(),  # include 'extra'?
+            st.booleans(),  # include 'score'?
+            st.sampled_from(["int", "long"]),  # physical width of 'val'
+            st.integers(1, 4),  # rows in this generation
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(gens=_GEN)
+    @settings(max_examples=8, deadline=None)
+    def test_target_schema_reads_any_generation_mix(spark, tmp_path_factory, gens):
+        root = tmp_path_factory.mktemp("evo_prop")
+        mixed = str(root / "mixed")
+        os.makedirs(mixed)
+        expect = {}  # id -> (val, extra, score)
+        next_id = 0
+        for g, (has_extra, has_score, width, n) in enumerate(gens):
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            cols = [F.col("id").cast("long").alias("id"),
+                    (F.col("id") * 7).cast(width).alias("val")]
+            if has_extra:
+                cols.append(F.concat(F.lit("g"), F.lit(str(g))).alias("extra"))
+            if has_score:
+                cols.append((F.col("id") * 2).cast("double").alias("score"))
+            gdir = str(root / f"g{g}")
+            spark.createDataFrame([(i,) for i in ids], "id long").select(
+                *cols
+            ).repartition(1).write.parquet(gdir)
+            for f in glob.glob(f"{gdir}/part-*.parquet"):
+                shutil.copy(
+                    f, os.path.join(mixed, f"part-{g:03d}-{os.path.basename(f)}")
+                )
+            for i in ids:
+                expect[i] = (
+                    i * 7,
+                    f"g{g}" if has_extra else None,
+                    float(i * 2) if has_score else None,
+                )
+        df = read_evolving_parquet(
+            spark, mixed, target_schema="id long, val long, extra string, score double"
+        )
+        got = {
+            r["id"]: (r["val"], r["extra"], r["score"]) for r in df.collect()
+        }
+        assert got == expect
+except ImportError:  # pragma: no cover
+    pass
