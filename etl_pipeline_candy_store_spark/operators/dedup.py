@@ -257,7 +257,6 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
-_PAIRS_MEMO: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
 
 
 def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,38 +295,28 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed pairs. Call :func:`invalidate_jaccard_pairs` after
     mutating a directory a live session has already read.
     """
-    global _PAIRS_MEMO
-    import weakref
+    from etl_pipeline_candy_store_spark.operators.memo import session_memo
 
-    if _PAIRS_MEMO is None:
-        _PAIRS_MEMO = weakref.WeakKeyDictionary()
-    per_session = _PAIRS_MEMO.get(spark)
-    if per_session is None:
-        per_session = {}
-        _PAIRS_MEMO[spark] = per_session
-    df = per_session.get(sf_dir)
-    if df is None:
-        df = q51_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
-        per_session[sf_dir] = df
-    return df
+    return session_memo(
+        "jaccard_pairs",
+        spark,
+        sf_dir,
+        lambda: q51_ngram_jaccard_pairs(spark, sf_dir),
+    )
 
 
 def invalidate_jaccard_pairs(spark: SparkSession, sf_dir: str | None = None) -> None:
-    """Drop the memoized pair checkpoint for ``sf_dir`` (or all dirs)
-    in ``spark``'s session — required after rewriting files a live
-    session already read through :func:`jaccard_pairs_checkpointed`.
-    Cluster labels (:func:`dedup_clusters_checkpointed`) derive from
-    the pairs, so their memo is cleared with the same call."""
-    for memo in (_PAIRS_MEMO, _CLUSTERS_MEMO):
-        if memo is None:
-            continue
-        per_session = memo.get(spark)
-        if not per_session:
-            continue
-        if sf_dir is None:
-            per_session.clear()
-        else:
-            per_session.pop(sf_dir, None)
+    """Drop every memoized derived relation for ``sf_dir`` (or all
+    dirs) in ``spark``'s session — required after rewriting files a
+    live session already read through :func:`jaccard_pairs_checkpointed`
+    or its derivatives. Clusters and PageRank scores derive from the
+    pairs, so the whole chain clears together
+    (:func:`~etl_pipeline_candy_store_spark.operators.memo.invalidate_session_memos`)."""
+    from etl_pipeline_candy_store_spark.operators.memo import (
+        invalidate_session_memos,
+    )
+
+    invalidate_session_memos(spark, sf_dir)
 
 
 def jaccard_pairs(
@@ -735,9 +724,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q125_dedup_clusters_star(spark, sf_dir)
 
 
-_CLUSTERS_MEMO = None
-
-
 def dedup_clusters_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_clusters` memoized per (session, sf_dir) — one level
     up the same composition economics as
@@ -755,20 +741,11 @@ def dedup_clusters_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters derive from pairs, so :func:`invalidate_jaccard_pairs`
     clears BOTH memos. q54/q125 themselves stay un-memoized — they are
     the algorithm benchmarks; this wrapper is the composition source."""
-    global _CLUSTERS_MEMO
-    import weakref
+    from etl_pipeline_candy_store_spark.operators.memo import session_memo
 
-    if _CLUSTERS_MEMO is None:
-        _CLUSTERS_MEMO = weakref.WeakKeyDictionary()
-    per_session = _CLUSTERS_MEMO.get(spark)
-    if per_session is None:
-        per_session = {}
-        _CLUSTERS_MEMO[spark] = per_session
-    df = per_session.get(sf_dir)
-    if df is None:
-        df = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
-        per_session[sf_dir] = df
-    return df
+    return session_memo(
+        "dedup_clusters", spark, sf_dir, lambda: dedup_clusters(spark, sf_dir)
+    )
 
 
 # --- Bloom-filter incremental dedup -----------------------------------

@@ -172,6 +172,22 @@ def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_scores_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q136's PageRank scores memoized per (session, sf_dir) — the
+    third relation on the shared derivation chain (pairs → clusters,
+    pairs → pagerank): 3 supersteps of dst-keyed shuffles re-ran per
+    consuming query for scores that only change when the pair graph
+    does. q136 itself stays un-memoized as the algorithm benchmark;
+    ``invalidate_jaccard_pairs`` /
+    :func:`~etl_pipeline_candy_store_spark.operators.memo.invalidate_session_memos`
+    clears this with the rest of the chain."""
+    from etl_pipeline_candy_store_spark.operators.memo import session_memo
+
+    return session_memo(
+        "pagerank_scores", spark, sf_dir, lambda: q136_pagerank(spark, sf_dir)
+    )
+
+
 @register(
     "q142_canonical_by_pagerank",
     oracle=f"""
@@ -213,7 +229,7 @@ def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     clusters = dedup_clusters_checkpointed(spark, sf_dir)
-    pr = q136_pagerank(spark, sf_dir).select("doc_id", "pr_micros")
+    pr = pagerank_scores_checkpointed(spark, sf_dir).select("doc_id", "pr_micros")
     m = clusters.join(pr, "doc_id", "left").select(
         "cluster_id",
         "doc_id",
