@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# One-shot end-of-round gate runner — the full evidence ritual in the
+# right order, failing fast at the first red gate:
+#
+#   tools/round_gates.sh <round>
+#
+# 1. full pytest suite (correctness + plan locks + stream≡batch)
+# 2. gated K=10 scale probe -> SCALE_r<N>.json (nonzero exit on any
+#    per-query growth-budget violation)
+# 3. release_check (tuned + plain full-oracle sweeps at a CLEAN HEAD,
+#    git_sha-stamped artifacts)
+#
+# Steps 2-3 write round artifacts into the tree; COMMIT them afterwards
+# (release_check refuses to even start on a tree with tracked changes,
+# so run this only after the round's code is committed).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+round="${1:?usage: tools/round_gates.sh <round>}"
+
+echo "== gate 1/3: pytest =="
+python -m pytest tests/ -q
+
+echo "== gate 2/3: scale probe (K=10, budget-gated) =="
+python tools/scale_probe.py 10 --out "SCALE_r${round}.json"
+
+echo "== gate 3/3: full-oracle release check =="
+bash tools/release_check.sh "$round"
+
+echo "ALL GATES GREEN — commit SCALE_r${round}.json and ORACLE_FULL_r${round}*.json"
