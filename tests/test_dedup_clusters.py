@@ -239,3 +239,27 @@ def test_clusters_memo_consistent_and_invalidated_with_pairs(spark):
     assert "Scan ExistingRDD" in a._jdf.queryExecution().executedPlan().toString()
     invalidate_jaccard_pairs(spark, sf)
     assert dedup_clusters_checkpointed(spark, sf) is not a  # rebuilt
+
+
+def test_memo_is_per_session(spark):
+    """Memo isolation: a sibling session (same SparkContext, separate
+    SQL conf/catalog) must get its OWN materialization, never another
+    session's frame — the weak-key contract that keeps a torn-down
+    session from serving stale block references to a new one."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        invalidate_jaccard_pairs,
+        jaccard_pairs_checkpointed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s2 = spark.newSession()
+    try:
+        a = jaccard_pairs_checkpointed(spark, sf)
+        b = jaccard_pairs_checkpointed(s2, sf)
+        assert a is not b
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # invalidating one session leaves the other's memo intact
+        invalidate_jaccard_pairs(s2)
+        assert jaccard_pairs_checkpointed(spark, sf) is a
+    finally:
+        invalidate_jaccard_pairs(s2)
