@@ -70,6 +70,55 @@ try:
     t = report["_total"]
     print(f"compacted {len(report) - 1} partitions: "
           f"{t['files_before']} -> {t['files_after']} files, {t['rows']} rows")
+
+    # 5. Point-probe layout: rewrite the orders key column with a
+    #    per-row-group Bloom filter — the row groups the filter rules
+    #    out are skipped on `o_orderkey = ?` probes (min/max stats can't
+    #    prune an unsorted key).
+    from etl_pipeline_candy_store_spark.sources.writers import (
+        parquet_tuning_options,
+    )
+
+    probed = os.path.join(work, "orders_bloom")
+    save_partitioned_parquet(
+        # scramble the key order: a key-sorted file is pruned by plain
+        # min/max stats; Bloom filters earn their bytes on UNSORTED keys
+        orders.repartition(1).sortWithinPartitions(F.xxhash64("o_orderkey")),
+        probed,
+        parquet_options={
+            **parquet_tuning_options(
+                bloom_filter_cols=["o_orderkey"],
+                bloom_filter_ndv=10_000,
+                row_group_bytes=100_000,
+            ),
+            "parquet.enable.dictionary": "false",
+        },
+    )
+    key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    probe = spark.read.parquet(probed).where(F.col("o_orderkey") == key)
+    probe.collect()
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    scanned = leaves.apply(0).metrics().apply("numOutputRows").value()
+    print(f"bloom probe: scanned {scanned} of {orders.count()} rows "
+          f"for one key")
+
+    # 6. Optimizer statistics: ANALYZE the catalog copy so the next
+    #    filtered join costs at ~rows/ndv instead of full table size
+    #    (CBO flips sort-merge joins to broadcast — see
+    #    tests/test_cbo_stats.py).
+    from etl_pipeline_candy_store_spark.sources.stats import (
+        analyze_table,
+        estimated_stats,
+    )
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    orders.write.mode("overwrite").saveAsTable("maint_orders")
+    analyze_table(spark, "maint_orders")
+    est = estimated_stats(
+        spark.table("maint_orders").where(F.col("o_orderpriority") == "1-URGENT")
+    )
+    print(f"post-ANALYZE filter estimate: {est}")
+    spark.sql("DROP TABLE IF EXISTS maint_orders")
 finally:
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
