@@ -89,6 +89,20 @@ def main() -> None:
     # startup; excluded from timings.
     catalog.load(spark, sf_dir, "lineitem").count()
 
+    from etl_pipeline_candy_store_spark.operators.memo import memo_stats
+
+    # memo_chain_cold: the session is fresh here, so the first execution
+    # of a memo-chain consumer pays the FULL pairs→clusters→pagerank
+    # build + the query itself. The headline sweep below then reports
+    # the warm steady state (disclosed via per-query memo attribution);
+    # this extras entry keeps the cold cost visible in the same artifact.
+    extras: dict[str, float] = {}
+    t0 = time.time()
+    catalog.REGISTRY["q142_canonical_by_pagerank"].builder(
+        spark, sf_dir
+    ).write.format("noop").mode("overwrite").save()
+    extras["memo_chain_cold_q142"] = round(time.time() - t0, 3)
+
     # median-of-3 per query: single-rep timings carry ±30% rep-to-rep
     # noise (SCALE_NOTES r7 — a phantom q51 "regression" came from one),
     # and best-of-N biases low. Three reps, median: the first rep pays
@@ -97,8 +111,14 @@ def main() -> None:
     # warm-up passes (keeps total bench time inside harness budgets).
     REPS = 3
     timings: dict[str, float] = {}
+    # per-query session-memo attribution: a query whose reps consumed a
+    # warm memo reports steady-state time, not chain-build time — the
+    # artifact records which ones did so cross-round deltas stay
+    # attributable (the cold cost is the memo_chain_cold extras entry)
+    memo_touched: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         builder = catalog.REGISTRY[name].builder
+        before = memo_stats(spark)
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.time()
@@ -106,6 +126,10 @@ def main() -> None:
             reps.append(time.time() - t0)
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
+        after = memo_stats(spark)
+        delta = {k: after[k] - before[k] for k in after}
+        if any(delta.values()):
+            memo_touched[name] = delta
 
     # hot-key allocator A/B on the 50%-hot-key shape (tools/hotkey_probe.py
     # at full size; here a fixed 8M-row instance — near the measured
@@ -148,7 +172,6 @@ def main() -> None:
         )
 
     hk_kw = dict(key_col="key", seq_cols=["seq"], qty_col="qty", stock_col="stock")
-    extras: dict[str, float] = {}
     # 8M exhaust shape (near the measured crossover): best-of-2 per strategy
     hk = _hk_frame(8_000_000, exhaust=True)
     for label, fn in [
@@ -220,6 +243,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extras": extras,
+        "memo_queries": memo_touched,
         "sf": sf,
         "reps": REPS,
         "stat": "median",

@@ -14,8 +14,19 @@ invalidate explicitly when files change.
 All memos share ONE invalidation (:func:`invalidate_session_memos`):
 the relations form a derivation chain (pairs → clusters, pairs →
 pagerank), so partial invalidation could leave stale-downstream/
-fresh-upstream splits. Memo lifetime is weak-keyed on the session, so
-a torn-down session never serves stale block references.
+fresh-upstream splits.
+
+Memo lifetime: the store hangs off the session object itself rather
+than a module-global registry. A global ``WeakKeyDictionary[session]``
+looks right but leaks — its VALUES hold DataFrames, every DataFrame
+strongly references its SparkSession, so the global root pins every
+session ever memoized and the "weak" key never dies. As a session
+attribute, the only strong path is session → store → DataFrame →
+session: a pure reference cycle with no global root, which CPython's
+cycle collector reclaims once the caller drops the session. Within a
+live session, memory is freed by :func:`invalidate_session_memos`
+(the checkpoint blocks themselves are unpersisted by Spark's
+ContextCleaner once the frames are unreachable).
 
 ``localCheckpoint`` blocks are non-resilient: on a cluster with dynamic
 allocation or preemption, swap for ``checkpoint()`` on a reliable store
@@ -24,13 +35,29 @@ allocation or preemption, swap for ``checkpoint()`` on a reliable store
 
 from __future__ import annotations
 
-import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: name -> WeakKeyDictionary[SparkSession, dict[sf_dir, DataFrame]]
-_REGISTRY: dict[str, "weakref.WeakKeyDictionary"] = {}
+#: attribute name on the SparkSession holding dict[name][sf_dir] -> DataFrame
+_ATTR = "_spark_graft_session_memos"
+
+
+def _store(spark: SparkSession) -> dict:
+    store = getattr(spark, _ATTR, None)
+    if store is None:
+        store = {"frames": {}, "builds": 0, "hits": 0}
+        setattr(spark, _ATTR, store)
+    return store
+
+
+def memo_stats(spark: SparkSession) -> dict:
+    """Cumulative memo counters for the session: ``builds`` (cold chain
+    constructions paid) and ``hits`` (reuses). Benchmarks snapshot these
+    around each query so timings that ride a warm memo are attributable
+    in the artifact rather than silently steady-state."""
+    store = _store(spark)
+    return {"builds": store["builds"], "hits": store["hits"]}
 
 
 def session_memo(
@@ -46,15 +73,15 @@ def session_memo(
     RDD from an adaptive plan executes every intermediate stage even
     for ``eager=False`` (measured: 6 of 7 jobs still run), so the flag
     would defer one stage while pretending to defer the plan."""
-    memo = _REGISTRY.setdefault(name, weakref.WeakKeyDictionary())
-    per_session = memo.get(spark)
-    if per_session is None:
-        per_session = {}
-        memo[spark] = per_session
-    df = per_session.get(sf_dir)
+    store = _store(spark)
+    per_name = store["frames"].setdefault(name, {})
+    df = per_name.get(sf_dir)
     if df is None:
         df = build().localCheckpoint(eager=True)
-        per_session[sf_dir] = df
+        per_name[sf_dir] = df
+        store["builds"] += 1
+    else:
+        store["hits"] += 1
     return df
 
 
@@ -66,12 +93,10 @@ def invalidate_session_memos(
     already read through any memoized builder. Always clears the WHOLE
     chain (pairs, clusters, pagerank, ...): the relations derive from
     each other, and a stale-downstream/fresh-upstream split must be
-    impossible."""
-    for memo in _REGISTRY.values():
-        per_session = memo.get(spark)
-        if not per_session:
-            continue
+    impossible. This is also the only way to free memo memory inside a
+    live session (see module docstring on lifetime)."""
+    for per_name in _store(spark)["frames"].values():
         if sf_dir is None:
-            per_session.clear()
+            per_name.clear()
         else:
-            per_session.pop(sf_dir, None)
+            per_name.pop(sf_dir, None)

@@ -33,17 +33,26 @@ fi
 tmpdir="$(mktemp -d)"
 trap 'rm -rf "$tmpdir"' EXIT
 
-# The grep filters are progress-noise reducers, not success checks —
-# "|| true" keeps pipefail from aborting a SUCCESSFUL sweep whose output
-# happened to match no filter line; the authoritative pass/fail gate is
-# the JSON assertion block below.
-echo "== tuned session sweep at ${sf_dir} (HEAD $(git rev-parse --short HEAD)) =="
-python tools/check_oracle.py --json "$tmpdir/ORACLE_FULL_r${round}.json" "$sf_dir" \
-    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
+# Sweeps log to files so a check_oracle.py CRASH fails here with its own
+# tail, instead of being swallowed by a progress-filter grep and dying
+# later at the mv with a confusing "No such file". The grep is a
+# progress-noise reducer only ("|| true": no matching line is fine);
+# the authoritative pass/fail gate is the JSON assertion block below.
+run_sweep() { # <label> <logfile> <check_oracle args...>
+    local label="$1" logf="$2"; shift 2
+    echo "== ${label} sweep at ${sf_dir} (HEAD $(git rev-parse --short HEAD)) =="
+    if ! python tools/check_oracle.py "$@" > "$logf" 2>&1; then
+        echo "${label} sweep FAILED (check_oracle.py exit != 0); last lines:" >&2
+        tail -25 "$logf" >&2
+        exit 1
+    fi
+    grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" "$logf" || true
+}
 
-echo "== plain driver-default session sweep =="
-python tools/check_oracle.py --json "$tmpdir/ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir" \
-    2>&1 | grep -E "^(PASS|FAIL|ok|[0-9]+ failures|wrote)" || true
+run_sweep "tuned session" "$tmpdir/tuned.log" \
+    --json "$tmpdir/ORACLE_FULL_r${round}.json" "$sf_dir"
+run_sweep "plain driver-default session" "$tmpdir/plain.log" \
+    --json "$tmpdir/ORACLE_FULL_r${round}_plain.json" --plain "$sf_dir"
 
 mv "$tmpdir/ORACLE_FULL_r${round}.json" "$tmpdir/ORACLE_FULL_r${round}_plain.json" .
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -197,7 +198,10 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     from etl_pipeline_candy_store_spark.plans.catalog import load as _load
 
     if not os.path.exists(f"{src}/events.parquet"):
+        # No events table: still expand embeddings (a source dir can carry
+        # embeddings without events; the ANN family must see the K× corpus).
         print(f"scale_probe: {src} has no events table — skipping its expansion")
+        _expand_embeddings(spark, src, dst, reps)
         return
     ev = _load(spark, src, "events")
     mx = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
@@ -231,6 +235,9 @@ def _expand_embeddings(spark, src: str, dst: str, reps) -> None:
     # embeddings: K× vectors with shifted vec_ids, values unchanged —
     # the ANN queries' codebook/query/centroid seeds (vec_id < 16) stay
     # the ORIGINAL vectors, so only the searched corpus grows
+    if not os.path.exists(f"{src}/embeddings.parquet"):
+        print(f"scale_probe: {src} has no embeddings table — skipping")
+        return
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     (
@@ -271,7 +278,10 @@ def run(
     spark, sf_dir: str, queries: list[str], reps: int = 1
 ) -> dict[str, float]:
     """Warm wall time per query (noop sink): with ``reps > 1`` the FIRST
-    rep is a discarded warm-up and the result is the median of the rest.
+    rep is a discarded warm-up and the result is the true median of the
+    rest (mean of the two middle values when an even count remains — with
+    reps=3 that is the mean of the two post-warm-up reps; an earlier
+    version indexed ``len//2`` which silently picked the MAX of two).
 
     The warm-up discard must be symmetric between the base and big runs:
     several queries share session-level state (the checkpointed Jaccard
@@ -294,8 +304,8 @@ def run(
             ).mode("overwrite").save()
             times.append(time.time() - t0)
         if len(times) > 1:
-            times = sorted(times[1:])
-        out[name] = round(times[len(times) // 2], 2)
+            times = times[1:]
+        out[name] = round(statistics.median(times), 2)
     return out
 
 
