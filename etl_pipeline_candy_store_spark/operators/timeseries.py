@@ -150,34 +150,53 @@ def q85_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_stages(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The strict-order funnel stage frames (user_id, t1|t2|t3): each
-    stage's first timestamp strictly after the previous stage's — shared
-    by the stage report (q103) and time-to-convert (q115)."""
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
+def _funnel_user_times(ev: DataFrame) -> DataFrame:
+    """Per-user strict-order funnel times ``(user_id, t1, t2, t3)`` in
+    ONE fact-side shuffle.
+
+    Each stage's first timestamp must be STRICTLY after the previous
+    stage's first occurrence.  The naive relational form (three
+    filtered groupBys chained by user_id joins) re-shuffles the events
+    relation per stage — 12 exchanges at sf0.001 per PLANS.md r8, and
+    at 100 TB the per-stage exchanges ARE the cost.  Instead the three
+    dependent stage mins stack as unbounded window aggregates over the
+    SAME ``hashpartitioning(user_id)``: Catalyst plans one Exchange +
+    one Sort feeding three Window ops, and the closing per-user
+    aggregate's clustering requirement is already satisfied by the
+    window partitioning, so no second shuffle appears.  The dependency
+    chain (t2's predicate reads t1, t3's reads t2) is exactly what the
+    window form expresses for free and the join form had to re-shuffle
+    for.  Locked by ``tests/test_plans.py::test_funnel_single_exchange``.
+    """
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    return (
+        ev.withColumn("t1", t1)
+        .withColumn("t2", t2)
+        .withColumn("t3", t3)
+        # t1/t2/t3 are constant within a user; max() just collapses the
+        # per-event rows to one per user without another exchange
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2.select("user_id", "t2"), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return s1, s2, s3
 
 
 # strict-order funnel stage CTEs — one copy of the stage semantics,
-# shared by the q103 and q115 oracles (the SQL twin of _funnel_stages)
+# shared by the q103 and q115 oracles (the SQL twin of _funnel_user_times;
+# the join form stays in the ORACLE so the single-shuffle window form is
+# verified against independently-derived semantics, not itself)
 _FUNNEL_CTES = """s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
 ),
@@ -214,35 +233,21 @@ LEFT JOIN s3 ON s3.user_id = u.user_id
     "stage's timestamp must be STRICTLY after the previous stage's "
     "first occurrence — the semantics product-analytics engines "
     "implement natively (windowFunnel) and plain SQL gets wrong with "
-    "independent per-type mins. Three chained filtered aggregates, all "
-    "keyed on user_id: one partitioning reused across every stage "
-    "(co-partitioned joins, no re-shuffle under AQE), stage filters "
-    "pushed to the scan.",
+    "independent per-type mins. One events scan, one user_id shuffle: "
+    "three stacked window mins share the partitioning and the per-user "
+    "collapse reuses it (plan-locked single Exchange, join-free).",
 )
 def q103_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ev feeds all three stage relations plus the user spine — a lazy
-    # checkpoint makes it ONE events scan instead of four (the q137
-    # shared-leaf discipline; contrast jaccard_pairs, where measurement
-    # showed recomputing the cheap projection beats materializing)
-    ev = (
-        load(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts")
-        .localCheckpoint(eager=False)
-    )
-    s1, s2, s3 = _funnel_stages(ev)
-    u = ev.select("user_id").distinct()
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     stage = (
         F.when(F.col("t3").isNotNull(), F.lit(3))
         .when(F.col("t2").isNotNull(), F.lit(2))
         .when(F.col("t1").isNotNull(), F.lit(1))
         .otherwise(F.lit(0))
     )
-    return (
-        u.join(s1, "user_id", "left")
-        .join(s2.select("user_id", "t2"), "user_id", "left")
-        .join(s3.select("user_id", "t3"), "user_id", "left")
-        .select("user_id", stage.cast("int").alias("stage"))
-    )
+    # every user appears in the per-user frame (stage 0 when no view),
+    # so the old DISTINCT user spine + three left joins are gone
+    return _funnel_user_times(ev).select("user_id", stage.cast("int").alias("stage"))
 
 
 @register(
@@ -264,23 +269,24 @@ GROUP BY f.cohort_week, week_offset
 """,
     doc="Retention cohort matrix: users cohorted by the ISO week of "
     "their first event; each cell counts cohort members active N weeks "
-    "later. Two aggregates and one equi-join, all keyed on user_id — "
-    "the same single partitioning end to end (AQE reuses it), distinct "
-    "collapses before the join so the join input is (user, week) not "
-    "raw events. The report behind every growth dashboard, here as a "
-    "first-class distributed op.",
+    "later. One events scan, one user_id shuffle: the cohort week is a "
+    "window min over the same partitioning the (user, week) distinct "
+    "then reuses (hashpartitioning(user_id) satisfies the wider "
+    "clustering), so the old firsts/active self-join is gone; the only "
+    "other exchange is over the cohort-sized cell frame. The report "
+    "behind every growth dashboard, here as a first-class distributed "
+    "op.",
 )
 def q104_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
-    ).distinct()
+    w = Window.partitionBy("user_id")
+    cohorted = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.date_trunc("week", F.min("ts").over(w)).cast("date").alias("cohort_week"),
+    ).distinct()  # cohort_week is user-constant, so this is per (user, week)
     return (
-        active.join(firsts, "user_id")
-        .select(
+        cohorted.select(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
             .cast("int")
@@ -530,26 +536,30 @@ FROM d23 HAVING COUNT(*) > 0
 )
 def q115_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1, s2, s3 = _funnel_stages(ev)
-
-    def _pair(later, earlier, tl, te, name):
-        gaps = later.join(earlier, "user_id").select(
-            (F.unix_micros(F.col(tl)) - F.unix_micros(F.col(te))).alias("gap")
-        )
-        return (
-            gaps.agg(
-                F.count(F.lit(1)).alias("n_users"), F.sum("gap").alias("sg")
+    # a null later-stage time nulls the whole gap expression, so sum/
+    # count skip exactly the users who never reached that stage — both
+    # pairs fold in ONE global aggregate over the single-shuffle
+    # per-user frame, and stack() unpivots the 1-row result into the
+    # report rows (no second events scan, no union of two agg chains)
+    gap12 = F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t1"))
+    gap23 = F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t2"))
+    agg = _funnel_user_times(ev).agg(
+        F.count("t2").alias("n12"),
+        F.sum(gap12).alias("g12"),
+        F.count("t3").alias("n23"),
+        F.sum(gap23).alias("g23"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(2, 'view->click', n12, g12,"
+                " 'click->purchase', n23, g23) AS (stage_pair, n_users, sg)"
             )
-            .filter(F.col("n_users") > 0)
-            .select(
-                F.lit(name).alias("stage_pair"),
-                "n_users",
-                F.expr("sg div n_users").alias("avg_gap_us"),
-            )
         )
-
-    return _pair(s2, s1, "t2", "t1", "view->click").unionAll(
-        _pair(s3, s2.select("user_id", "t2"), "t3", "t2", "click->purchase")
+        .filter(F.col("n_users") > 0)
+        .select(
+            "stage_pair", "n_users", F.expr("sg div n_users").alias("avg_gap_us")
+        )
     )
 
 

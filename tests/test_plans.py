@@ -625,3 +625,34 @@ def test_q186_global_scalar_broadcast(spark):
     plan = _plan(spark, "q186_important_part_value")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EqualTo(n_name,NATION_3)" in plan.replace(" ", "")
+
+
+def test_funnel_single_exchange(spark):
+    # the strict-order funnel is three stacked window mins over ONE
+    # hashpartitioning(user_id) — the per-user collapse reuses it, so
+    # the whole plan carries exactly one Exchange and zero joins
+    # (round 8 shipped 12 exchanges / 6 joins for the same hashes)
+    plan = _plan(spark, "q103_event_funnel")
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("+- Window") == 3
+
+
+def test_retention_cohorts_no_self_join(spark):
+    # cohort week is a window min over the same user_id partitioning
+    # the (user, week) distinct reuses; the only second exchange is
+    # over the cohort-cell-sized frame, and the firsts/active
+    # self-join is gone
+    plan = _plan(spark, "q104_retention_cohorts")
+    assert plan.count("+- Exchange") <= 2, plan
+    assert "Join" not in plan
+
+
+def test_funnel_ttc_single_fact_exchange(spark):
+    # both stage-pair gaps fold in one global aggregate over the
+    # single-shuffle per-user frame; the second Exchange is the
+    # 1-row global-agg gather, not a fact-side shuffle
+    plan = _plan(spark, "q115_funnel_time_to_convert")
+    assert plan.count("+- Exchange") <= 2, plan
+    assert "Join" not in plan
+    assert "SinglePartition" in plan
