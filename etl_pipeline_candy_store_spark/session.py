@@ -37,6 +37,38 @@ _SCALE_CONF = {
 }
 
 
+#: Fully-qualified class name of Spark's bundled RocksDB state store
+#: provider (rocksdbjni ships in Spark's jars — no extra package).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
+    """Streaming state-store conf for 100 TB-scale state.
+
+    The default HDFS-backed provider keeps every state row on the JVM
+    heap of the executor that owns the partition; at corpus scale
+    (e.g. one digest row per unique document for exact dedup, one open
+    session per active user) that heap does not exist. RocksDB spills
+    state to local SSD with a bounded block cache, and changelog
+    checkpointing uploads only the per-batch delta instead of
+    re-snapshotting the full store every commit — the difference
+    between O(batch) and O(state) checkpoint I/O on long-running
+    streams.
+
+    Both keys are runtime-settable SQL confs captured per streaming
+    query at START (they persist into the checkpoint's offset metadata),
+    so setting them on a live session affects queries started after.
+    """
+    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf
+
+
 def get_spark(
     app_name: str = "etl-pipeline-candy-store-spark",
     master: str | None = None,
