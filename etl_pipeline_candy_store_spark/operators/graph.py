@@ -75,13 +75,20 @@ def pagerank(
     )
     deg = deg.localCheckpoint(eager=True)
     pr = deg.select("node", F.lit(1_000_000).cast("long").alias("pr"))
+    # Every superstep join is hinted shuffle_hash: rank rows arrive
+    # from the previous superstep's dst-keyed aggregation with no
+    # useful order, so sort-merge would pay a full sort per side per
+    # iteration (the unhinted plan: 7 SMJ / 11 Sorts for 3 iterations).
+    # Hash-building on the node-sized side keeps each superstep at the
+    # dst aggregation's shuffle plus a sort-free probe of the edge
+    # relation — the shape that survives deep iteration counts.
     for it in range(n_iter):
         contrib = (
             e.join(
-                pr.join(deg, "node").select(
+                pr.join(deg.hint("shuffle_hash"), "node").select(
                     F.col("node").alias("src"),
                     F.expr("pr div deg").alias("c"),
-                ),
+                ).hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
@@ -98,7 +105,7 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             pr = pr.localCheckpoint(eager=True)
-    return deg.join(pr, "node").select(
+    return deg.join(pr.hint("shuffle_hash"), "node").select(
         "node",
         F.col("deg").cast("long").alias("degree"),
         F.col("pr").cast("long").alias("pr_micros"),

@@ -656,3 +656,14 @@ def test_funnel_ttc_single_fact_exchange(spark):
     assert plan.count("+- Exchange") <= 2, plan
     assert "Join" not in plan
     assert "SinglePartition" in plan
+
+
+def test_pagerank_supersteps_sort_free(spark):
+    # superstep ranks arrive unordered from the dst-keyed aggregation,
+    # so every iteration join is hinted shuffle_hash: no SortMergeJoin
+    # and no per-superstep Sort anywhere in the executed plan (the
+    # unhinted plan paid 7 SMJ / 11 Sorts for 3 iterations)
+    plan = _plan(spark, "q136_pagerank")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("+- ShuffledHashJoin") >= 1
+    assert "+- Sort" not in plan, plan
