@@ -149,13 +149,13 @@ class CandyPipeline:
         facts (Spark validates the bucket spec matches and buckets the
         new files identically, so key co-location is preserved).
 
-        ``analyze`` (default True) refreshes table-level optimizer
-        statistics (rowCount/sizeInBytes) after the write — the prepare
-        pass just scanned everything anyway, and accurate fact-side
-        size estimates keep downstream join planning honest as the
-        table accretes (stats go stale on every append otherwise;
-        column-level ndv stats are the dimension tables' concern —
-        see sources/stats.py)."""
+        ``analyze`` (default True) refreshes optimizer statistics
+        after the write — table-level rowCount/sizeInBytes plus
+        min/max/ndv for the bucket key (``product_id``): the prepare
+        pass just scanned everything anyway, the key's ndv is what
+        costs every downstream join/aggregate on it, and stats go
+        stale on every append otherwise. Full-width column stats stay
+        the dimension tables' concern — see sources/stats.py."""
         from etl_pipeline_candy_store_spark.sources.stats import analyze_table
         from etl_pipeline_candy_store_spark.sources.writers import (
             write_bucketed_table,
@@ -175,7 +175,9 @@ class CandyPipeline:
             mode=mode,
         )
         if analyze:
-            analyze_table(self.spark, table, columns=None)
+            # table-level + bucket-key ndv: ANALYZE ... FOR COLUMNS also
+            # computes the table-level stats, so this is one statement
+            analyze_table(self.spark, table, columns=["product_id"])
         return table
 
     # -- core derivations --------------------------------------------------

@@ -172,3 +172,30 @@ def test_bucketed_facts_respects_reload_inventory(spark, fixture_dir, bucketed_p
         return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
 
     assert _norm(b.allocated_lines()) == _norm(p.allocated_lines())
+
+
+def test_prepare_stats_feed_cbo_join_costing(spark, bucketed_pipeline):
+    # with CBO on, the optimizer's row-count estimate for a join over
+    # the ENGINE's own facts table comes from the prepare-pass ANALYZE
+    # (not file-size guessing): the estimate is defined and exact for
+    # the scan, and defined (stats-derived) for the filtered aggregate
+    # above it — the signal that downstream join costing on engine
+    # tables is running on real statistics as days accrete
+    from etl_pipeline_candy_store_spark.sources.stats import estimated_stats
+
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        facts = spark.table(_TABLE)
+        assert estimated_stats(facts)["row_count"] == facts.count()
+        import pyspark.sql.functions as F
+
+        joined = facts.groupBy("product_id").agg(
+            F.sum("requested_qty").alias("q")
+        )
+        assert estimated_stats(joined)["row_count"] is not None
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
