@@ -237,7 +237,9 @@ def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = dedup_clusters_checkpointed(spark, sf_dir)
     pr = pagerank_scores_checkpointed(spark, sf_dir).select("doc_id", "pr_micros")
-    m = clusters.join(pr, "doc_id", "left").select(
+    # both sides are checkpointed node-keyed relations with no useful
+    # order — shuffle_hash skips the per-side sorts a merge join pays
+    m = clusters.join(pr.hint("shuffle_hash"), "doc_id", "left").select(
         "cluster_id",
         "doc_id",
         F.coalesce("pr_micros", F.lit(0)).alias("pr"),
