@@ -477,6 +477,110 @@ def verify_jaccard_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
+def incremental_neardup(
+    incoming: DataFrame, corpus_per_doc: DataFrame
+) -> DataFrame:
+    """Near-dup matches of an INCOMING document batch against an existing
+    corpus, given the corpus side as its precomputed per-doc MinHash
+    state (:func:`minhash_per_doc` columns: signature h0.., cardinality
+    n, shingle set S) — the daily-crawl dedup shape at 100 TB: the
+    corpus side is a parquet scan of signatures materialized once per
+    corpus version (:mod:`.materialize`), NEVER recomputed per batch,
+    and only the (small) incoming batch pays shingling + signing.
+
+    Plan posture: the incoming band table is explicitly broadcast
+    (a day's crawl is orders of magnitude smaller than the corpus), so
+    band-candidate generation is a broadcast probe of the corpus band
+    relation — no corpus shuffle; exact-Jaccard verification then joins
+    the candidate set (small) against the two per-doc set relations.
+
+    Returns (doc_new, doc_ref, n_common, n_union), thresholded like q52.
+    """
+    per_in = minhash_per_doc(incoming)
+    cand = (
+        F.broadcast(minhash_band_table(per_in))
+        .alias("a")
+        .join(minhash_band_table(corpus_per_doc).alias("b"), ["band_idx", "band_key"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = per_in.select("doc_id", "n", "S").unionByName(
+        corpus_per_doc.select("doc_id", "n", "S")
+    )
+    return verify_jaccard_pairs(cand, sets).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_ref"),
+        "n_common",
+        "n_union",
+    )
+
+
+def corpus_minhash_materialized(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """The documents table's per-doc MinHash state, materialized once per
+    corpus version via :func:`..materialize.materialized_relation` —
+    signatures+sets persist as parquet keyed by the documents table's
+    fingerprint, so every later batch/session reads instead of
+    recomputing, and a corpus change triggers exactly one rebuild."""
+    from etl_pipeline_candy_store_spark.operators.materialize import (
+        materialized_relation,
+    )
+
+    return materialized_relation(
+        spark,
+        "corpus_minhash_per_doc",
+        sf_dir,
+        build=lambda: minhash_per_doc(load(spark, sf_dir, "documents")),
+        tables=("documents",),
+        store_dir=store_dir,
+    )
+
+
+@register(
+    "q187_incremental_neardup",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_new, b.doc_id AS doc_ref FROM bands a "
+      f"JOIN bands b ON a.band{b} = b.band{b} "
+      f"AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0"
+      for b in range(_BANDS)
+  )}
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_new, c.doc_ref, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_new
+  JOIN sh b ON b.doc_id = c.doc_ref AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_new, i.doc_ref,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - i.n_common AS BIGINT) AS n_union
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_new
+JOIN card cb ON cb.doc_id = i.doc_ref
+WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+""",
+    doc="Incremental MinHash-LSH dedup: match a new document batch "
+    "(doc_id % 7 = 0 as the deterministic stand-in for today's crawl) "
+    "against the existing corpus without recomputing corpus signatures "
+    "— broadcast the batch's band table against the corpus band "
+    "relation, verify candidates exactly. The corpus side is "
+    "materialization-ready (see corpus_minhash_materialized).",
+)
+def q187_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus_per_doc = minhash_per_doc(docs.filter(F.col("doc_id") % 7 != 0))
+    return incremental_neardup(incoming, corpus_per_doc)
+
+
 def _simhash_df(d: DataFrame, n_bits: int) -> DataFrame:
     """n-bit SimHash per doc: bit i is the sign of the vote sum over
     distinct tokens, where a token votes +1/-1 by the parity of hex
