@@ -251,3 +251,202 @@ def q142_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.max("pr").cast("long").alias("canonical_pr_micros"),
     )
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) pair relation → directed edge list with both
+    orientations, via a row-local explode (NOT a self-union, which
+    would evaluate the upstream pair pipeline twice)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+@register(
+    "q188_khop_reachability",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, nbr, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.node, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.nbr
+  WHERE w.depth < 3
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT nbr) AS BIGINT) AS n_within3
+FROM walk
+WHERE nbr <> node
+GROUP BY node
+""",
+    doc="Bounded transitive closure: for every node of the symmetrized "
+    "q51 near-duplicate graph, the number of distinct OTHER documents "
+    "reachable in at most 3 hops — the 'how big is my duplicate "
+    "neighborhood really' signal that single-hop pair counts miss. "
+    "Spark side is semi-naive BFS (the recursive-query evaluation "
+    "strategy): per hop, join only the NEW frontier pairs to the edge "
+    "list and anti-join out already-reached pairs, so per-hop work is "
+    "proportional to newly discovered pairs, not the full closure — "
+    "the property that keeps bounded reachability feasible on a "
+    "100 TB edge relation. All three per-hop shuffles key on node ids "
+    "(frontier-to-edge join, pair distinct, anti-join); the oracle is "
+    "a DuckDB depth-bounded WITH RECURSIVE, and "
+    "tests/test_recursive_sql.py proves Spark 4's native WITH "
+    "RECURSIVE computes the identical closure.",
+)
+def q188_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
+    return khop_reachability(_symmetrize(pairs), k=3).select(
+        F.col("node").alias("doc_id"),
+        F.col("n_reached").alias("n_within3"),
+    )
+
+
+def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct nodes reachable in ≤ ``k`` hops from each node of a
+    directed (src, dst) edge list, excluding the node itself:
+    (node, n_reached). Semi-naive evaluation — per hop only the NEW
+    frontier pairs join the edge list, already-reached pairs are
+    anti-joined out — so per-hop cost tracks newly discovered pairs,
+    not the closure size."""
+    edges = edges.localCheckpoint(eager=True)
+    # hop 1: the edge list itself (pairs are distinct and loop-free)
+    reached = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    frontier = reached
+    for _ in range(k - 1):
+        grown = (
+            frontier.withColumnRenamed("nbr", "via")
+            .join(
+                edges.withColumnsRenamed({"src": "via", "dst": "nbr"}).hint(
+                    "shuffle_hash"
+                ),
+                "via",
+            )
+            .select("node", "nbr")
+            .distinct()
+        )
+        # semi-naive: only genuinely new pairs survive into the next
+        # frontier, so hop k's join fans out on |new pairs|, not |closure|
+        frontier = grown.join(
+            reached, ["node", "nbr"], "left_anti"
+        ).localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        reached.filter(F.col("nbr") != F.col("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    )
+
+
+@register(
+    "q189_triangle_count",
+    oracle=f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id
+""",
+    doc="Per-node triangle participation counts over the q51 "
+    "near-duplicate graph — the local-clustering signal that separates "
+    "'tight clique of mutual near-dups' from 'star around one hub "
+    "template'. Spark side uses degree-ordered edge orientation "
+    "(Cohen / Suri-Vassilvitskii MapReduce triangle counting): each "
+    "undirected edge is directed from its lower-(degree, id) endpoint "
+    "to the higher, so every wedge is enumerated exactly once AT its "
+    "lowest-degree corner — the wedge join fans out quadratically in "
+    "the ORIENTED out-degree, which the ordering bounds near sqrt(m) "
+    "even when raw degrees are power-law skewed (the hub that breaks "
+    "naive wedge counting at 100 TB). The triangle set is provably "
+    "identical to the oracle's id-ordered enumeration; only the join "
+    "fan-out differs.",
+)
+def q189_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
+    return triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles) over
+    an undirected graph given as a deduplicated (doc_a < doc_b) pair
+    relation, via degree-ordered orientation (see q189's doc)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = _symmetrize(pairs).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # orient each undirected edge low-(deg, id) → high-(deg, id); the
+    # per-edge total order makes wedge enumeration unique and bounds
+    # oriented out-degree (hubs become SINKS, not wedge centers)
+    oriented = (
+        pairs.join(
+            deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a")),
+            "doc_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b")),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                F.struct("deg_a", "doc_a") < F.struct("deg_b", "doc_b"),
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        oriented.withColumnsRenamed({"u": "w_u", "v": "via"})
+        .join(
+            oriented.withColumnsRenamed({"u": "via", "v": "w_w"}).hint(
+                "shuffle_hash"
+            ),
+            "via",
+        )
+        .select(F.col("w_u").alias("u"), F.col("via").alias("v"), F.col("w_w").alias("w"))
+    )
+    # closing edge always runs low→high in the same total order, so a
+    # plain semi-join on (u, w) — orientation-insensitive would need
+    # both directions
+    tri = wedges.join(
+        oriented.withColumnsRenamed({"v": "w"}).hint("shuffle_hash"),
+        ["u", "w"],
+        "left_semi",
+    )
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
