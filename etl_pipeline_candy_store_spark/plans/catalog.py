@@ -121,6 +121,8 @@ def _ensure_loaded() -> None:
         similarity,
         sketch,
         skew_query,
+        skyline,
+        sweepline,
         text,
         timeseries,
     )
