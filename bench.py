@@ -67,6 +67,10 @@ HEADLINE = [
     "q173_regional_revenue_cycle",  # TPC-H Q5 join cycle (r6)
     "q176_returns_ranking",     # TPC-H Q10 windowed top-k (r6)
     "q180_large_orders",        # TPC-H Q18 semi-aggregation (r6)
+    "q188_khop_reachability",   # semi-naive bounded closure (r9)
+    "q189_triangle_count",      # degree-ordered triangle counting (r9)
+    "q190_peak_concurrency",    # interval sweep-line, calendar-bounded window (r9)
+    "q191_pareto_frontier",     # 2-D skyline via two-level prefix min (r9)
 ]
 
 

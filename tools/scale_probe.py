@@ -131,6 +131,17 @@ HEADLINE = [
     "q184_priority_order_check",
     "q185_forecast_revenue_change",
     "q186_important_part_value",
+    # round-9 graph queries ride the checkpointed pair relation, which
+    # grows linearly (replica token suffixes keep near-dup pairs inside
+    # a replica, so per-hop frontiers and wedge fan-outs grow K×, never
+    # cross-replica). q190's interval deltas grow K× but its windowed
+    # per-day relation stays calendar-bounded (replicas share dates).
+    # q191 is NOT probed: part is a fixed broadcast-sized dimension
+    # here (the operator's fact-scale path is the per-x aggregation,
+    # already exercised by the probed keyed-agg family).
+    "q188_khop_reachability",
+    "q189_triangle_count",
+    "q190_peak_concurrency",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
