@@ -64,6 +64,13 @@ def skyline2d(
                 ),
             ).otherwise(F.lit(0)),
         )
+        .select(x, "_miny", "_b")
+        # g feeds BOTH the bucket-minimum relation and the per-x filter;
+        # materialize it once so the fact scan + per-x aggregation +
+        # extent cross-join aren't evaluated twice (the static plan
+        # showed the whole subtree duplicated — 11 exchanges / 2
+        # cartesians collapses to one evaluation)
+        .localCheckpoint(eager=True)
     )
     # level 1: per-bucket minima (≤ n_buckets rows) and their exclusive
     # prefix min — the only unpartitioned window, over a relation whose
