@@ -26,6 +26,10 @@ At 100 TB: two fact-side shuffles total (the per-x aggregation and the
 bucket repartition), one broadcast of a ~32-row relation, and the
 final frontier join back to the fact relation on x — the frontier
 relation is tiny, so AQE turns that into a broadcast probe.
+
+Beyond-reference extension operator (the reference's query surface has
+no multi-criteria dominance query; its closest shape is the
+single-criterion min/max aggregation family, SURVEY §2 A1/A4).
 """
 
 from __future__ import annotations
