@@ -340,11 +340,14 @@ def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
             .distinct()
         )
         # semi-naive: only genuinely new pairs survive into the next
-        # frontier, so hop k's join fans out on |new pairs|, not |closure|
+        # frontier, so hop k's join fans out on |new pairs|, not |closure|.
+        # Only the frontier is checkpointed: reached stays a cheap union
+        # of already-checkpointed hop outputs (re-materializing the
+        # accumulated closure every hop would double the eager jobs).
         frontier = grown.join(
             reached, ["node", "nbr"], "left_anti"
         ).localCheckpoint(eager=True)
-        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier)
     return (
         reached.filter(F.col("nbr") != F.col("node"))
         .groupBy("node")

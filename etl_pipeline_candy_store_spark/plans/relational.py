@@ -1660,3 +1660,50 @@ def q167_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — semi-structured VARIANT shredding (extends the q18 JSON-scalar
+# family, src/mongo_connect.py document payloads: SURVEY §2 JSON fns).
+# Spark 4's VARIANT type parses the JSON ONCE into a binary encoding;
+# every subsequent typed access (`try_variant_get`) is a cheap path walk
+# instead of a re-parse, and unparseable rows surface as NULL variants
+# rather than killing the job — the right ingestion posture for 100 TB
+# of crawl metadata where get_json_object would re-tokenize the string
+# per extraction.
+# --------------------------------------------------------------------------
+@register(
+    "q192_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+         AS k_decade,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum
+FROM events
+GROUP BY 1, 2
+""",
+    doc="VARIANT-typed semi-structured access: `parse_json(props)` once "
+    "into Spark 4's binary VARIANT encoding, then a typed "
+    "`try_variant_get(..., 'int')` path walk feeds the (event_type, "
+    "k-decade) rollup — malformed documents would become NULL variants "
+    "(try_ semantics), not job failures. The oracle re-derives the "
+    "same rollup from the raw JSON text; `tests/test_variant.py` locks "
+    "the parquet round-trip of the VARIANT column and the "
+    "null-on-malformed contract.",
+)
+def q192_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.expr("k div 10").cast("int").alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
