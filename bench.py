@@ -71,6 +71,7 @@ HEADLINE = [
     "q189_triangle_count",      # degree-ordered triangle counting (r9)
     "q190_peak_concurrency",    # interval sweep-line, calendar-bounded window (r9)
     "q191_pareto_frontier",     # 2-D skyline via two-level prefix min (r9)
+    "q192_variant_extract",     # VARIANT parse-once typed shredding (r9)
 ]
 
 

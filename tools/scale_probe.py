@@ -142,6 +142,10 @@ HEADLINE = [
     "q188_khop_reachability",
     "q189_triangle_count",
     "q190_peak_concurrency",
+    # q192 is one parse + one keyed agg over the K× events table — the
+    # VARIANT path must track the scan like the rest of the keyed-agg
+    # family.
+    "q192_variant_extract",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
