@@ -667,3 +667,46 @@ def test_pagerank_supersteps_sort_free(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("+- ShuffledHashJoin") >= 1
     assert "+- Sort" not in plan, plan
+
+
+def test_triangle_wedges_stay_hash_joined(spark):
+    # wedge enumeration + closing semi-join on the checkpointed
+    # oriented edges: shuffle_hash-hinted, no per-superstep sorts,
+    # and nothing cartesian
+    plan = _plan(spark, "q189_triangle_count")
+    assert "SortMergeJoin" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_sweepline_windows_calendar_relation_only(spark):
+    # the running sum must sit ABOVE the per-day aggregation (window
+    # input is the calendar-bounded delta relation, never the fact
+    # rows): exactly ONE Window node, and in the tree rendering the
+    # per-day HashAggregate appears BELOW it (deeper in the same
+    # branch), proving the window consumes aggregated deltas
+    plan = _plan(spark, "q190_peak_concurrency")
+    # first block of explain('formatted') is the indented plan tree,
+    # rendered as "+- NodeName (id)"
+    tree = plan.split("\n\n")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    assert len(win_rows) == 1, plan
+    assert any("HashAggregate (" in ln for ln in tree[win_rows[0] + 1 :]), plan
+
+
+def test_skyline_no_dominance_self_join(spark):
+    # the operator's whole point: NO quadratic dominance join — after
+    # the per-x relation materializes once, the final plan holds no
+    # nested-loop join and at most the documented exchanges (per-x
+    # agg is inside the checkpoint; here: bucket agg, bucket window,
+    # frontier join back)
+    plan = _plan(spark, "q191_pareto_frontier")
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("+- Exchange") <= 5, plan
+
+
+def test_variant_single_exchange_keyed_agg(spark):
+    # parse-once VARIANT shredding is a row-local projection feeding
+    # ONE keyed aggregation: a single exchange, no joins
+    plan = _plan(spark, "q192_variant_extract")
+    assert plan.count("+- Exchange") <= 1, plan
+    assert "Join" not in plan, plan
