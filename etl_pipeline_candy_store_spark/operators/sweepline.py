@@ -30,14 +30,14 @@ from pyspark.sql.window import Window
 from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
 
-def interval_concurrency(
+def interval_deltas(
     intervals: DataFrame, start_col: str, end_col: str
 ) -> DataFrame:
-    """Per-day open-interval counts (d, open_count) for a relation of
-    closed day-granularity intervals [start, end]. One shuffle (the
-    per-day delta aggregation); the running sum windows over the
-    calendar-bounded per-day relation."""
-    deltas = intervals.select(
+    """Row-local sweep-line decomposition: each closed day-granularity
+    interval [start, end] becomes (+1 at start day, -1 the day after
+    end) — the integer-additive partials both the batch operator and
+    the streaming maintenance sink aggregate."""
+    return intervals.select(
         F.explode(
             F.array(
                 F.struct(
@@ -51,7 +51,14 @@ def interval_concurrency(
             )
         ).alias("e")
     ).select("e.d", "e.delta")
-    byday = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+
+
+def concurrency_from_byday(byday: DataFrame) -> DataFrame:
+    """(d, open_count) from an aggregated (d, delta) per-day relation —
+    the cheap windowed half of the sweep, over a calendar-bounded
+    input (maintained incrementally by
+    streaming/concurrency_stream.py, or built in-query by
+    :func:`interval_concurrency`)."""
     run = byday.withColumn(
         "open_count",
         F.sum("delta").over(
@@ -59,6 +66,21 @@ def interval_concurrency(
         ),
     )
     return run.select("d", "open_count")
+
+
+def interval_concurrency(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """Per-day open-interval counts (d, open_count) for a relation of
+    closed day-granularity intervals [start, end]. One shuffle (the
+    per-day delta aggregation); the running sum windows over the
+    calendar-bounded per-day relation."""
+    byday = (
+        interval_deltas(intervals, start_col, end_col)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    return concurrency_from_byday(byday)
 
 
 @register(
