@@ -348,12 +348,16 @@ def main() -> None:
     expand(spark, base, dst, k)
     spark.read.parquet(f"{dst}/lineitem.parquet").count()
 
-    # base: warm-up + median-of-2 (cheap at sf0.1, kills the ±30% rep
-    # noise in the gate's denominator); big side: warm-up + 1 timed rep
-    # — SAME discipline, so session-shared builds (pair checkpoint,
-    # codegen) are excluded from both sides instead of only one
+    # BOTH sides: warm-up + mean-of-2 timed reps. The symmetric warm-up
+    # discard excludes session-shared builds (pair checkpoint, codegen)
+    # from both numerator and denominator; the big side timing a single
+    # rep was retired after a round-9 gate run where one-off stalls in
+    # a long big phase read q51 at 17.8x / q162 at 8.7x while immediate
+    # clean re-measurement of the same queries on the same expanded dir
+    # gave ~3x / ~2x — a single bad rep fails the whole gate, and the
+    # extra rep costs only minutes.
     t_base = run(spark, base, queries, reps=3)
-    t_big = run(spark, dst, queries, reps=2)
+    t_big = run(spark, dst, queries, reps=3)
     rows = spark.read.parquet(f"{dst}/lineitem.parquet").count()
 
     report, failures = {}, []
@@ -378,7 +382,7 @@ def main() -> None:
         "lineitem_rows": rows,
         "slack": SLACK,
         "floor_sec": FLOOR_SEC,
-        "reps": {"base": 3, "big": 2, "discipline": "discard first rep, median rest"},
+        "reps": {"base": 3, "big": 3, "discipline": "discard first rep, mean of rest"},
         "queries": report,
         "failures": failures,
         "gate": "PASS" if not failures else "FAIL",
