@@ -570,3 +570,92 @@ def q150_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+_APPORTION_BUDGET = 100  # docs to sample across sources
+
+
+@register(
+    "q196_sample_apportionment",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS tc FROM per_src),
+base AS (
+  SELECT source, chars,
+         CAST(({_APPORTION_BUDGET} * chars) // tc AS BIGINT) AS quota,
+         CAST(({_APPORTION_BUDGET} * chars) % tc AS BIGINT) AS rem
+  FROM per_src CROSS JOIN tot
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+           AS rr,
+         CAST({_APPORTION_BUDGET} - SUM(quota) OVER () AS BIGINT)
+           AS leftover
+  FROM base
+)
+SELECT source, chars, quota,
+       CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ranked
+""",
+    doc="Largest-remainder (Hamilton) apportionment of a fixed sample "
+    "budget across sources, proportional to character mass: quota_i = "
+    "floor(B*chars_i/total), then the leftover seats go to the largest "
+    "remainders (ties by source name). The deterministic, integer-exact "
+    "way to size per-source samples so they sum EXACTLY to the budget — "
+    "the per-stratum head-count q56's rate-based sampler can't "
+    "guarantee (a hash-rate sample only hits the budget in "
+    "expectation). RNG-free, reproducible across runs and engines. "
+    "Plan: one corpus scan folds to the source-count-sized relation; "
+    "the apportionment windows run over that tiny frame (the documented "
+    "tiny-relation exemption) and the budget total is a broadcast "
+    "scalar.",
+)
+def q196_sample_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = per_src.agg(F.sum("chars").cast("long").alias("tc"))
+    base = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        F.expr(f"({_APPORTION_BUDGET} * chars) div tc")
+        .cast("long")
+        .alias("quota"),
+        F.expr(f"({_APPORTION_BUDGET} * chars) % tc")
+        .cast("long")
+        .alias("rem"),
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    ranked = base.select(
+        "source",
+        "chars",
+        "quota",
+        F.row_number().over(w_rank).cast("long").alias("rr"),
+        (
+            F.lit(_APPORTION_BUDGET) - F.sum("quota").over(w_all)
+        )
+        .cast("long")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "chars",
+        "quota",
+        (F.col("rr") <= F.col("leftover")).cast("long").alias("extra"),
+        (
+            F.col("quota")
+            + (F.col("rr") <= F.col("leftover")).cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

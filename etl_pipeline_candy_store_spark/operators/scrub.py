@@ -139,3 +139,101 @@ def q79_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("repetitive"),
     )
+
+
+# Content-addressed deletion list: docs whose portable 8-bit content
+# hash falls under the threshold play the incoming forget requests
+# (~4.7% of the corpus). Same md5-hex-digit arithmetic as the q56
+# sampler so both engines flag identical rows.
+_FORGET_H256 = 12
+_FORGET_HEXPOS = "instr('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
+_FORGET_H256_SQL = (
+    f"(({_FORGET_HEXPOS.format(i=1)}) * 16 + ({_FORGET_HEXPOS.format(i=2)}))"
+)
+
+
+def _forget_h256():
+    md5 = F.md5(F.col("text").cast("binary"))
+    return (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(md5, 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(md5, 2, 1)) - 1)
+    )
+
+
+@register(
+    "q194_forget_propagation",
+    oracle=f"""
+WITH flagged AS (
+  SELECT source, md5(text) AS digest,
+         CASE WHEN {_FORGET_H256_SQL} < {_FORGET_H256} THEN 1 ELSE 0 END
+           AS is_del
+  FROM documents
+),
+del_digests AS (SELECT DISTINCT digest FROM flagged WHERE is_del = 1),
+marked AS (
+  SELECT f.source, f.is_del,
+         CASE WHEN EXISTS (SELECT 1 FROM del_digests d
+                           WHERE d.digest = f.digest)
+              THEN 1 ELSE 0 END AS has_del_digest
+  FROM flagged f
+)
+SELECT source,
+       CAST(SUM(is_del) AS BIGINT) AS n_requested,
+       CAST(SUM(CASE WHEN is_del = 0 AND has_del_digest = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+       CAST(SUM(CASE WHEN is_del = 0 AND has_del_digest = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM marked GROUP BY source
+""",
+    doc="Right-to-be-forgotten propagation audit: a content-addressed "
+    "deletion list (the portable md5-derived hash under a threshold "
+    "plays the incoming requests) is propagated through exact-duplicate "
+    "closure — a surviving doc whose content digest matches any deleted "
+    "doc is a RESIDUAL COPY that must also be purged for the deletion "
+    "to be real, the gap naive per-row deletes leave in a deduplicated "
+    "corpus. Output per source: requested deletes, residual copies "
+    "exposed, clean survivors. Plan: one corpus scan computes both the "
+    "flag and the digest; the deletion-digest list is small by nature "
+    "(bounded by the request volume) so the survivor probe is a "
+    "broadcast join, and the rollup is one map-side-combinable agg — "
+    "no corpus self-join at any size. Downstream, a real purge "
+    "invalidates the derived-relation memos/materializations "
+    "(operators/memo.py, operators/materialize.py) — exercised in "
+    "tests/test_retrieval_governance.py.",
+)
+def q194_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    flagged = d.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        (_forget_h256() < _FORGET_H256).cast("int").alias("is_del"),
+    )
+    del_digests = (
+        flagged.filter(F.col("is_del") == 1).select("digest").distinct()
+    )
+    marked = flagged.join(
+        F.broadcast(del_digests.withColumn("hit", F.lit(1))),
+        "digest",
+        "left",
+    ).select(
+        "source",
+        "is_del",
+        F.coalesce("hit", F.lit(0)).alias("has_del_digest"),
+    )
+    return marked.groupBy("source").agg(
+        F.sum("is_del").cast("long").alias("n_requested"),
+        F.sum(
+            ((F.col("is_del") == 0) & (F.col("has_del_digest") == 1)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_residual"),
+        F.sum(
+            ((F.col("is_del") == 0) & (F.col("has_del_digest") == 0)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_clean"),
+    )

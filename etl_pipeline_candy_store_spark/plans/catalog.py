@@ -117,6 +117,7 @@ def _ensure_loaded() -> None:
         layout,
         merge_query,
         multimodal,
+        retrieval,
         scrub,
         similarity,
         sketch,
