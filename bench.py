@@ -72,6 +72,8 @@ HEADLINE = [
     "q190_peak_concurrency",    # interval sweep-line, calendar-bounded window (r9)
     "q191_pareto_frontier",     # 2-D skyline via two-level prefix min (r9)
     "q192_variant_extract",     # VARIANT parse-once typed shredding (r9)
+    "q193_hybrid_retrieval_rrf",  # BM25+vector RRF slate fusion (r9)
+    "q194_forget_propagation",  # deletion-closure governance audit (r9)
 ]
 
 
