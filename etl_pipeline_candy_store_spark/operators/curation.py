@@ -659,3 +659,68 @@ def q196_sample_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+#: Fixed pad-to-length bins (powers of two, capped): a CASE chain keeps
+#: the binning integer-portable across engines (no float log2).
+_PAD_BINS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+@register(
+    "q197_padding_waste",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT source, n_tok,
+         CAST(CASE {" ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _PAD_BINS)}
+              ELSE {2 * _PAD_BINS[-1]} END AS BIGINT) AS bin_len
+  FROM toks
+)
+SELECT source, bin_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(bin_len - n_tok) AS BIGINT) AS n_padding,
+       CAST(SUM(bin_len - n_tok) * 1000000 // SUM(bin_len) AS BIGINT)
+         AS waste_ppm
+FROM binned GROUP BY source, bin_len
+""",
+    doc="Sequence-length binning with padding-waste accounting: each doc "
+    "pads up to its power-of-two length bin (the CASE chain keeps the "
+    "binning integer-portable — no float log2), and the rollup reports "
+    "docs/tokens/padding and waste ppm per (source, bin). The signal a "
+    "training pipeline uses to choose batch length buckets: waste_ppm "
+    "IS the fraction of compute burned on pad tokens under that "
+    "bucketing. Pairs with q57 (greedy packing): packing eliminates "
+    "the waste this op measures. Plan: one corpus scan, a row-local "
+    "token count + CASE, and one map-side-combinable agg on the "
+    "(source, bin) key — bounded output, no joins, no windows.",
+)
+def q197_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    bin_col = None
+    for b in _PAD_BINS:
+        cond = n_tok <= b
+        bin_col = (
+            F.when(cond, F.lit(b))
+            if bin_col is None
+            else bin_col.when(cond, F.lit(b))
+        )
+    bin_col = bin_col.otherwise(F.lit(2 * _PAD_BINS[-1])).cast("long")
+    binned = d.select(
+        "source", n_tok.alias("n_tok"), bin_col.alias("bin_len")
+    )
+    return binned.groupBy("source", "bin_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("bin_len") - F.col("n_tok"))
+        .cast("long")
+        .alias("n_padding"),
+        F.expr("sum(bin_len - n_tok) * 1000000 div sum(bin_len)")
+        .cast("long")
+        .alias("waste_ppm"),
+    )

@@ -348,3 +348,159 @@ def q195_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picks.append(pick_t)
     return reduce(DataFrame.unionByName, picks)
+
+
+#: Rank-aware ANN quality eval: queries, truth depth, retrieval cutoff.
+_EVAL_QUERIES = 5
+_EVAL_K = 5
+
+
+def _retrieval_metrics_oracle() -> str:
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        _BUCKET_SQL,
+    )
+
+    cos_qt = _cos_micros_prenorm_sql(
+        "q.q_emb", "e.embedding", "q.q_nrm", "e.nrm"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+           AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket
+      FROM e WHERE vec_id < {_EVAL_QUERIES}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qt} DESC, e.vec_id) AS rn
+    FROM q JOIN e ON e.vec_id <> q.query_id) t
+  WHERE rn <= {_EVAL_K}
+),
+retrieved AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY {cos_qt} DESC, e.vec_id) AS BIGINT) AS rrank
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+hits AS (
+  SELECT r.query_id, r.rrank
+  FROM retrieved r JOIN truth t
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(MIN(rrank) AS BIGINT) AS first_hit_rank
+  FROM hits GROUP BY query_id
+),
+sizes AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved
+  FROM retrieved GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(s.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(p.n_hits, 0) * 1000000 // {_EVAL_K} AS BIGINT)
+         AS recall_micros,
+       CAST(COALESCE(1000000 // p.first_hit_rank, 0) AS BIGINT)
+         AS mrr_micros
+FROM q
+LEFT JOIN per_q p ON p.query_id = q.query_id
+LEFT JOIN sizes s ON s.query_id = q.query_id
+"""
+
+
+@register(
+    "q198_retrieval_metrics",
+    oracle=_retrieval_metrics_oracle(),
+    doc="Rank-aware retrieval-quality metrics for the hyperplane-LSH "
+    "ANN path (q63/q64): per query, recall@5 against exact-cosine "
+    "ground truth and reciprocal rank of the first true neighbor in "
+    "the bucket-restricted ranking (1e6 div rank — the rational MRR "
+    "surrogate; no float logs, hash-exact). q128 estimates IVF recall "
+    "on a sample; this is the per-query, rank-sensitive eval a "
+    "retrieval pipeline tracks per index build. Plan: ground truth is "
+    "a broadcast-query scan (queries × corpus, bounded by the query "
+    "panel — the labeled-baseline pattern); the retrieved side is the "
+    "bucket equi-join, so the production path itself is never "
+    "all-pairs; metrics fold to query-panel-sized relations.",
+)
+def q198_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        q63_vector_lsh_buckets,
+    )
+
+    e = with_norm(load(spark, sf_dir, "embeddings")).join(
+        q63_vector_lsh_buckets(spark, sf_dir), "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = lambda: _cos_micros(  # noqa: E731
+        _dot(F.col("q_emb"), F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos().alias("cos_micros"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EVAL_K)
+        .select("query_id", "neighbor_id")
+    )
+    retrieved = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos().alias("cos_micros"),
+        )
+        .withColumn("rrank", F.row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rrank")
+    )
+    hits = retrieved.join(truth, ["query_id", "neighbor_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rrank").cast("long").alias("first_hit_rank"),
+    )
+    sizes = retrieved.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    )
+    return (
+        q.select("query_id")
+        .join(per_q, "query_id", "left")
+        .join(sizes, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias(
+                "n_retrieved"
+            ),
+            (F.coalesce("n_hits", F.lit(0)) * 1000000 / F.lit(_EVAL_K))
+            .cast("long")
+            .alias("recall_micros"),
+            F.coalesce(
+                F.expr("1000000 div first_hit_rank"), F.lit(0)
+            )
+            .cast("long")
+            .alias("mrr_micros"),
+        )
+    )

@@ -209,3 +209,46 @@ def test_apportionment_exact_budget_and_quota_bounds(spark):
     for r in out.itertuples():
         lo = (100 * int(r.chars)) // total
         assert r.alloc in (lo, lo + 1)
+
+
+# ---------------------------------------------------------------- q197
+
+
+def test_padding_waste_identity(spark):
+    out = _run(spark, "q197_padding_waste").toPandas()
+    # bins are powers of two (or the overflow bin) and padding is
+    # non-negative and strictly less than n_docs * bin/2 slack would
+    # allow only if binning picked the SMALLEST covering bin
+    from etl_pipeline_candy_store_spark.operators.curation import _PAD_BINS
+
+    allowed = set(_PAD_BINS) | {2 * _PAD_BINS[-1]}
+    assert set(out.bin_len) <= allowed
+    assert (out.n_padding >= 0).all()
+    assert (out.n_padding == out.bin_len * out.n_docs - out.n_tokens).all()
+    # smallest-covering-bin: average doc length in bin b must exceed
+    # the next bin down (else those docs belonged there)
+    for r in out.itertuples():
+        if r.bin_len > _PAD_BINS[0]:
+            prev = max(b for b in _PAD_BINS if b < r.bin_len)
+            assert r.n_tokens > prev * (r.n_docs - 1), r
+
+
+def test_padding_waste_no_joins_single_agg(spark):
+    plan = _plan(spark, "q197_padding_waste")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------- q198
+
+
+def test_retrieval_metrics_bounds_and_truth(spark):
+    out = _run(spark, "q198_retrieval_metrics").toPandas()
+    assert len(out) == 5
+    assert ((out.recall_micros >= 0) & (out.recall_micros <= 1000000)).all()
+    assert ((out.mrr_micros >= 0) & (out.mrr_micros <= 1000000)).all()
+    # a query with zero retrieved must have zero recall and mrr
+    empty = out[out.n_retrieved == 0]
+    assert (empty.recall_micros == 0).all() and (empty.mrr_micros == 0).all()
+    # MRR can only be nonzero if recall is nonzero and vice versa
+    assert ((out.mrr_micros > 0) == (out.recall_micros > 0)).all()
