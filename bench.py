@@ -74,6 +74,9 @@ HEADLINE = [
     "q192_variant_extract",     # VARIANT parse-once typed shredding (r9)
     "q193_hybrid_retrieval_rrf",  # BM25+vector RRF slate fusion (r9)
     "q194_forget_propagation",  # deletion-closure governance audit (r9)
+    "q199_semantic_decontamination",  # broadcast-panel embedding screen (r9)
+    "q200_temperature_mixture",  # alpha-smoothed source mixing weights (r9)
+    "q201_license_clearance",   # license propagation through dup clusters (r9)
 ]
 
 

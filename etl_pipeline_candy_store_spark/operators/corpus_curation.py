@@ -545,3 +545,107 @@ def q145_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n1 * n2) * 1000000 div (o1 + o2) AS BIGINT)"
         ).alias("chi2_contrib_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — temperature-scaled source sampling weights (multilingual /
+# multi-domain mixing a la mBERT's exponential smoothing): w_s ∝ m_s^α
+# with α = 1/2. Complements q196 (largest-remainder apportionment of a
+# head-count budget at α = 1) and q141 (hard token budgets): temperature
+# reweighting is the knob that up-samples tail sources without a cap.
+# --------------------------------------------------------------------------
+_TEMP_ALPHA_DOC = "alpha=0.5 (sqrt)"  # IEEE sqrt is correctly rounded →
+# bit-identical across engines; the ONLY cross-source float reduction
+# (the normalizer) runs as an ORDERED fold over sources sorted by name,
+# so both engines accumulate in the identical order.
+
+
+@register(
+    "q200_temperature_mixture",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS m_total,
+         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                     (a, b) -> a + b) AS s_total
+  FROM m
+)
+SELECT m.source, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(sqrt(CAST(m.n_tokens AS DOUBLE)) / t.s_total
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS weight_ppm,
+       CAST(m.n_tokens * 1000000 // t.m_total AS BIGINT) AS natural_ppm,
+       CAST(floor(sqrt(CAST(m.n_tokens AS DOUBLE))
+                  / t.s_total
+                  * CAST(1000000 AS DOUBLE)
+                  * CAST(t.m_total AS DOUBLE)
+                  / CAST(m.n_tokens AS DOUBLE)) AS BIGINT) AS boost_ppm
+FROM m CROSS JOIN tot t
+""",
+    doc="Temperature-scaled mixture weights: per-source sampling weight "
+    "proportional to token_mass^0.5 — the exponent-smoothed mixing rule "
+    "(mBERT/XLM-R lineage) that up-samples tail domains relative to "
+    "their natural share. Emits weight_ppm (the sampling rate), "
+    "natural_ppm (integer-exact proportional share), and boost_ppm "
+    "(weight/natural — the up/down-sampling factor a mixture report "
+    "surfaces). Hash-exactness: sqrt is IEEE-correctly-rounded in both "
+    "engines and the single cross-source float sum (the normalizer) is "
+    "an ordered fold over sources sorted by name, so accumulation order "
+    "is pinned. Plan: one map-side-combinable corpus agg to 20 source "
+    "rows; everything after runs on the tiny relation (broadcast).",
+)
+def q200_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    # totals via a window over the source-count-sized relation (the
+    # documented tiny-relation exemption) — ONE corpus scan, where an
+    # agg-of-agg would re-scan the corpus to rebuild m. collect_list
+    # over a window has no order guarantee, so the ordered fold sorts
+    # the collected (source, sq) structs first — accumulation order is
+    # pinned to source ASC in both engines.
+    wfull = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = m.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(wfull).alias("m_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "source",
+                            F.sqrt(F.col("n_tokens").cast("double")).alias("sq"),
+                        )
+                    ).over(wfull)
+                ),
+                lambda s: s.getField("sq"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_total"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    return m.select(
+        "source",
+        "n_tokens",
+        F.floor(sq / F.col("s_total") * F.lit(1000000.0))
+        .cast("long")
+        .alias("weight_ppm"),
+        F.expr("n_tokens * 1000000 div m_total").cast("long").alias("natural_ppm"),
+        F.floor(
+            sq
+            / F.col("s_total")
+            * F.lit(1000000.0)
+            * F.col("m_total").cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .cast("long")
+        .alias("boost_ppm"),
+    )

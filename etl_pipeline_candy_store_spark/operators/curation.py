@@ -724,3 +724,90 @@ def q197_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("waste_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — semantic decontamination: the embedding-space complement of q58's
+# n-gram pass. Real contamination survives paraphrase, so production
+# pipelines (GPT-3 appendix C lineage) run BOTH a lexical-overlap and an
+# embedding-similarity screen against the held-out benchmark.
+# --------------------------------------------------------------------------
+_SEM_PANEL = 16  # vec_id < 16 plays the fixed held-out benchmark panel
+#: cosine micro-unit threshold — calibrated to the synthetic embeddings
+#: (near-random, max pairwise cos ~0.48; real pipelines run ~0.9+). The
+#: operator itself is threshold-parameterized; only the conformance
+#: constant is data-calibrated.
+_SEM_TAU = 350000
+
+
+def _sem_decon_sql() -> str:
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        _E_NORMED_SQL,
+        _cos_micros_prenorm_sql,
+    )
+
+    cos = _cos_micros_prenorm_sql("p.p_emb", "c.embedding", "p.p_nrm", "c.nrm")
+    return f"""
+WITH e AS ({_E_NORMED_SQL}),
+panel AS (SELECT vec_id AS eval_id, embedding AS p_emb, nrm AS p_nrm
+          FROM e WHERE vec_id < {_SEM_PANEL}),
+hits AS (
+  SELECT c.vec_id, {cos} AS cos_micros
+  FROM e c CROSS JOIN panel p
+  WHERE c.vec_id >= {_SEM_PANEL}
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       CAST(MAX(cos_micros) AS BIGINT) AS max_cos_micros
+FROM hits WHERE cos_micros >= {_SEM_TAU}
+GROUP BY vec_id
+"""
+
+
+@register(
+    "q199_semantic_decontamination",
+    oracle=_sem_decon_sql(),
+    doc="Semantic decontamination: flag training vectors whose cosine to "
+    f"ANY of the {_SEM_PANEL} held-out benchmark embeddings reaches the "
+    "threshold — the embedding-space complement of q58's n-gram overlap "
+    "screen (paraphrased eval leakage has zero shingle overlap but high "
+    "cosine). The eval panel is FIXED-SIZE regardless of corpus scale, "
+    "so the plan is one corpus scan against a broadcast panel "
+    "(O(n x |panel| x d), embarrassingly parallel, no corpus self-join) "
+    "— same bounded-broadcast exemption as the q60 query panel; swap in "
+    "the LSH-bucketed probe (q63) when the eval suite grows past "
+    "broadcast size. Threshold calibrated to the synthetic near-random "
+    "embeddings; real deployments run ~0.9.",
+)
+def q199_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        _cos_micros,
+        _dot,
+        with_norm,
+    )
+
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    panel = e.filter(F.col("vec_id") < _SEM_PANEL).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    hits = (
+        e.filter(F.col("vec_id") >= _SEM_PANEL)
+        .crossJoin(F.broadcast(panel))
+        .select(
+            "vec_id",
+            _cos_micros(
+                _dot(F.col("p_emb"), F.col("embedding")),
+                F.col("p_nrm"),
+                F.col("nrm"),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= _SEM_TAU)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.max("cos_micros").cast("long").alias("max_cos_micros"),
+    )

@@ -237,3 +237,89 @@ def q194_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — license clearance through near-duplicate clusters: the licensing
+# twin of q194's right-to-be-forgotten propagation. A document's usable
+# license is the STRICTEST license anywhere in its duplicate cluster —
+# a permissively-sourced copy of restricted content is still restricted.
+# --------------------------------------------------------------------------
+#: source → license-strictness rank (0 permissive, 1 attribution,
+#: 2 restricted): a deterministic dim derived from the source number —
+#: the synthetic corpus carries no license column, so both engines
+#: synthesize the same one (same trick as the q78 PII text).
+_LIC_RANK_SQL = "CAST(substr(source, 4) AS INTEGER) % 3"
+
+
+def _license_clearance_sql() -> str:
+    from etl_pipeline_candy_store_spark.operators.dedup import _CLUSTERS_SQL
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+lic AS (
+  SELECT c.doc_id, c.cluster_id, d.source,
+         {_LIC_RANK_SQL} AS lic_rank
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+cl AS (SELECT cluster_id, MAX(lic_rank) AS cluster_rank
+       FROM lic GROUP BY cluster_id)
+SELECT l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.lic_rank = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restricted_own,
+       CAST(SUM(CASE WHEN l.lic_rank < 2 AND c.cluster_rank = 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_by_copy,
+       CAST(SUM(CASE WHEN c.cluster_rank < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cleared
+FROM lic l JOIN cl c USING (cluster_id)
+GROUP BY l.source
+"""
+
+
+@register(
+    "q201_license_clearance",
+    oracle=_license_clearance_sql(),
+    doc="License clearance propagated through near-duplicate clusters: "
+    "each document's effective license is the strictest rank in its "
+    "q54/q125 duplicate cluster (restricted content stays restricted "
+    "through every copy — the licensing twin of q194's deletion "
+    "propagation, over NEAR-dup closure instead of exact digests). "
+    "Per-source audit: docs restricted by their own license vs docs "
+    "BLOCKED BY A COPY (permissively sourced, but a cluster-mate is "
+    "restricted — the rows a naive per-row license filter wrongly "
+    "keeps) vs cleared. Plan: reuses the session-memoized cluster "
+    "labels (one build per corpus version), cluster_rank is a "
+    "cluster_id-partitioned window max (ONE exchange, no self-join), "
+    "then a 20-group map-side-combinable rollup.",
+)
+def q201_license_clearance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dedup_clusters_checkpointed,
+    )
+
+    labels = dedup_clusters_checkpointed(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_LIC_RANK_SQL).alias("lic_rank")
+    )
+    lic = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    marked = lic.withColumn("cluster_rank", F.max("lic_rank").over(w))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("lic_rank") == 2).cast("int"))
+        .cast("long")
+        .alias("n_restricted_own"),
+        F.sum(
+            ((F.col("lic_rank") < 2) & (F.col("cluster_rank") == 2)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_blocked_by_copy"),
+        F.sum((F.col("cluster_rank") < 2).cast("int"))
+        .cast("long")
+        .alias("n_cleared"),
+    )

@@ -1,0 +1,187 @@
+"""Round-9 fourth batch: semantic decontamination (q199),
+temperature-scaled mixture weights (q200), license clearance through
+near-dup clusters (q201). Correctness is oracle-gated in CI
+(tools/check_oracle.py); here we lock the SEMANTIC invariants each
+operator exists for plus the scale-posture plan contracts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name: str):
+    catalog._ensure_loaded()
+    return catalog.REGISTRY[name].builder(spark, SF)
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _run(spark, name).explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- q199
+
+
+def test_semantic_decon_matches_numpy(spark):
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        _SEM_PANEL,
+        _SEM_TAU,
+    )
+
+    pdf = catalog.load(spark, SF, "embeddings").toPandas()
+    mat = np.array([np.array(e, dtype=np.float64) for e in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    panel = ids < _SEM_PANEL
+    cos = (mat[~panel] @ mat[panel].T) / np.outer(nrm[~panel], nrm[panel])
+    micros = np.floor(cos * 1e6).astype(np.int64)
+    hits = micros >= _SEM_TAU
+    expect = {
+        int(v): (int(h.sum()), int(m[h].max()))
+        for v, h, m in zip(ids[~panel], hits, micros)
+        if h.any()
+    }
+
+    got = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_cos_micros"])
+        for r in _run(spark, "q199_semantic_decontamination").collect()
+    }
+    assert got == expect
+    assert got, "threshold must flag at least one doc on this corpus"
+
+
+def test_semantic_decon_panel_is_broadcast(spark):
+    # fixed-size eval panel => broadcast nested-loop against ONE corpus
+    # scan; the corpus must never shuffle or self-join
+    plan = _plan(spark, "q199_semantic_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------- q200
+
+
+def test_temperature_mixture_math(spark):
+    rows = _run(spark, "q200_temperature_mixture").collect()
+    docs = catalog.load(spark, SF, "documents").toPandas()
+    mass = (
+        docs.assign(n=docs.text.str.split(" ").str.len())
+        .groupby("source")
+        .n.sum()
+        .to_dict()
+    )
+    s_total = 0.0
+    for src in sorted(mass):
+        s_total += math.sqrt(float(mass[src]))
+    m_total = sum(mass.values())
+    assert len(rows) == len(mass)
+    for r in rows:
+        m = mass[r["source"]]
+        assert r["n_tokens"] == m
+        assert r["weight_ppm"] == math.floor(math.sqrt(m) / s_total * 1e6)
+        assert r["natural_ppm"] == m * 1000000 // m_total
+        # alpha=0.5 compresses the distribution: below-average-mass
+        # sources get boost > 1, above-average get boost < 1
+        if r["natural_ppm"] < r["weight_ppm"]:
+            assert r["boost_ppm"] >= 1000000
+    # weights are a (floor-truncated) distribution
+    total_w = sum(r["weight_ppm"] for r in rows)
+    assert 1000000 - len(rows) <= total_w <= 1000000
+
+
+def test_temperature_mixture_single_corpus_agg(spark):
+    # ONE corpus scan feeding one map-side-combinable aggregate; the
+    # normalizer runs as a window over the 20-row source relation (the
+    # documented tiny-relation exemption), never a second corpus pass
+    plan = _plan(spark, "q200_temperature_mixture")
+    import re
+
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    # node-detail headers count each physical node exactly once
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+# ---------------------------------------------------------------- q201
+
+
+def test_license_clearance_matches_pandas(spark):
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dedup_clusters_checkpointed,
+    )
+
+    labels = dedup_clusters_checkpointed(spark, SF).toPandas()
+    docs = catalog.load(spark, SF, "documents").toPandas()[
+        ["doc_id", "source"]
+    ]
+    df = labels.merge(docs, on="doc_id")
+    df["lic_rank"] = df.source.str.slice(3).astype(int) % 3
+    df["cluster_rank"] = df.groupby("cluster_id").lic_rank.transform("max")
+    expect = (
+        df.groupby("source")
+        .apply(
+            lambda g: (
+                len(g),
+                int((g.lic_rank == 2).sum()),
+                int(((g.lic_rank < 2) & (g.cluster_rank == 2)).sum()),
+                int((g.cluster_rank < 2).sum()),
+            ),
+            include_groups=False,
+        )
+        .to_dict()
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_restricted_own"],
+            r["n_blocked_by_copy"],
+            r["n_cleared"],
+        )
+        for r in _run(spark, "q201_license_clearance").collect()
+    }
+    assert got == expect
+    # partition totals: every doc is restricted-own, blocked-by-copy,
+    # or cleared — no fourth state
+    for src, (n, own, blocked, cleared) in got.items():
+        assert own + blocked + cleared == n, src
+
+
+def test_license_clearance_blocks_copies_of_restricted(spark):
+    # build a corpus where a permissive source holds a near-copy of a
+    # restricted doc: the copy must be BLOCKED even though its own
+    # license clears — the row a per-row license filter wrongly keeps
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )  # doc 1 (src2, restricted) ~ doc 2 (src0, permissive)
+    cc = connected_components_star(pairs, "doc_a", "doc_b").toPandas()
+    labels = dict(zip(cc.node, cc.label))
+    assert labels[1] == labels[2] == 1
+    # doc 2 inherits doc 1's restriction through the shared cluster
+    lic = {1: 2, 2: 0, 3: 0}
+    cluster = {1: labels[1], 2: labels[2], 3: 3}
+    cluster_rank = {}
+    for d, c in cluster.items():
+        cluster_rank[c] = max(cluster_rank.get(c, 0), lic[d])
+    assert cluster_rank[cluster[2]] == 2  # blocked by copy
+    assert cluster_rank[cluster[3]] == 0  # untouched singleton clears
+
+
+def test_license_clearance_one_cluster_exchange(spark):
+    # cluster_rank is a cluster_id-partitioned window max — no self-join
+    # of the labeled corpus
+    plan = _plan(spark, "q201_license_clearance")
+    assert "Window" in plan, plan

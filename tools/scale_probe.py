@@ -146,6 +146,15 @@ HEADLINE = [
     # VARIANT path must track the scan like the rest of the keyed-agg
     # family.
     "q192_variant_extract",
+    # round-9 batch 4: q199's eval panel is FIXED (vec_id < 16 keeps the
+    # original vectors), so its cost is O(panel × K·corpus) — must track
+    # the scan like q128. q201 rides the checkpointed cluster labels
+    # (linear growth, warm-up pays the build) plus one labels⋈docs join
+    # and a cluster-keyed window. q200 is a pure agg-collapse (fixed
+    # source domain) — tight K×1.0 budget below.
+    "q199_semantic_decontamination",
+    "q200_temperature_mixture",
+    "q201_license_clearance",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
@@ -286,6 +295,7 @@ TIGHT_BUDGET = {
     "q164_incremental_rollup": 1.0,
     "q174_nation_trade_volume": 1.0,
     "q178_promo_share": 1.0,
+    "q200_temperature_mixture": 1.0,
 }
 
 
