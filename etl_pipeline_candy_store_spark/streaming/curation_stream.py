@@ -332,3 +332,94 @@ def stream_drift_monitor(doc_stream: DataFrame, ref_hist: DataFrame, state_dir: 
         apply_drift_batch(batch, ref, state_dir, batch_id)
 
     return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+# --- Streaming semantic decontamination (q199's ingest twin) ----------
+
+
+def apply_semantic_decon_batch(
+    batch: DataFrame,
+    panel: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    *,
+    min_cos_micros: int | None = None,
+) -> None:
+    """Screen one micro-batch of (vec_id, embedding) rows against the
+    STATIC held-out benchmark panel (q199's exact scoring): rows whose
+    cosine to any panel vector reaches the threshold land under
+    ``{out_dir}/flagged/batch=N`` with attribution (n_eval_hits,
+    max_cos_micros); the rest pass to ``{out_dir}/clean/batch=N``.
+    Like the lexical gate this is per-row stateless — the panel is
+    fixed before the crawl starts — so batching cannot change any
+    verdict and both partitions are overwrite-idempotent under
+    foreachBatch replay."""
+    from etl_pipeline_candy_store_spark.operators.curation import _SEM_TAU
+    from etl_pipeline_candy_store_spark.operators.similarity import (
+        _cos_micros,
+        _dot,
+        with_norm,
+    )
+
+    tau = _SEM_TAU if min_cos_micros is None else min_cos_micros
+    scored = (
+        with_norm(batch.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(panel))
+        .select(
+            "vec_id",
+            _cos_micros(
+                _dot(F.col("p_emb"), F.col("embedding")),
+                F.col("p_nrm"),
+                F.col("nrm"),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= tau)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("cos_micros").cast("long").alias("max_cos_micros"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scored.write.mode("overwrite").parquet(f"{out_dir}/flagged/batch={batch_id}")
+    batch.join(scored, "vec_id", "left_anti").write.mode("overwrite").parquet(
+        f"{out_dir}/clean/batch={batch_id}"
+    )
+
+
+def decon_panel(embeddings: DataFrame, panel_max_vec: int) -> DataFrame:
+    """The broadcast-ready benchmark panel (pre-normed, renamed to the
+    probe-side contract). Build once before the stream starts."""
+    from etl_pipeline_candy_store_spark.operators.similarity import with_norm
+
+    return (
+        with_norm(embeddings.filter(F.col("vec_id") < panel_max_vec))
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        )
+    )
+
+
+def stream_semantic_decon(
+    vec_stream: DataFrame, panel: DataFrame, out_dir: str, **kwargs
+):
+    """Wire a (vec_id, embedding) stream through the semantic screen.
+    Returns a ``DataStreamWriter``; caller adds checkpoint/trigger."""
+    p = panel.localCheckpoint(eager=True)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_semantic_decon_batch(batch, p, out_dir, batch_id, **kwargs)
+
+    return vec_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_semantic_flags(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Accumulated contamination flags the stream has emitted."""
+    try:
+        return spark.read.parquet(f"{out_dir}/flagged").drop("batch")
+    except Exception:
+        return spark.createDataFrame(
+            [], "vec_id bigint, n_eval_hits bigint, max_cos_micros bigint"
+        )

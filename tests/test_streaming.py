@@ -1536,3 +1536,101 @@ def test_stream_hopping_traffic_matches_batch_q168(spark, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_semantic_decon_matches_batch(spark, tmp_path):
+    """The per-batch semantic screen unioned over any batching must flag
+    EXACTLY q199's rows with identical attribution: the panel is static
+    and the verdict per-row, so batch boundaries cannot change it."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.curation import _SEM_PANEL
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        decon_panel,
+        read_semantic_flags,
+        stream_semantic_decon,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    catalog._ensure_loaded()
+    want = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_cos_micros"])
+        for r in catalog.REGISTRY["q199_semantic_decontamination"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert want  # screen must actually flag something on this corpus
+
+    emb = load(spark, sf, "embeddings")
+    panel = decon_panel(emb, _SEM_PANEL)
+    corpus = emb.filter(F.col("vec_id") >= _SEM_PANEL).select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "vec_src")
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    out = str(tmp_path / "decon")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_semantic_decon(stream, panel, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flags = read_semantic_flags(spark, out)
+    got = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_cos_micros"])
+        for r in flags.collect()
+    }
+    assert got == want
+    # exactly-once + routing partition: clean ∪ flagged = corpus, disjoint
+    clean = spark.read.parquet(f"{out}/clean")
+    assert flags.count() == len(got)
+    assert clean.count() + flags.count() == corpus.count()
+    assert clean.join(flags, "vec_id", "inner").count() == 0
+
+
+def test_semantic_decon_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a micro-batch with the same batch_id must leave
+    both output partitions unchanged (batch-scoped overwrite)."""
+    from etl_pipeline_candy_store_spark.operators.curation import _SEM_PANEL
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_semantic_decon_batch,
+        decon_panel,
+        read_semantic_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    panel = decon_panel(emb, _SEM_PANEL).localCheckpoint(eager=True)
+    batch = emb.filter(F.col("vec_id") >= _SEM_PANEL).select(
+        "vec_id", "embedding"
+    )
+    out = str(tmp_path / "decon")
+    apply_semantic_decon_batch(batch, panel, out, 0)
+    first = sorted(
+        (r["vec_id"], r["n_eval_hits"], r["max_cos_micros"])
+        for r in read_semantic_flags(spark, out).collect()
+    )
+    n_clean_first = spark.read.parquet(f"{out}/clean").count()
+    apply_semantic_decon_batch(batch, panel, out, 0)  # crash replay
+    again = sorted(
+        (r["vec_id"], r["n_eval_hits"], r["max_cos_micros"])
+        for r in read_semantic_flags(spark, out).collect()
+    )
+    assert again == first
+    assert spark.read.parquet(f"{out}/clean").count() == n_clean_first
