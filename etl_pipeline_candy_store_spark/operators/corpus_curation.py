@@ -598,7 +598,13 @@ FROM m CROSS JOIN tot t
     "rows; everything after runs on the tiny relation (broadcast).",
 )
 def q200_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return temperature_weights(load(spark, sf_dir, "documents"))
+
+
+def temperature_weights(d: DataFrame) -> DataFrame:
+    """q200's weight computation over any (source, text) frame — the
+    reusable stage the curation pipeline runs on its final survivor set
+    to emit the epoch's sampling weights."""
     m = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
     )

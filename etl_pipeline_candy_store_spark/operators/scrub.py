@@ -294,8 +294,6 @@ GROUP BY l.source
     "then a 20-group map-side-combinable rollup.",
 )
 def q201_license_clearance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from etl_pipeline_candy_store_spark.operators.dedup import (
         dedup_clusters_checkpointed,
     )
@@ -304,9 +302,23 @@ def q201_license_clearance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_LIC_RANK_SQL).alias("lic_rank")
     )
-    lic = labels.join(docs, "doc_id")
+    return license_rollup(with_cluster_rank(labels.join(docs, "doc_id")))
+
+
+def with_cluster_rank(lic: DataFrame) -> DataFrame:
+    """Strictest license rank per duplicate cluster, carried onto every
+    member row: cluster_id-partitioned window max over a
+    (doc_id, cluster_id, source, lic_rank) frame — one exchange, no
+    self-join. Reused by the curation pipeline's governance report."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("cluster_id")
-    marked = lic.withColumn("cluster_rank", F.max("lic_rank").over(w))
+    return lic.withColumn("cluster_rank", F.max("lic_rank").over(w))
+
+
+def license_rollup(marked: DataFrame) -> DataFrame:
+    """q201's per-source audit over any frame carrying (source,
+    lic_rank, cluster_rank) rows."""
     return marked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("lic_rank") == 2).cast("int"))

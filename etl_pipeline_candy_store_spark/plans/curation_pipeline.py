@@ -10,8 +10,11 @@ data team actually runs, documents -> shards:
   4. repetition gate    (q122's within-doc signals: drop boilerplate /
                          generation-loop docs by bigram/trigram shares)
   5. decontamination    (drop docs overlapping the held-out eval set)
-  6. split assignment   (deterministic content-hash train/val/test)
-  7. shard export       (content-stable hash shards + manifest per split)
+  6. governance report  (license clearance through the reused near-dup
+                         clusters + temperature mixture weights, q201/
+                         q200 — source-count-sized, carried in-report)
+  7. split assignment   (deterministic content-hash train/val/test)
+  8. shard export       (content-stable hash shards + manifest per split)
 
 Every stage is the SAME logic as its oracle-verified catalog query
 (q50/q51+q54/q59/q122/q58/q80) applied to the shrinking survivor frame,
@@ -146,7 +149,15 @@ def curate(
     d1 = dedup_exact(docs).cache()
     report["funnel"]["after_exact_dedup"] = d1.count()
 
-    d2 = dedup_near(d1).cache()
+    # near-dup labels are computed ONCE and reused twice: the dedup drop
+    # here, and the license-clearance governance report below (survivors
+    # inherit the strictest license of cluster-mates the funnel dropped)
+    pairs = jaccard_pairs(d1).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b").cache()
+    drop_dup = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    d2 = d1.join(drop_dup, "doc_id", "left_anti").cache()
     report["funnel"]["after_near_dedup"] = d2.count()
 
     gated = quality_gate(d2).filter(F.col("passed") == 1).select("doc_id")
@@ -158,6 +169,57 @@ def curate(
 
     d4 = drop_contaminated(d3r).cache()
     report["funnel"]["after_decontamination"] = d4.count()
+
+    # governance + mixing over the FINAL survivor set (both relations
+    # are source-count-sized — tiny, so carrying them in the report dict
+    # is counts, not data):
+    # - license clearance ranks every ORIGINAL post-exact-dedup doc
+    #   (dropped cluster-mates still poison their cluster), then audits
+    #   only the survivors — q201's semantics at the pipeline boundary;
+    # - temperature mixture weights (q200) give the epoch's per-source
+    #   sampling rates over what actually ships.
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        temperature_weights,
+    )
+    from etl_pipeline_candy_store_spark.operators.scrub import (
+        _LIC_RANK_SQL,
+        license_rollup,
+        with_cluster_rank,
+    )
+
+    lic_all = (
+        d1.select("doc_id", "source", F.expr(_LIC_RANK_SQL).alias("lic_rank"))
+        .join(cc, d1["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "lic_rank",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    marked = with_cluster_rank(lic_all).join(
+        d4.select("doc_id"), "doc_id", "left_semi"
+    )
+    report["governance"] = {
+        "license": {
+            r["source"]: {
+                "n_docs": r["n_docs"],
+                "n_restricted_own": r["n_restricted_own"],
+                "n_blocked_by_copy": r["n_blocked_by_copy"],
+                "n_cleared": r["n_cleared"],
+            }
+            for r in license_rollup(marked).collect()
+        },
+        "mixture": {
+            r["source"]: {
+                "n_tokens": r["n_tokens"],
+                "weight_ppm": r["weight_ppm"],
+                "boost_ppm": r["boost_ppm"],
+            }
+            for r in temperature_weights(d4).collect()
+        },
+    }
+    cc.unpersist()
 
     d5 = assign_split(d4)
     report["splits"] = {}

@@ -72,3 +72,30 @@ def test_drop_repetitive_passes_signal_less_docs(spark):
         r.doc_id for r in drop_repetitive(docs).select("doc_id").collect()
     )
     assert kept == [2, 3, 4]
+
+
+def test_curate_governance_report(spark, tmp_path):
+    """Stage 6: license totals partition the survivor set; blocked
+    survivors really have a restricted cluster-mate among the ORIGINAL
+    post-exact-dedup docs; mixture weights form a distribution over the
+    surviving sources."""
+    report = curate(spark, SF, str(tmp_path / "gov"), n_shards=2)
+    lic = report["governance"]["license"]
+    survivors = report["funnel"]["after_decontamination"]
+    assert sum(s["n_docs"] for s in lic.values()) == survivors
+    for src, s in lic.items():
+        assert (
+            s["n_restricted_own"] + s["n_blocked_by_copy"] + s["n_cleared"]
+            == s["n_docs"]
+        ), src
+        rank = int(src[3:]) % 3
+        if rank == 2:  # a restricted source's own docs are never "own-clear"
+            assert s["n_restricted_own"] == s["n_docs"]
+            assert s["n_blocked_by_copy"] == 0
+
+    mix = report["governance"]["mixture"]
+    assert set(mix) <= set(lic)
+    total_w = sum(s["weight_ppm"] for s in mix.values())
+    assert 1000000 - len(mix) <= total_w <= 1000000
+    # alpha=0.5 up-samples at least one tail source on this corpus
+    assert any(s["boost_ppm"] > 1000000 for s in mix.values())
