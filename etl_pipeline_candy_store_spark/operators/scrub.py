@@ -305,15 +305,17 @@ def q201_license_clearance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return license_rollup(with_cluster_rank(labels.join(docs, "doc_id")))
 
 
-def with_cluster_rank(lic: DataFrame) -> DataFrame:
+def with_cluster_rank(lic: DataFrame, rank_col: str = "lic_rank") -> DataFrame:
     """Strictest license rank per duplicate cluster, carried onto every
     member row: cluster_id-partitioned window max over a
     (doc_id, cluster_id, source, lic_rank) frame — one exchange, no
-    self-join. Reused by the curation pipeline's governance report."""
+    self-join. Reused by the curation pipeline's governance report,
+    which maxes over an EFFECTIVE per-doc rank (``rank_col``) that
+    already folds in exact-duplicate copies dropped upstream."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("cluster_id")
-    return lic.withColumn("cluster_rank", F.max("lic_rank").over(w))
+    return lic.withColumn("cluster_rank", F.max(rank_col).over(w))
 
 
 def license_rollup(marked: DataFrame) -> DataFrame:

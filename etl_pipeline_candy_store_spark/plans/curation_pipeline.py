@@ -17,14 +17,16 @@ data team actually runs, documents -> shards:
   8. shard export       (content-stable hash shards + manifest per split)
 
 Every stage is the SAME logic as its oracle-verified catalog query
-(q50/q51+q54/q59/q122/q58/q80) applied to the shrinking survivor frame,
-so the pipeline inherits their verified semantics; the funnel report
-makes each stage's cost/yield visible.
+(q50/q51+q54/q59/q122/q58/q201/q200/q80) applied to the shrinking
+survivor frame, so the pipeline inherits their verified semantics; the
+funnel report makes each stage's cost/yield visible.
 
-Scale posture: stages 1-6 are shuffles on content digests / shingles /
-gram keys / cluster keys only — the full text rides along in at most one
-shuffle per stage; 3 and 6 are stateless row-local filters. Nothing ever
-collects documents to the driver (the report carries counts, not rows).
+Scale posture: stages 1-2 and 4-5 are shuffles on content digests /
+shingles / gram keys / cluster keys only — the full text rides along in
+at most one shuffle per stage; 3 and 7 are stateless row-local filters;
+6 adds one cluster-keyed window plus two source-count-sized collects
+(20-row relations — counts, not data). Nothing ever collects documents
+to the driver (the report carries counts, not rows).
 """
 
 from __future__ import annotations
@@ -60,12 +62,21 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def dedup_near(docs: DataFrame) -> DataFrame:
-    """Keep one doc per near-duplicate cluster (Jaccard pairs ->
-    connected components -> min doc_id per component)."""
+def near_dup_labels(docs: DataFrame) -> DataFrame:
+    """Near-dup component labels (node, label): Jaccard pairs ->
+    connected components. Nodes absent are singletons (their own
+    keeper). The single copy both :func:`dedup_near` and the pipeline's
+    governance report consume."""
     pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
-    # nodes absent from cc are singletons (their own keeper)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+def dedup_near(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
+    """Keep one doc per near-duplicate cluster (min doc_id per
+    component). Pass precomputed :func:`near_dup_labels` to reuse them
+    across stages."""
+    if cc is None:
+        cc = near_dup_labels(docs)
     drop = cc.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
@@ -128,6 +139,86 @@ def assign_split(docs: DataFrame) -> DataFrame:
     )
 
 
+def governance_report(
+    docs: DataFrame, d1: DataFrame, cc: DataFrame, survivors: DataFrame
+) -> dict:
+    """Stage-6 governance + mixing over the FINAL survivor set (both
+    relations are source-count-sized — tiny, so carrying them in the
+    report dict is counts, not data):
+
+    - license clearance audits the survivors against the strictest
+      license anywhere in their duplicate closure — q201's semantics at
+      the pipeline boundary. A keeper's EFFECTIVE rank first folds in
+      copies dropped at the exact-dedup stage (identical text means
+      identical near-dup relations, so the strictest rank within a
+      doc's content-digest group over the ORIGINAL corpus stands in for
+      every dropped exact copy); the cluster-window max then covers the
+      full exact+near closure even though jaccard ran on
+      post-exact-dedup survivors only.
+    - temperature mixture weights (q200) give the epoch's per-source
+      sampling rates over what actually ships.
+
+    ``docs`` is the original corpus, ``d1`` the post-exact-dedup
+    keepers, ``cc`` their near-dup labels, ``survivors`` the final
+    frame."""
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        temperature_weights,
+    )
+    from etl_pipeline_candy_store_spark.operators.scrub import (
+        _LIC_RANK_SQL,
+        license_rollup,
+        with_cluster_rank,
+    )
+
+    fp_rank = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.expr(_LIC_RANK_SQL).alias("r"),
+        )
+        .groupBy("fp")
+        .agg(F.max("r").alias("rank_exact"))
+    )
+    lic_all = (
+        d1.select(
+            "doc_id",
+            "source",
+            F.expr(_LIC_RANK_SQL).alias("lic_rank"),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        )
+        .join(fp_rank, "fp")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "source",
+            "lic_rank",
+            "rank_exact",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    marked = with_cluster_rank(lic_all, rank_col="rank_exact").join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    return {
+        "license": {
+            r["source"]: {
+                "n_docs": r["n_docs"],
+                "n_restricted_own": r["n_restricted_own"],
+                "n_blocked_by_copy": r["n_blocked_by_copy"],
+                "n_cleared": r["n_cleared"],
+            }
+            for r in license_rollup(marked).collect()
+        },
+        "mixture": {
+            r["source"]: {
+                "n_tokens": r["n_tokens"],
+                "weight_ppm": r["weight_ppm"],
+                "boost_ppm": r["boost_ppm"],
+            }
+            for r in temperature_weights(survivors).collect()
+        },
+    }
+
+
 def curate(
     spark: SparkSession,
     sf_dir: str,
@@ -152,12 +243,8 @@ def curate(
     # near-dup labels are computed ONCE and reused twice: the dedup drop
     # here, and the license-clearance governance report below (survivors
     # inherit the strictest license of cluster-mates the funnel dropped)
-    pairs = jaccard_pairs(d1).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b").cache()
-    drop_dup = cc.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
-    d2 = d1.join(drop_dup, "doc_id", "left_anti").cache()
+    cc = near_dup_labels(d1).cache()
+    d2 = dedup_near(d1, cc).cache()
     report["funnel"]["after_near_dedup"] = d2.count()
 
     gated = quality_gate(d2).filter(F.col("passed") == 1).select("doc_id")
@@ -170,55 +257,7 @@ def curate(
     d4 = drop_contaminated(d3r).cache()
     report["funnel"]["after_decontamination"] = d4.count()
 
-    # governance + mixing over the FINAL survivor set (both relations
-    # are source-count-sized — tiny, so carrying them in the report dict
-    # is counts, not data):
-    # - license clearance ranks every ORIGINAL post-exact-dedup doc
-    #   (dropped cluster-mates still poison their cluster), then audits
-    #   only the survivors — q201's semantics at the pipeline boundary;
-    # - temperature mixture weights (q200) give the epoch's per-source
-    #   sampling rates over what actually ships.
-    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
-        temperature_weights,
-    )
-    from etl_pipeline_candy_store_spark.operators.scrub import (
-        _LIC_RANK_SQL,
-        license_rollup,
-        with_cluster_rank,
-    )
-
-    lic_all = (
-        d1.select("doc_id", "source", F.expr(_LIC_RANK_SQL).alias("lic_rank"))
-        .join(cc, d1["doc_id"] == cc["node"], "left")
-        .select(
-            "doc_id",
-            "source",
-            "lic_rank",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-    marked = with_cluster_rank(lic_all).join(
-        d4.select("doc_id"), "doc_id", "left_semi"
-    )
-    report["governance"] = {
-        "license": {
-            r["source"]: {
-                "n_docs": r["n_docs"],
-                "n_restricted_own": r["n_restricted_own"],
-                "n_blocked_by_copy": r["n_blocked_by_copy"],
-                "n_cleared": r["n_cleared"],
-            }
-            for r in license_rollup(marked).collect()
-        },
-        "mixture": {
-            r["source"]: {
-                "n_tokens": r["n_tokens"],
-                "weight_ppm": r["weight_ppm"],
-                "boost_ppm": r["boost_ppm"],
-            }
-            for r in temperature_weights(d4).collect()
-        },
-    }
+    report["governance"] = governance_report(docs, d1, cc, d4)
     cc.unpersist()
 
     d5 = assign_split(d4)

@@ -350,9 +350,12 @@ def apply_semantic_decon_batch(
     cosine to any panel vector reaches the threshold land under
     ``{out_dir}/flagged/batch=N`` with attribution (n_eval_hits,
     max_cos_micros); the rest pass to ``{out_dir}/clean/batch=N``.
-    Like the lexical gate this is per-row stateless — the panel is
-    fixed before the crawl starts — so batching cannot change any
-    verdict and both partitions are overwrite-idempotent under
+    Re-arriving PANEL members (a published benchmark gets re-crawled)
+    are excluded by the gate itself — they reach neither partition, so
+    feeding the raw stream reproduces q199 exactly with no caller-side
+    pre-filter. Like the lexical gate this is per-row stateless — the
+    panel is fixed before the crawl starts — so batching cannot change
+    any verdict and both partitions are overwrite-idempotent under
     foreachBatch replay."""
     from etl_pipeline_candy_store_spark.operators.curation import _SEM_TAU
     from etl_pipeline_candy_store_spark.operators.similarity import (
@@ -362,8 +365,17 @@ def apply_semantic_decon_batch(
     )
 
     tau = _SEM_TAU if min_cos_micros is None else min_cos_micros
+    # panel members may re-arrive in a raw stream (the benchmark is
+    # published, crawlers pick it up) — they are never screened against
+    # themselves, exactly as batch q199 excludes them from the corpus
+    # side; the anti-join is against the tiny broadcast panel
+    corpus = batch.select("vec_id", "embedding").join(
+        F.broadcast(panel.select(F.col("eval_id").alias("vec_id"))),
+        "vec_id",
+        "left_anti",
+    )
     scored = (
-        with_norm(batch.select("vec_id", "embedding"))
+        with_norm(corpus)
         .crossJoin(F.broadcast(panel))
         .select(
             "vec_id",
@@ -382,7 +394,9 @@ def apply_semantic_decon_batch(
         .localCheckpoint(eager=True)
     )
     scored.write.mode("overwrite").parquet(f"{out_dir}/flagged/batch={batch_id}")
-    batch.join(scored, "vec_id", "left_anti").write.mode("overwrite").parquet(
+    # clean = corpus minus flagged; re-arrived panel members are in
+    # NEITHER partition (eval docs never ship as training data)
+    corpus.join(scored, "vec_id", "left_anti").write.mode("overwrite").parquet(
         f"{out_dir}/clean/batch={batch_id}"
     )
 

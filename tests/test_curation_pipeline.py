@@ -99,3 +99,34 @@ def test_curate_governance_report(spark, tmp_path):
     assert 1000000 - len(mix) <= total_w <= 1000000
     # alpha=0.5 up-samples at least one tail source on this corpus
     assert any(s["boost_ppm"] > 1000000 for s in mix.values())
+
+
+def test_governance_folds_exact_dup_licenses(spark):
+    """A restricted exact copy dropped at the exact-dedup stage must
+    still block its permissively-sourced keeper: the effective rank
+    folds the strictest license of the doc's content-digest group over
+    the ORIGINAL corpus, so the audit covers exact+near closure even
+    though jaccard runs on post-exact-dedup survivors only."""
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        dedup_exact,
+        governance_report,
+        near_dup_labels,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "src0"),  # permissive keeper
+            (4, "alpha beta gamma delta epsilon", "src2"),  # restricted copy
+            (2, "totally different unique words here", "src0"),  # clean
+        ],
+        "doc_id long, text string, source string",
+    )
+    d1 = dedup_exact(docs)
+    assert d1.count() == 2  # the restricted copy was dropped at stage 1
+    cc = near_dup_labels(d1)
+    gov = governance_report(docs, d1, cc, d1)
+    lic = gov["license"]
+    assert lic["src0"]["n_blocked_by_copy"] == 1  # doc 1, poisoned by doc 4
+    assert lic["src0"]["n_cleared"] == 1  # doc 2
+    assert lic["src0"]["n_restricted_own"] == 0
+    assert "src2" not in lic  # its only doc never reached the survivor set

@@ -1565,20 +1565,20 @@ def test_stream_semantic_decon_matches_batch(spark, tmp_path):
 
     emb = load(spark, sf, "embeddings")
     panel = decon_panel(emb, _SEM_PANEL)
-    corpus = emb.filter(F.col("vec_id") >= _SEM_PANEL).select(
-        "vec_id", "embedding"
-    )
+    # the RAW table streams in, panel members included — the gate itself
+    # must exclude them (a published benchmark re-arrives via crawlers)
+    raw = emb.select("vec_id", "embedding")
     src = str(tmp_path / "vec_src")
     n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
-        corpus.filter(
+        raw.filter(
             (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
         ).coalesce(1).write.mode("append").parquet(src)
         time.sleep(1.05)
 
     out = str(tmp_path / "decon")
     stream = (
-        spark.readStream.schema(corpus.schema)
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -1596,11 +1596,13 @@ def test_stream_semantic_decon_matches_batch(spark, tmp_path):
         for r in flags.collect()
     }
     assert got == want
-    # exactly-once + routing partition: clean ∪ flagged = corpus, disjoint
+    # exactly-once + routing: clean ∪ flagged = raw minus the panel
+    # (re-arrived panel members land in NEITHER partition), disjoint
     clean = spark.read.parquet(f"{out}/clean")
     assert flags.count() == len(got)
-    assert clean.count() + flags.count() == corpus.count()
+    assert clean.count() + flags.count() == raw.count() - _SEM_PANEL
     assert clean.join(flags, "vec_id", "inner").count() == 0
+    assert clean.filter(F.col("vec_id") < _SEM_PANEL).count() == 0
 
 
 def test_semantic_decon_replay_is_idempotent(spark, tmp_path):
