@@ -21,10 +21,14 @@ round="${1:?usage: tools/round_gates.sh <round>}"
 echo "== gate 1/3: pytest =="
 python -m pytest tests/ -q
 
-echo "== gate 2/3: scale probe (K=10, budget-gated) =="
-python tools/scale_probe.py 10 --out "SCALE_r${round}.json"
-
-echo "== gate 3/3: full-oracle release check =="
+# release check runs BEFORE the scale probe: both stamp the same HEAD,
+# but the probe OVERWRITES SCALE_r<N>.json — if that file is already
+# tracked (re-running the ritual later in a round), the overwrite
+# dirties the tree and release_check would refuse to start.
+echo "== gate 2/3: full-oracle release check =="
 bash tools/release_check.sh "$round"
+
+echo "== gate 3/3: scale probe (K=10, budget-gated) =="
+python tools/scale_probe.py 10 --out "SCALE_r${round}.json"
 
 echo "ALL GATES GREEN — commit SCALE_r${round}.json and ORACLE_FULL_r${round}*.json"
