@@ -151,13 +151,21 @@ def main() -> int:
             # UNTRACKED file can't make the code differ from git_sha —
             # and the ritual itself writes the tuned artifact before the
             # plain sweep runs, which used to stamp the second artifact
-            # dirty=True about a perfectly clean tree
+            # dirty=True about a perfectly clean tree. PROGRESS.jsonl is
+            # excluded the same way: the build driver appends telemetry
+            # to it every ~15 min, so a long sweep would otherwise stamp
+            # dirty=True about a file that cannot change the code.
+            status = subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                capture_output=True,
+                text=True,
+            ).stdout
             dirty = bool(
-                subprocess.run(
-                    ["git", "status", "--porcelain", "--untracked-files=no"],
-                    capture_output=True,
-                    text=True,
-                ).stdout.strip()
+                [
+                    ln
+                    for ln in status.splitlines()
+                    if ln.strip() and not ln.endswith("PROGRESS.jsonl")
+                ]
             )
         except Exception:
             git_sha, dirty = None, None

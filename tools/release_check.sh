@@ -18,8 +18,10 @@ sf_dir="${SPARK_GRAFT_SF_DIR_ORACLE:-/root/testdata/sf0.01}"
 
 # -uno: only TRACKED modifications make the artifact describe code that
 # differs from HEAD; untracked files (e.g. this ritual's own first
-# artifact, present when re-running) cannot
-if [[ -n "$(git status --porcelain --untracked-files=no)" ]]; then
+# artifact, present when re-running) cannot. PROGRESS.jsonl is driver
+# telemetry appended every ~15 min — it can't change the code either,
+# and gating on it would make the ritual racy against the driver.
+if [[ -n "$(git status --porcelain --untracked-files=no | grep -v 'PROGRESS.jsonl$' || true)" ]]; then
     echo "refusing: working tree is dirty — commit first so the artifact" >&2
     echo "describes exactly one SHA (git_sha is stamped into the JSON)" >&2
     exit 1
