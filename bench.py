@@ -77,6 +77,7 @@ HEADLINE = [
     "q199_semantic_decontamination",  # broadcast-panel embedding screen (r9)
     "q200_temperature_mixture",  # alpha-smoothed source mixing weights (r9)
     "q201_license_clearance",   # license propagation through dup clusters (r9)
+    "q202_importance_weights",  # DSIR log2-binned importance selection (r9)
 ]
 
 

@@ -655,3 +655,108 @@ def temperature_weights(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("boost_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — DSIR-style importance weights for target-domain data selection
+# (Xie et al., "Data Selection for Language Models via Importance
+# Resampling", NeurIPS 2023): score every candidate document by how much
+# more likely its tokens are under the TARGET domain's unigram
+# distribution than under the general corpus's. The selection knob that
+# turns a small high-quality sample into a filter over a 100 TB crawl.
+# --------------------------------------------------------------------------
+_DSIR_TARGET_MAX_DOC = 50  # doc_id < 50 plays the target-domain sample
+
+#: log2-binned per-token log-likelihood-ratio: bin = clamp(floor(log2 r))
+#: for r = P_target(tok)/P_source(tok) (add-one smoothed), computed by
+#: integer CROSS-MULTIPLICATION only — a float log could drift an ulp
+#: across engines. a = (c_t+1)(N_s+V), b = (c_s+1)(N_t+V); r = a/b.
+_DSIR_BIN_SQL = """CASE
+  WHEN a >= 16 * b THEN 4  WHEN a >= 8 * b THEN 3
+  WHEN a >= 4 * b THEN 2   WHEN a >= 2 * b THEN 1
+  WHEN a >= b THEN 0       WHEN 2 * a >= b THEN -1
+  WHEN 4 * a >= b THEN -2  WHEN 8 * a >= b THEN -3
+  WHEN 16 * a >= b THEN -4 ELSE -5 END"""
+
+
+@register(
+    "q202_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+v AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN doc_id < {_DSIR_TARGET_MAX_DOC} THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN doc_id >= {_DSIR_TARGET_MAX_DOC} THEN 1 ELSE 0 END) AS BIGINT) AS c_s
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_s) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS vsz
+  FROM v
+),
+bins AS (
+  SELECT tok, {_DSIR_BIN_SQL} AS bin
+  FROM (SELECT tok, (c_t + 1) * (n_s + vsz) AS a,
+               (c_s + 1) * (n_t + vsz) AS b
+        FROM v CROSS JOIN tot)
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(bins.bin) AS BIGINT) AS log2_weight
+FROM toks t JOIN bins USING (tok)
+WHERE t.doc_id >= {_DSIR_TARGET_MAX_DOC}
+GROUP BY t.doc_id
+""",
+    doc="DSIR-style importance weighting: per-document sum of log2-"
+    "binned unigram likelihood ratios P_target/P_source (add-one "
+    "smoothed over the joint vocabulary), scored for every candidate "
+    f"doc against the doc_id < {_DSIR_TARGET_MAX_DOC} target-domain "
+    "sample — the importance-resampling selector (DSIR, Xie et al. "
+    "2023) that filters a crawl toward a target domain. The log-ratio "
+    "is log2-GRANULAR by design: bins come from integer cross-"
+    "multiplications only (a float ln could drift an ulp across "
+    "engines; exact DSIR math drops in via a log-table broadcast "
+    "without changing the plan). Plan: one corpus explode -> vocab-"
+    "keyed agg (map-side combinable), totals broadcast back, per-token "
+    "bins are a projection over the vocab relation, and the doc score "
+    "is ONE token-keyed equi-join + doc-keyed agg — the tf-idf/BM25 "
+    "shape, linear in corpus tokens, no windows. Emits WEIGHTS, not a "
+    "binary cut: resampling consumes weights, and floor-binning biases "
+    "the zero point, so consumers threshold (q91 discipline). BIGINT "
+    "stages hold to "
+    "~1e13 corpus tokens; beyond that route a/b through DECIMAL(38,0) "
+    "unchanged.",
+)
+def q202_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tgt = F.col("doc_id") < _DSIR_TARGET_MAX_DOC
+    v = toks.groupBy("tok").agg(
+        F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(~tgt, 1).otherwise(0)).cast("long").alias("c_s"),
+    )
+    tot = v.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_s").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("vsz"),
+    )
+    bins = (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            ((F.col("c_t") + 1) * (F.col("n_s") + F.col("vsz"))).alias("a"),
+            ((F.col("c_s") + 1) * (F.col("n_t") + F.col("vsz"))).alias("b"),
+        )
+        .select("tok", F.expr(_DSIR_BIN_SQL).alias("bin"))
+    )
+    return (
+        toks.filter(~tgt)
+        .join(bins, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("bin").cast("long").alias("log2_weight"),
+        )
+    )

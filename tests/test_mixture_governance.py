@@ -185,3 +185,57 @@ def test_license_clearance_one_cluster_exchange(spark):
     # of the labeled corpus
     plan = _plan(spark, "q201_license_clearance")
     assert "Window" in plan, plan
+
+
+# ---------------------------------------------------------------- q202
+
+
+def test_importance_weights_match_python(spark):
+    """log2-binned DSIR weights reproduce a pure-Python recomputation
+    (add-one smoothing over the joint vocab, clamped floor(log2 r))."""
+    from collections import Counter
+
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        _DSIR_TARGET_MAX_DOC,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in catalog.load(spark, SF, "documents").collect()
+    }
+    c_t, c_s = Counter(), Counter()
+    for d, toks in docs.items():
+        (c_t if d < _DSIR_TARGET_MAX_DOC else c_s).update(toks)
+    vocab = set(c_t) | set(c_s)
+    n_t, n_s, v = sum(c_t.values()), sum(c_s.values()), len(vocab)
+
+    def tok_bin(t):
+        a = (c_t[t] + 1) * (n_s + v)
+        b = (c_s[t] + 1) * (n_t + v)
+        for k in range(4, -5, -1):
+            if (a >= b * (1 << k)) if k >= 0 else (a * (1 << -k) >= b):
+                return k
+        return -5
+
+    expect = {}
+    for d, toks in docs.items():
+        if d < _DSIR_TARGET_MAX_DOC:
+            continue
+        expect[d] = (len(toks), sum(tok_bin(t) for t in toks))
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["log2_weight"])
+        for r in _run(spark, "q202_importance_weights").collect()
+    }
+    assert got == expect
+    # non-vacuous: weights must actually rank documents (a threshold
+    # consumer gets a real ordering, not a constant)
+    weights = {w for (_, w) in got.values()}
+    assert len(weights) > 1
+
+
+def test_importance_weights_plan_shape(spark):
+    # tf-idf/BM25 shape: explodes + keyed aggs + ONE token equi-join;
+    # no windows, no sort-merge self-join of the corpus
+    plan = _plan(spark, "q202_importance_weights")
+    assert "Window" not in plan, plan

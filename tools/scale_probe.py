@@ -155,6 +155,10 @@ HEADLINE = [
     "q199_semantic_decontamination",
     "q200_temperature_mixture",
     "q201_license_clearance",
+    # q202: one corpus explode -> vocab-keyed agg, totals broadcast,
+    # one token-keyed equi-join back — the tf-idf/BM25 family; must
+    # track the scan (vocab grows with the replica token suffixes).
+    "q202_importance_weights",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
