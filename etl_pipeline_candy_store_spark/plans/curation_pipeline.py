@@ -285,12 +285,13 @@ def curate(
     oracle=None,  # composed below from the gates' registered SQL
     doc="Auditable per-document curation decision record: every gate's "
     "verdict as an independent boolean (exact dup, near dup, quality "
-    "fail, repetition, eval-set contamination, eval membership) plus "
-    "the conjunction keep flag — the ledger a compliance review reads "
-    "to answer WHY a document was dropped, where the funnel "
+    "fail, repetition, lexical AND semantic eval-set contamination, "
+    "license block through the duplicate closure, eval membership) "
+    "plus the conjunction keep flag — the ledger a compliance review "
+    "reads to answer WHY a document was dropped, where the funnel "
     "(:func:`curate`) only reports stage counts. Each verdict composes "
     "the SAME registered semantics as the standalone gate queries "
-    "(q50/q54/q59/q122/q58 — single copy, fetched from the registry), "
+    "(q50/q54/q59/q122/q58/q199/q201 — single copy, from the registry), "
     "evaluated INDEPENDENTLY on the full corpus (documented difference "
     "from the staged funnel, where later gates see only survivors). "
     "Gate relations that only emit flagged/signal rows join back LEFT "
@@ -335,11 +336,39 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = q58_decontamination(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("contam_hit")
     )
+    # round-9 governance verdicts, same single-copy composition:
+    # semantic contamination (q199, vec_id ≡ doc_id in the synthetic
+    # tables) and license block (own license clears but a q54/q125
+    # cluster-mate is restricted — q201's per-doc flag)
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        q199_semantic_decontamination,
+    )
+    from etl_pipeline_candy_store_spark.operators.scrub import (
+        _LIC_RANK_SQL,
+        with_cluster_rank,
+    )
+
+    sem = q199_semantic_decontamination(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("sem_hit")
+    )
+    licm = with_cluster_rank(
+        dedup_clusters_checkpointed(spark, sf_dir).join(
+            d.select("doc_id", F.expr(_LIC_RANK_SQL).alias("lic_rank")),
+            "doc_id",
+        )
+    ).select(
+        "doc_id",
+        ((F.col("lic_rank") < 2) & (F.col("cluster_rank") == 2)).alias(
+            "lic_blocked"
+        ),
+    )
     out = (
         ex.join(near, "doc_id")
         .join(qual, "doc_id")
         .join(rep, "doc_id", "left")
         .join(contam, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .join(licm, "doc_id")
         .select(
             "doc_id",
             "is_exact_dup",
@@ -347,6 +376,10 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fails_quality",
             F.coalesce("rep_hit", F.lit(False)).alias("is_repetitive"),
             F.coalesce("contam_hit", F.lit(False)).alias("is_contaminated"),
+            F.coalesce("sem_hit", F.lit(False)).alias(
+                "is_semantic_contaminated"
+            ),
+            F.col("lic_blocked").alias("is_license_blocked"),
             (F.col("doc_id") < _EVAL_MAX_DOC).alias("is_eval"),
         )
     )
@@ -358,6 +391,8 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("fails_quality")
             | F.col("is_repetitive")
             | F.col("is_contaminated")
+            | F.col("is_semantic_contaminated")
+            | F.col("is_license_blocked")
             | F.col("is_eval")
         ),
     )
@@ -374,11 +409,22 @@ def _q160_oracle() -> str:
     q59 = REGISTRY["q59_quality_filter"].oracle
     q122 = REGISTRY["q122_repetition_signals"].oracle
     q58 = REGISTRY["q58_decontamination"].oracle
+    q199 = REGISTRY["q199_semantic_decontamination"].oracle
+    from etl_pipeline_candy_store_spark.operators.scrub import _LIC_RANK_SQL
+
     return f"""
 WITH cl AS ({_CLUSTERS_SQL}),
 q59 AS ({q59}),
 q122 AS ({q122}),
 contam AS ({q58}),
+sem AS ({q199}),
+licm AS (
+  SELECT cl.doc_id,
+         {_LIC_RANK_SQL} AS lic_rank,
+         MAX({_LIC_RANK_SQL})
+           OVER (PARTITION BY cl.cluster_id) AS cluster_rank
+  FROM cl JOIN documents USING (doc_id)
+),
 ex AS (
   SELECT doc_id,
          doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
@@ -393,6 +439,8 @@ led AS (
                   OR q122.dup_trigram_frac_micros > 400000, FALSE)
            AS is_repetitive,
          contam.doc_id IS NOT NULL AS is_contaminated,
+         sem.vec_id IS NOT NULL AS is_semantic_contaminated,
+         licm.lic_rank < 2 AND licm.cluster_rank = 2 AS is_license_blocked,
          d.doc_id < {_EVAL_MAX_DOC} AS is_eval
   FROM documents d
   JOIN ex ON ex.doc_id = d.doc_id
@@ -400,10 +448,13 @@ led AS (
   JOIN q59 ON q59.doc_id = d.doc_id
   LEFT JOIN q122 ON q122.doc_id = d.doc_id
   LEFT JOIN contam ON contam.doc_id = d.doc_id
+  LEFT JOIN sem ON sem.vec_id = d.doc_id
+  JOIN licm ON licm.doc_id = d.doc_id
 )
 SELECT *,
        NOT (is_exact_dup OR is_near_dup OR fails_quality OR is_repetitive
-            OR is_contaminated OR is_eval) AS keep
+            OR is_contaminated OR is_semantic_contaminated
+            OR is_license_blocked OR is_eval) AS keep
 FROM led
 """
 
