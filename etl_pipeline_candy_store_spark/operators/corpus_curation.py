@@ -733,16 +733,26 @@ def q202_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tgt = F.col("doc_id") < _DSIR_TARGET_MAX_DOC
+    return score_importance(
+        toks.filter(~tgt), importance_bins(toks, tgt)
+    )
+
+
+def importance_bins(toks: DataFrame, is_target) -> DataFrame:
+    """The (tok, bin) importance table from a calibration token
+    relation: log2-binned smoothed likelihood ratio per token. Frozen
+    at calibration time — the ingest twin broadcasts it against
+    arriving batches exactly as CCNet freezes its scoring LM."""
     v = toks.groupBy("tok").agg(
-        F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("c_t"),
-        F.sum(F.when(~tgt, 1).otherwise(0)).cast("long").alias("c_s"),
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("c_s"),
     )
     tot = v.agg(
         F.sum("c_t").cast("long").alias("n_t"),
         F.sum("c_s").cast("long").alias("n_s"),
         F.count(F.lit(1)).cast("long").alias("vsz"),
     )
-    bins = (
+    return (
         v.crossJoin(F.broadcast(tot))
         .select(
             "tok",
@@ -751,9 +761,14 @@ def q202_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tok", F.expr(_DSIR_BIN_SQL).alias("bin"))
     )
+
+
+def score_importance(doc_toks: DataFrame, bins: DataFrame) -> DataFrame:
+    """Per-doc importance weight: sum of per-token bins over ONE
+    token-keyed equi-join. Tokens outside the calibration vocabulary
+    drop out of the join (contribute 0 — the neutral bin)."""
     return (
-        toks.filter(~tgt)
-        .join(bins, "tok")
+        doc_toks.join(bins, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_toks"),

@@ -437,3 +437,53 @@ def read_semantic_flags(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, n_eval_hits bigint, max_cos_micros bigint"
         )
+
+
+# --- Streaming importance scoring (q202's ingest twin) -----------------
+
+
+def apply_importance_batch(
+    batch: DataFrame,
+    bins: DataFrame,
+    out_dir: str,
+    batch_id: int,
+) -> None:
+    """Score one micro-batch of (doc_id, text, ...) rows against the
+    FROZEN importance table (q202's log2-binned likelihood ratios,
+    built once at calibration — the CCNet discipline: the scorer does
+    not drift while the crawl streams). Per-row stateless, so any
+    batching produces identical weights; ``{out_dir}/batch=N`` is a
+    batch-scoped overwrite (replay-idempotent). Tokens outside the
+    calibration vocabulary contribute the neutral bin 0 and are not
+    counted in n_toks (exactly :func:`score_importance`)."""
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        score_importance,
+    )
+
+    toks = batch.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    score_importance(toks, bins).write.mode("overwrite").parquet(
+        f"{out_dir}/batch={batch_id}"
+    )
+
+
+def stream_importance_scores(doc_stream: DataFrame, bins: DataFrame, out_dir: str):
+    """Wire a documents stream through the frozen importance scorer.
+    Returns a ``DataStreamWriter``; caller adds checkpoint/trigger."""
+    b = bins.localCheckpoint(eager=True)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_importance_batch(batch, b, out_dir, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_importance_scores(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Accumulated per-doc weights the stream has emitted."""
+    try:
+        return spark.read.parquet(out_dir).drop("batch")
+    except Exception:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_toks bigint, log2_weight bigint"
+        )

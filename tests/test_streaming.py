@@ -1636,3 +1636,64 @@ def test_semantic_decon_replay_is_idempotent(spark, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(f"{out}/clean").count() == n_clean_first
+
+
+def test_stream_importance_scores_match_batch(spark, tmp_path):
+    """Scoring per micro-batch against the FROZEN importance table must
+    reproduce q202's weights exactly for every candidate doc: the
+    scorer is per-row stateless once the bin table is frozen."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        _DSIR_TARGET_MAX_DOC,
+        importance_bins,
+    )
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        read_importance_scores,
+        stream_importance_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    catalog._ensure_loaded()
+    want = {
+        r["doc_id"]: (r["n_toks"], r["log2_weight"])
+        for r in catalog.REGISTRY["q202_importance_weights"]
+        .builder(spark, sf)
+        .collect()
+    }
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bins = importance_bins(toks, F.col("doc_id") < _DSIR_TARGET_MAX_DOC)
+    crawl = docs.filter(F.col("doc_id") >= _DSIR_TARGET_MAX_DOC).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "imp_src")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        crawl.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    out = str(tmp_path / "imp_scores")
+    stream = (
+        spark.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_importance_scores(stream, bins, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_imp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["log2_weight"])
+        for r in read_importance_scores(spark, out).collect()
+    }
+    assert got == want
