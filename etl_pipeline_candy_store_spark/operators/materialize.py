@@ -83,8 +83,9 @@ def source_fingerprint(
         if not os.path.exists(root):
             raise FileNotFoundError(f"source table not found: {root}")
         entries = sorted(
-            (rel, os.stat(full).st_size, os.stat(full).st_mtime_ns)
+            (rel, st.st_size, st.st_mtime_ns)
             for full, rel in _iter_source_files(root)
+            for st in (os.stat(full),)
         )
         h.update(table.encode())
         for rel, size, mtime in entries:
@@ -118,7 +119,13 @@ def materialized_relation(
             store, name, f".tmp-{fp}-{os.getpid()}-{time.monotonic_ns()}"
         )
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
-        build().write.mode("overwrite").parquet(tmp)
+        try:
+            build().write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # a failed build must not strand corpus-scale parquet under
+            # the store (prune_materialized only sweeps fp=* dirs)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
             json.dump(
                 {

@@ -1684,7 +1684,7 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """,
-    doc="VARIANT-typed semi-structured access: `parse_json(props)` once "
+    doc="VARIANT-typed semi-structured access: `try_parse_json(props)` once "
     "into Spark 4's binary VARIANT encoding, then a typed "
     "`try_variant_get(..., 'int')` path walk feeds the (event_type, "
     "k-decade) rollup — malformed documents would become NULL variants "
@@ -1695,7 +1695,7 @@ GROUP BY 1, 2
 )
 def q192_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy(

@@ -57,14 +57,18 @@ def stream_interval_deltas(
             .groupBy("d")
             .agg(F.sum("delta").cast("long").alias("delta"))
         )
-        applied: list[int] = []
+        # only the MAX applied batch_id is stored: batch ids are
+        # monotonic and only recent batches redeliver, so `<= max` is
+        # the replay test and ledger I/O stays O(1) per batch (a legacy
+        # multi-row ledger reads as the max of its rows)
+        applied_max = -1
         if fs.exists(P(target)):
             if fs.exists(P(target + "/" + _LEDGER)):
-                applied = [
+                applied_max = max(
                     r["batch_id"]
                     for r in spark.read.parquet(target + "/" + _LEDGER).collect()
-                ]
-            if batch_id in applied:
+                )
+            if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
             merged = (
                 spark.read.parquet(target)
@@ -77,7 +81,7 @@ def stream_interval_deltas(
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         ledger = spark.createDataFrame(
-            [(int(b),) for b in [*applied, batch_id]], "batch_id long"
+            [(int(batch_id),)], "batch_id long"
         )
         ledger.coalesce(1).write.mode("overwrite").parquet(tmp + "/" + _LEDGER)
         _fs_swap(spark, tmp, target)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from etl_pipeline_candy_store_spark.operators.curation import (
     _CONTAM_MIN_OVERLAP,
@@ -108,7 +109,7 @@ def read_curated_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated survivor table the stream has emitted."""
     try:
         return spark.read.parquet(out_dir).drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame([], "doc_id bigint, text string")
 
 
@@ -162,7 +163,7 @@ def _read_digest_state(
             .filter(F.col("batch") < before_batch)
             .drop("batch")
         )
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame([], "_fp string, doc_id bigint")
 
 
@@ -181,7 +182,7 @@ def read_deduped_docs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated unique-content document table."""
     try:
         return spark.read.parquet(f"{state_dir}/docs").drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame([], "doc_id bigint, text string")
 
 
@@ -219,7 +220,7 @@ def apply_token_budget_batch(
             .groupBy("source")
             .agg(F.sum("arrived").alias("_spent"))
         )
-    except Exception:
+    except AnalysisException:
         spent = spark.createDataFrame([], "source string, _spent bigint")
     w = (
         Window.partitionBy("source")
@@ -254,7 +255,7 @@ def read_admitted_docs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated budget-admitted document table."""
     try:
         return spark.read.parquet(f"{state_dir}/docs").drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame(
             [], "doc_id bigint, text string, source string"
         )
@@ -433,7 +434,7 @@ def read_semantic_flags(spark: SparkSession, out_dir: str) -> DataFrame:
     """Accumulated contamination flags the stream has emitted."""
     try:
         return spark.read.parquet(f"{out_dir}/flagged").drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame(
             [], "vec_id bigint, n_eval_hits bigint, max_cos_micros bigint"
         )
@@ -483,7 +484,7 @@ def read_importance_scores(spark: SparkSession, out_dir: str) -> DataFrame:
     """Accumulated per-doc weights the stream has emitted."""
     try:
         return spark.read.parquet(out_dir).drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame(
             [], "doc_id bigint, n_toks bigint, log2_weight bigint"
         )

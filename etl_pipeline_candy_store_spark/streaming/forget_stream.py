@@ -63,14 +63,20 @@ def apply_forget_batch(
     P = jvm.org.apache.hadoop.fs.Path
     target = state_path.rstrip("/")
     batch_digests = request_digests(requests).distinct()
-    applied: list[int] = []
+    # the ledger stores only the MAX applied batch_id: Structured
+    # Streaming batch ids are monotonic and only recent uncommitted
+    # batches redeliver, so `batch_id <= max` IS the replay test — a
+    # full id history would make per-batch ledger I/O grow with stream
+    # age on exactly the long-running streams this sink exists for
+    # (reads of a legacy multi-row ledger still work: max of its rows)
+    applied_max = -1
     if fs.exists(P(target)):
         if fs.exists(P(target + "/" + _LEDGER)):
-            applied = [
+            applied_max = max(
                 r["batch_id"]
                 for r in spark.read.parquet(target + "/" + _LEDGER).collect()
-            ]
-        if batch_id in applied:
+            )
+        if batch_id <= applied_max:
             return  # replayed delivery — already merged, skip
         merged = (
             spark.read.parquet(target)
@@ -81,9 +87,7 @@ def apply_forget_batch(
         merged = batch_digests
     tmp = target + f"._tmp-{batch_id}"
     merged.write.mode("overwrite").parquet(tmp)
-    ledger = spark.createDataFrame(
-        [(int(b),) for b in [*applied, batch_id]], "batch_id long"
-    )
+    ledger = spark.createDataFrame([(int(batch_id),)], "batch_id long")
     ledger.coalesce(1).write.mode("overwrite").parquet(tmp + "/" + _LEDGER)
     _fs_swap(spark, tmp, target)
 

@@ -38,14 +38,22 @@ def apply_variant_ingest_batch(
     (absence is data; malformation is an ingest failure)."""
     fields = fields or {}
     parsed = batch.withColumn("_v", F.try_parse_json(F.col(text_col)))
-    good = parsed.filter(F.col("_v").isNotNull()).select(
+    # a NULL payload is ABSENCE, not malformation: it passes to the good
+    # route with NULL shredded fields (try_parse_json(NULL) is NULL, so
+    # filtering on _v alone would quarantine rows that never had a
+    # payload and could never be "re-processed after an upstream fix")
+    good = parsed.filter(
+        F.col("_v").isNotNull() | F.col(text_col).isNull()
+    ).select(
         *[c for c in batch.columns if c != text_col],
         *[
             F.try_variant_get("_v", path, typ).alias(name)
             for name, (path, typ) in fields.items()
         ],
     )
-    bad = parsed.filter(F.col("_v").isNull()).select(
+    bad = parsed.filter(
+        F.col("_v").isNull() & F.col(text_col).isNotNull()
+    ).select(
         *[c for c in batch.columns if c != text_col],
         F.col(text_col).alias("raw_payload"),
         F.lit("unparseable_json").alias("reason"),

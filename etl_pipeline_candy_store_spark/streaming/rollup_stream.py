@@ -65,16 +65,20 @@ def stream_incremental_rollup(
         jvm, fs = _hadoop_fs(spark, target_path)
         P = jvm.org.apache.hadoop.fs.Path
         target = target_path.rstrip("/")
-        applied: list[int] = []
+        # only the MAX applied batch_id is stored: batch ids are
+        # monotonic and only recent batches redeliver, so `<= max` is
+        # the replay test and ledger I/O stays O(1) per batch (a legacy
+        # multi-row ledger reads as the max of its rows)
+        applied_max = -1
         if fs.exists(P(target)):
             # an externally-seeded target may have no ledger yet —
             # treat that as "no batches applied", don't wedge the stream
             if fs.exists(P(target + "/" + _LEDGER)):
-                applied = [
+                applied_max = max(
                     r["batch_id"]
                     for r in spark.read.parquet(target + "/" + _LEDGER).collect()
-                ]
-            if batch_id in applied:
+                )
+            if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
             merged = (
                 spark.read.parquet(target)
@@ -90,7 +94,7 @@ def stream_incremental_rollup(
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         ledger = spark.createDataFrame(
-            [(int(b),) for b in [*applied, batch_id]], "batch_id long"
+            [(int(batch_id),)], "batch_id long"
         )
         ledger.coalesce(1).write.mode("overwrite").parquet(tmp + "/" + _LEDGER)
         _fs_swap(spark, tmp, target)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from etl_pipeline_candy_store_spark.operators.similarity import (
     _cos_micros,
@@ -168,7 +169,7 @@ def apply_pq_code_dedup_batch(
             .filter(F.col("batch") < batch_id)
             .drop("batch")
         )
-    except Exception:
+    except AnalysisException:
         seen = spark.createDataFrame([], _CODE_SCHEMA)
     keep_in_batch = coded.groupBy("code_key").agg(
         F.min("vec_id").alias("vec_id")
@@ -203,7 +204,7 @@ def read_pq_deduped_vectors(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated code-unique vector table."""
     try:
         return spark.read.parquet(f"{state_dir}/vecs").drop("batch")
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame(
             [], f"{_CODE_SCHEMA}, embedding array<float>"
         )

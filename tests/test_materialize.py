@@ -144,3 +144,37 @@ def test_incremental_neardup_over_materialized_corpus(spark, tmp_path):
     fps = materialized_versions("corpus_minhash_per_doc", store)
     corpus_minhash_materialized(spark, SF, store_dir=store)
     assert materialized_versions("corpus_minhash_per_doc", store) == fps
+
+
+def test_failed_build_leaves_no_tmp_dir(spark, tmp_path):
+    """A build() that throws must clean up its .tmp-* staging directory
+    — repeated failures must not strand corpus-scale parquet garbage
+    that prune_materialized (fp=* only) never sweeps."""
+    import os
+
+    import pytest
+
+    from etl_pipeline_candy_store_spark.operators.materialize import (
+        materialized_relation,
+    )
+
+    store = str(tmp_path / "store")
+
+    def boom():
+        raise RuntimeError("synthetic build failure")
+
+    with pytest.raises(RuntimeError, match="synthetic"):
+        materialized_relation(
+            spark,
+            "broken_rel",
+            "/root/testdata/sf0.001",
+            boom,
+            ["documents"],
+            store_dir=store,
+        )
+    leftovers = [
+        p
+        for p in os.listdir(os.path.join(store, "broken_rel"))
+        if p.startswith(".tmp-")
+    ]
+    assert leftovers == []

@@ -80,3 +80,26 @@ def test_ingest_replay_idempotent(spark, tmp_path):
         map(tuple, read_route(spark, state, "good").collect())
     ), sorted(map(tuple, read_route(spark, state, "quarantine").collect()))
     assert first == second
+
+
+def test_ingest_null_payload_is_absence_not_malformation(spark, tmp_path):
+    """A NULL payload passes to the good route with NULL shredded fields
+    (absence is data); only a NON-NULL unparseable payload quarantines.
+    try_parse_json(NULL) is NULL, so a _v-only filter would wrongly
+    quarantine rows that never had a payload."""
+    from etl_pipeline_candy_store_spark.streaming.ingest_stream import (
+        apply_variant_ingest_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, None), (3, "{broken")],
+        "id long, props string",
+    )
+    out = str(tmp_path / "ingest")
+    apply_variant_ingest_batch(
+        batch, out, 0, fields={"k": ("$.k", "int")}
+    )
+    good = {r["id"]: r["k"] for r in spark.read.parquet(f"{out}/good").collect()}
+    bad = [r["id"] for r in spark.read.parquet(f"{out}/quarantine").collect()]
+    assert good == {1: 7, 2: None}
+    assert bad == [3]
