@@ -1697,3 +1697,27 @@ def test_stream_importance_scores_match_batch(spark, tmp_path):
         for r in read_importance_scores(spark, out).collect()
     }
     assert got == want
+
+
+def test_state_readers_fail_closed_on_corrupt_state(spark, tmp_path):
+    """The batch-output readers return empty ONLY for a missing path
+    ("no batches yet"); corrupt state must RAISE, not fail open as an
+    empty frame — a governance consumer must never mistake unreadable
+    contamination flags for "nothing flagged"."""
+    import pytest
+
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        read_importance_scores,
+        read_semantic_flags,
+    )
+
+    # missing path: empty frame, no error
+    assert read_semantic_flags(spark, str(tmp_path / "nope")).count() == 0
+    assert read_importance_scores(spark, str(tmp_path / "nope2")).count() == 0
+
+    # existing-but-corrupt state: must raise
+    bad = tmp_path / "decon" / "flagged"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_semantic_flags(spark, str(tmp_path / "decon")).count()
