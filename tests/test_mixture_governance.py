@@ -239,3 +239,73 @@ def test_importance_weights_plan_shape(spark):
     # no windows, no sort-merge self-join of the corpus
     plan = _plan(spark, "q202_importance_weights")
     assert "Window" not in plan, plan
+
+
+# ------------------------------------------------- property tests
+
+
+def test_dsir_bin_case_chain_is_clamped_floor_log2():
+    """The integer CASE chain must equal clamp(floor(log2(a/b)), -5, 4)
+    for ALL positive integer (a, b) — the cross-multiplication form
+    exists only to avoid float log drift, not to change the math."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    def case_bin(a: int, b: int) -> int:
+        for k in range(4, -5, -1):
+            if (a >= b * (1 << k)) if k >= 0 else (a * (1 << -k) >= b):
+                return k
+        return -5
+
+    @given(
+        st.integers(min_value=1, max_value=10**12),
+        st.integers(min_value=1, max_value=10**12),
+    )
+    @settings(max_examples=500, deadline=None)
+    def check(a, b):
+        # exact floor(log2(a/b)) via integer bit lengths, no floats
+        # (a/b >= 2^k  <=>  a >= b<<k), scanned over the clamp range
+        exact = -5
+        for k in range(-5, 5):
+            if (a >= (b << k)) if k >= 0 else ((a << -k) >= b):
+                exact = k
+        want = max(-5, min(4, exact))
+        assert case_bin(a, b) == want, (a, b)
+        # sanity vs float log2 where it's numerically trustworthy
+        r = a / b
+        if 2**-4 * 1.001 < r < 2**4 * 0.999 and abs(
+            math.log2(r) - round(math.log2(r))
+        ) > 1e-9:
+            assert case_bin(a, b) == max(-5, min(4, math.floor(math.log2(r))))
+
+    check()
+
+
+def test_temperature_weights_properties(spark):
+    """Every weight is within 1 ppm-unit of the exact sqrt share
+    (floor truncation only), and sqrt smoothing always moves shares
+    TOWARD uniform (tail sources boosted, head sources damped)."""
+    import math
+
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        temperature_weights,
+    )
+
+    got = {
+        r["source"]: r
+        for r in temperature_weights(
+            catalog.load(spark, SF, "documents")
+        ).collect()
+    }
+    s_total = 0.0
+    for src in sorted(got):
+        s_total += math.sqrt(float(got[src]["n_tokens"]))
+    for src, r in got.items():
+        exact = math.sqrt(r["n_tokens"]) / s_total * 1e6
+        assert 0 <= exact - r["weight_ppm"] < 1  # floor within 1 unit
+        # sqrt smoothing moves toward uniform: boost >= 1 iff natural
+        # share below the source's weight share
+        assert (r["boost_ppm"] >= 1000000) == (
+            r["natural_ppm"] <= r["weight_ppm"]
+        ) or abs(r["natural_ppm"] - r["weight_ppm"]) <= 1
