@@ -78,6 +78,7 @@ HEADLINE = [
     "q200_temperature_mixture",  # alpha-smoothed source mixing weights (r9)
     "q201_license_clearance",   # license propagation through dup clusters (r9)
     "q202_importance_weights",  # DSIR log2-binned importance selection (r9)
+    "q203_dup_span_scrub",      # duplicated-span removal rewrite (r9)
 ]
 
 

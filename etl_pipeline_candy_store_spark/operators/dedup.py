@@ -1388,6 +1388,122 @@ def q140_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q203_dup_span_scrub",
+    oracle="""
+WITH ps AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+),
+canon AS (
+  SELECT shingle, MIN(doc_id) AS keeper, MAX(doc_id) AS mx
+  FROM ps GROUP BY shingle
+),
+rem AS (
+  SELECT DISTINCT p.doc_id, p.pos + u.o AS tpos
+  FROM ps p JOIN canon c USING (shingle), unnest(range(0, 3)) AS u(o)
+  WHERE c.keeper <> c.mx AND p.doc_id <> c.keeper
+),
+toks AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS tpos, t.toks[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, len(t.toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.tpos = t.tpos
+  WHERE r.doc_id IS NULL
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(rm.n, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM rem GROUP BY doc_id) rm
+       USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+""",
+    doc="Exact duplicated-span REMOVAL (the transform q140 only "
+    "profiles — Lee et al. 2021 delete the repeated substring, keeping "
+    "one copy): every position covered by a 3-shingle that also occurs "
+    "in another document is scrubbed, EXCEPT in the shingle's canonical "
+    "document (min doc_id), which keeps its copy; surviving tokens "
+    "rejoin in position order. Deterministic and engine-exact (string "
+    "concat over integer positions). The contract is "
+    "originally-covered-position removal: token runs newly adjacent "
+    "after a scrub can form shingles no input document contained, so a "
+    "second pass may find more — run to fixpoint for full closure "
+    "(each pass is this same linear plan). Plan: the q140 positional-"
+    "shingle relation, ONE shingle-keyed window for dup+canonical, "
+    "covered positions explode row-locally, one doc-keyed anti-join + "
+    "ordered re-aggregation — no pair space, no corpus self-join.",
+)
+def q203_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ps = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "shingle")
+    )
+    w_sh = Window.partitionBy("shingle")
+    marked = ps.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)).alias("dup"),
+        (F.col("doc_id") != F.min("doc_id").over(w_sh)).alias("not_canon"),
+    )
+    rem = (
+        marked.where(F.col("dup") & F.col("not_canon"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("tpos0", "tok"))
+        .select("doc_id", (F.col("tpos0") + 1).cast("long").alias("tpos"), "tok")
+    )
+    kept = toks.join(rem, ["doc_id", "tpos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    n_rem = rem.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(n_rem, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+@register(
     "q149_simhash_gate_calibration",
     oracle=f"""
 WITH s AS ({_SIMHASH_PAIRS_SQL}),

@@ -205,3 +205,45 @@ def test_token_budget_matches_python_greedy_random(spark, tmp_path):
             else:
                 break
     assert got == want
+
+
+def test_dup_span_scrub_matches_python(spark):
+    """q203's removal set reproduces a pure-Python recomputation, and
+    the keep-one-copy rule holds: for every duplicated shingle, its
+    canonical (min-doc_id) occurrences keep their positions."""
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in catalog.load(spark, sf, "documents").collect()
+    }
+    # positional shingles + canonical keeper per shingle value
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - 2):
+            occ.setdefault(" ".join(toks[i : i + 3]), []).append((d, i + 1))
+    removed: dict[int, set[int]] = {d: set() for d in docs}
+    for sh, hits in occ.items():
+        ds = {d for d, _ in hits}
+        if len(ds) < 2:
+            continue
+        keeper = min(ds)
+        for d, p in hits:
+            if d != keeper:
+                removed[d].update((p, p + 1, p + 2))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in catalog.REGISTRY["q203_dup_span_scrub"]
+        .builder(spark, sf)
+        .collect()
+    }
+    for d, toks in docs.items():
+        want_clean = " ".join(
+            t for i, t in enumerate(toks, start=1) if i not in removed[d]
+        )
+        assert got[d] == (len(toks), len(removed[d]), want_clean), d
+    # non-vacuous: the corpus really contains cross-doc spans to scrub
+    assert any(n for (_, n, _) in got.values())

@@ -159,6 +159,10 @@ HEADLINE = [
     # one token-keyed equi-join back — the tf-idf/BM25 family; must
     # track the scan (vocab grows with the replica token suffixes).
     "q202_importance_weights",
+    # q203 rewrites text: positional-shingle window + covered-position
+    # anti-join + ordered re-aggregation — all doc- or shingle-keyed,
+    # so it must track the corpus token count linearly.
+    "q203_dup_span_scrub",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
