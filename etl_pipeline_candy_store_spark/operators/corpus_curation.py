@@ -725,9 +725,14 @@ GROUP BY t.doc_id
     "shape, linear in corpus tokens, no windows. Emits WEIGHTS, not a "
     "binary cut: resampling consumes weights, and floor-binning biases "
     "the zero point, so consumers threshold (q91 discipline). BIGINT "
-    "stages hold to "
-    "~1e13 corpus tokens; beyond that route a/b through DECIMAL(38,0) "
-    "unchanged.",
+    "envelope: a=(c_t+1)*(n_s+vsz) is a product of two token-count-"
+    "scale terms, so for a stop-word (c_t ~ N) it reaches N^2 — int64 "
+    "overflows near N ~ 3e9 corpus tokens (the 16*b band comparison "
+    "trips ~4x sooner, ~7e8). Spark (non-ANSI) WRAPS silently and "
+    "produces wrong bins while DuckDB errors, so the engines diverge "
+    "loudly on the oracle but not in production: migrate a/b (and the "
+    "16*b comparison) to DECIMAL(38,0) before ~5e8 corpus tokens; the "
+    "plan is unchanged.",
 )
 def q202_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -64,9 +64,16 @@ def stream_interval_deltas(
         applied_max = -1
         if fs.exists(P(target)):
             if fs.exists(P(target + "/" + _LEDGER)):
+                # default=-1: a zero-row ledger (crash between swap
+                # steps) means "nothing applied" — recover, don't wedge
                 applied_max = max(
-                    r["batch_id"]
-                    for r in spark.read.parquet(target + "/" + _LEDGER).collect()
+                    (
+                        r["batch_id"]
+                        for r in spark.read.parquet(
+                            target + "/" + _LEDGER
+                        ).collect()
+                    ),
+                    default=-1,
                 )
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip

@@ -74,9 +74,16 @@ def stream_incremental_rollup(
             # an externally-seeded target may have no ledger yet —
             # treat that as "no batches applied", don't wedge the stream
             if fs.exists(P(target + "/" + _LEDGER)):
+                # default=-1: a zero-row ledger (crash between swap
+                # steps) means "nothing applied" — recover, don't wedge
                 applied_max = max(
-                    r["batch_id"]
-                    for r in spark.read.parquet(target + "/" + _LEDGER).collect()
+                    (
+                        r["batch_id"]
+                        for r in spark.read.parquet(
+                            target + "/" + _LEDGER
+                        ).collect()
+                    ),
+                    default=-1,
                 )
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip

@@ -112,6 +112,25 @@ def test_forget_replay_is_idempotent(spark, tmp_path):
     assert second == first
 
 
+def test_forget_recovers_from_zero_row_ledger(spark, tmp_path):
+    # a crash between the swap steps can leave a ledger parquet with
+    # ZERO rows; that must read as "nothing applied" (recover and merge
+    # the next delivery), not raise and permanently wedge the stream
+    from etl_pipeline_candy_store_spark.streaming.forget_stream import (
+        _LEDGER,
+    )
+
+    state = str(tmp_path / "forget_zero_ledger")
+    reqs = _requests(spark).localCheckpoint(eager=True)
+    apply_forget_batch(reqs.limit(3), state, 0)
+    spark.createDataFrame([], "batch_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(state + "/" + _LEDGER)
+    apply_forget_batch(reqs, state, 0)  # batch_id 0 again: must NOT skip
+    got = {r["digest"] for r in read_tombstones(spark, state).collect()}
+    assert got == {r["digest"] for r in reqs.collect()}
+
+
 def test_forget_gates_rearriving_copies(spark, tmp_path):
     # content-addressed tombstones reject a RE-CRAWLED copy of
     # forgotten content under a brand-new doc_id — the property a

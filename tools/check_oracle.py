@@ -160,11 +160,14 @@ def main() -> int:
                 capture_output=True,
                 text=True,
             ).stdout
+            # exact repo-root path match (porcelain is `XY <path>`):
+            # a suffix match would also excuse subdir/PROGRESS.jsonl or
+            # MYPROGRESS.jsonl — real code-adjacent modifications
             dirty = bool(
                 [
                     ln
                     for ln in status.splitlines()
-                    if ln.strip() and not ln.endswith("PROGRESS.jsonl")
+                    if ln.strip() and ln[3:] != "PROGRESS.jsonl"
                 ]
             )
         except Exception:

@@ -21,7 +21,9 @@ sf_dir="${SPARK_GRAFT_SF_DIR_ORACLE:-/root/testdata/sf0.01}"
 # artifact, present when re-running) cannot. PROGRESS.jsonl is driver
 # telemetry appended every ~15 min — it can't change the code either,
 # and gating on it would make the ritual racy against the driver.
-if [[ -n "$(git status --porcelain --untracked-files=no | grep -v 'PROGRESS.jsonl$' || true)" ]]; then
+# exact root path (porcelain is `XY <path>`): a suffix grep would also
+# excuse subdir/PROGRESS.jsonl or MYPROGRESS.jsonl
+if [[ -n "$(git status --porcelain --untracked-files=no | grep -vE '^.. PROGRESS\.jsonl$' || true)" ]]; then
     echo "refusing: working tree is dirty — commit first so the artifact" >&2
     echo "describes exactly one SHA (git_sha is stamped into the JSON)" >&2
     exit 1
