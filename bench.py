@@ -79,6 +79,7 @@ HEADLINE = [
     "q201_license_clearance",   # license propagation through dup clusters (r9)
     "q202_importance_weights",  # DSIR log2-binned importance selection (r9)
     "q203_dup_span_scrub",      # duplicated-span removal rewrite (r9)
+    "q204_dup_span_scrub_3pass",  # bounded 3-pass scrub composition (r10)
 ]
 
 

@@ -1434,16 +1434,27 @@ LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
     "concat over integer positions). The contract is "
     "originally-covered-position removal: token runs newly adjacent "
     "after a scrub can form shingles no input document contained, so a "
-    "second pass may find more — run to fixpoint for full closure "
-    "(each pass is this same linear plan). Plan: the q140 positional-"
+    "second pass may find more — dup_span_scrub_fixpoint runs this "
+    "same linear plan to full closure (convergence-probed), and q204 "
+    "is the oracle-checked bounded 3-pass unroll. Plan: the q140 positional-"
     "shingle relation, ONE shingle-keyed window for dup+canonical, "
     "covered positions explode row-locally, one doc-keyed anti-join + "
     "ordered re-aggregation — no pair space, no corpus self-join.",
 )
 def q203_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_scrub(load(spark, sf_dir, "documents"))
+
+
+def dup_span_scrub(d: DataFrame) -> DataFrame:
+    """ONE pass of exact duplicated-span removal over (doc_id, text):
+    every position covered by a cross-document 3-shingle is scrubbed
+    except in the shingle's canonical (min doc_id) document; survivors
+    rejoin in position order. Returns (doc_id, n_tokens, n_removed,
+    clean_text). See q203 for the full contract; a single pass is NOT
+    closure — tokens newly adjacent after a scrub can form new
+    duplicated shingles (:func:`dup_span_scrub_fixpoint`)."""
     from pyspark.sql.window import Window
 
-    d = load(spark, sf_dir, "documents")
     sh = F.when(
         F.size("toks") >= 3,
         F.expr(
@@ -1499,6 +1510,180 @@ def q203_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.coalesce("n", F.lit(0)).cast("long").alias("n_removed"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dup_span_scrub_fixpoint(
+    docs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Iterate :func:`dup_span_scrub` to CLOSURE: stop when a pass
+    removes zero tokens, i.e. no cross-document duplicated 3-shingle
+    remains anywhere (the "run to fixpoint" the single-pass doc
+    promises). Returns the q203 shape — (doc_id, n_tokens, n_removed,
+    clean_text) — with n_tokens from the ORIGINAL text and n_removed
+    the CUMULATIVE count across passes, plus n_passes (the number of
+    removal passes before the confirming zero-removal pass).
+
+    Termination: every non-final pass strictly decreases the corpus
+    token count (it removes >= 3 tokens), so the loop converges in at
+    most total-tokens/3 passes; real corpora need 1-3 (a pass-k
+    removal requires a chain of k overlapping duplications — the
+    q140/q203 profile shows how rare k>=2 is). Each pass is the same
+    linear plan (one shingle-keyed exchange + doc-keyed anti-join);
+    `localCheckpoint` between passes truncates lineage exactly like
+    the star-contraction loop above, and the per-pass convergence
+    probe is one O(1) aggregate. Raises if max_iter passes still
+    remove tokens — same discipline as connected_components_star."""
+    cur = docs.select("doc_id", "text")
+    orig = cur.select(
+        "doc_id",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    removed_acc: DataFrame | None = None
+    n_passes = 0
+    for _ in range(max_iter):
+        out = dup_span_scrub(cur).localCheckpoint(eager=True)
+        pass_removed = out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        if pass_removed == 0:
+            break
+        n_passes += 1
+        step = out.select("doc_id", F.col("n_removed").alias("r2"))
+        removed_acc = (
+            step.select("doc_id", F.col("r2").alias("r"))
+            if removed_acc is None
+            else removed_acc.join(step, "doc_id")
+            .select("doc_id", (F.col("r") + F.col("r2")).alias("r"))
+        )
+        cur = out.select("doc_id", F.col("clean_text").alias("text"))
+    else:
+        raise RuntimeError(
+            f"span scrub did not reach fixpoint in {max_iter} passes"
+        )
+    final = cur.select("doc_id", F.col("text").alias("clean_text"))
+    acc = (
+        removed_acc
+        if removed_acc is not None
+        else orig.select("doc_id", F.lit(0).alias("r"))
+    )
+    return (
+        orig.join(acc, "doc_id", "left")
+        .join(final, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("r", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.lit(n_passes).cast("long").alias("n_passes"),
+        )
+    )
+
+
+def _scrub_pass_sql(src: str, dst: str) -> str:
+    """One span-scrub pass as a DuckDB CTE chain mapping relation
+    ``src(doc_id, text)`` to ``dst(doc_id, text)`` — the exact q203
+    semantics, textually unrollable for a fixed pass count (q204)."""
+    return f"""
+{dst}_ps AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}) t,
+       unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+),
+{dst}_canon AS (
+  SELECT shingle, MIN(doc_id) AS keeper, MAX(doc_id) AS mx
+  FROM {dst}_ps GROUP BY shingle
+),
+{dst}_rem AS (
+  SELECT DISTINCT p.doc_id, p.pos + u.o AS tpos
+  FROM {dst}_ps p JOIN {dst}_canon c USING (shingle),
+       unnest(range(0, 3)) AS u(o)
+  WHERE c.keeper <> c.mx AND p.doc_id <> c.keeper
+),
+{dst}_toks AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS tpos, t.toks[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}) t,
+       unnest(range(1, len(t.toks) + 1)) AS u(i)
+),
+{dst} AS (
+  SELECT s.doc_id, COALESCE(k.text, '') AS text
+  FROM {src} s
+  LEFT JOIN (SELECT t.doc_id,
+                    string_agg(t.tok, ' ' ORDER BY t.tpos) AS text
+             FROM {dst}_toks t
+             LEFT JOIN {dst}_rem r
+                  ON r.doc_id = t.doc_id AND r.tpos = t.tpos
+             WHERE r.doc_id IS NULL GROUP BY t.doc_id) k USING (doc_id)
+)"""
+
+
+_SCRUB_3PASS_PASSES = 3
+
+
+@register(
+    "q204_dup_span_scrub_3pass",
+    oracle="WITH src0 AS (SELECT doc_id, text FROM documents),"
+    + ",".join(
+        _scrub_pass_sql(f"src{i}", f"src{i + 1}")
+        for i in range(_SCRUB_3PASS_PASSES)
+    )
+    + f"""
+SELECT d.doc_id,
+       CASE WHEN d.text = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT)
+       END AS n_tokens,
+       CASE WHEN d.text = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT)
+       END
+       - CASE WHEN s.text = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(s.text, ' ')) AS BIGINT)
+         END AS n_removed,
+       s.text AS clean_text
+FROM documents d JOIN src{_SCRUB_3PASS_PASSES} s USING (doc_id)
+""",
+    doc="Duplicated-span removal composed for exactly THREE passes — "
+    "the BOUNDED variant of q203 (a pass-k removal needs a chain of k "
+    "overlapping duplications; real corpora profile at 1-3, while "
+    "this tiny-vocab synthetic corpus chains to ~6, which is exactly "
+    "why the bound is a declared parameter and not an assumption). "
+    "dup_span_scrub_fixpoint iterates the same pass to TRUE closure "
+    "with an O(1) convergence probe per pass and is pytest-verified "
+    "against a pure-Python fixpoint reference, including a "
+    "constructed chain case where one pass provably != fixpoint; the "
+    "bounded form is what the oracle can check (DuckDB has no "
+    "iterate-to-convergence), with both engines unrolling the "
+    "IDENTICAL per-pass relation algebra so the oracle checks the "
+    "composition, not just one pass. n_removed is cumulative "
+    "(original minus surviving token count, '' counting as zero "
+    "tokens). Scale: 3x the q203 linear plan with lineage truncated "
+    "between passes on the Spark side; passes after convergence are "
+    "no-op scans of an already-clean relation.",
+)
+def q204_dup_span_scrub_3pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cur = d.select("doc_id", "text")
+    for _ in range(_SCRUB_3PASS_PASSES):
+        cur = (
+            dup_span_scrub(cur)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .localCheckpoint(eager=True)
+        )
+    n_of = lambda c: (  # noqa: E731 — '' is zero tokens, split says 1
+        F.when(F.col(c) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col(c), " ")))
+        .cast("long")
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(cur.select("doc_id", F.col("text").alias("clean_text")), "doc_id")
+        .select(
+            "doc_id",
+            n_of("text").alias("n_tokens"),
+            (n_of("text") - n_of("clean_text")).cast("long").alias("n_removed"),
+            "clean_text",
         )
     )
 

@@ -207,6 +207,181 @@ def test_token_budget_matches_python_greedy_random(spark, tmp_path):
     assert got == want
 
 
+def _py_scrub_pass(toks: dict[int, list[str]]):
+    """One pure-Python span-scrub pass over {doc_id: tokens}."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - 2):
+            occ.setdefault(" ".join(ts[i : i + 3]), []).append((d, i))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for _, hits in occ.items():
+        ds = {d for d, _ in hits}
+        if len(ds) < 2:
+            continue
+        keeper = min(ds)
+        for d, p in hits:
+            if d != keeper:
+                removed[d].update((p, p + 1, p + 2))
+    out = {
+        d: [t for i, t in enumerate(ts) if i not in removed[d]]
+        for d, ts in toks.items()
+    }
+    return out, {d: len(s) for d, s in removed.items()}
+
+
+def _py_scrub_fixpoint(texts: dict[int, str]):
+    """Pure-Python fixpoint reference: iterate passes until none
+    removes a token. Returns {doc_id: (n_tokens, n_removed,
+    clean_text)} plus the number of removal passes."""
+    cur = {d: t.split(" ") if t else [] for d, t in texts.items()}
+    orig_n = {d: len(ts) for d, ts in cur.items()}
+    total = {d: 0 for d in cur}
+    passes = 0
+    while True:
+        cur, nrem = _py_scrub_pass(cur)
+        if not any(nrem.values()):
+            break
+        passes += 1
+        for d, n in nrem.items():
+            total[d] += n
+    return {
+        d: (orig_n[d], total[d], " ".join(cur[d])) for d in cur
+    }, passes
+
+
+def test_span_scrub_fixpoint_chain_case(spark):
+    """The constructed case where ONE pass provably != fixpoint: after
+    doc 3 loses the 'A B C' span (canonical doc 1), tokens 'p' and
+    'q r' become adjacent and form 'p q r' — a shingle no input version
+    of doc 3 contained, duplicated with doc 2, so a SECOND pass empties
+    doc 3 entirely."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dup_span_scrub,
+        dup_span_scrub_fixpoint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A B C"), (2, "p q r"), (3, "p A B C q r")],
+        "doc_id long, text string",
+    )
+    one = {
+        r["doc_id"]: r["clean_text"]
+        for r in dup_span_scrub(docs).collect()
+    }
+    assert one == {1: "A B C", 2: "p q r", 3: "p q r"}
+    fix = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"], r["n_passes"])
+        for r in dup_span_scrub_fixpoint(docs).collect()
+    }
+    assert fix == {
+        1: (0, "A B C", 2),
+        2: (0, "p q r", 2),
+        3: (6, "", 2),
+    }
+    # one pass != fixpoint, by construction
+    assert one[3] != fix[3][1]
+
+
+def test_span_scrub_fixpoint_matches_python_reference(spark):
+    import random
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dup_span_scrub_fixpoint,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(10)]  # tiny vocab -> chained dups
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20)))
+        for i in range(1, 26)
+    }
+    want, want_passes = _py_scrub_fixpoint(texts)
+    got_rows = dup_span_scrub_fixpoint(
+        spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+    ).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in got_rows
+    }
+    assert got == want
+    assert {r["n_passes"] for r in got_rows} == {want_passes}
+    # closure property: NO cross-doc duplicated 3-shingle survives
+    occ: dict[str, set[int]] = {}
+    for d, (_, _, clean) in got.items():
+        ts = clean.split(" ") if clean else []
+        for i in range(len(ts) - 2):
+            occ.setdefault(" ".join(ts[i : i + 3]), set()).add(d)
+    assert all(len(ds) == 1 for ds in occ.values())
+    # non-vacuous: the tiny vocab really forced multi-pass removal
+    assert want_passes >= 2
+    assert any(n for (_, n, _) in want.values())
+
+
+def test_span_scrub_fixpoint_max_iter_raises(spark):
+    import pytest
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dup_span_scrub_fixpoint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A B C"), (2, "p q r"), (3, "p A B C q r")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dup_span_scrub_fixpoint(docs, max_iter=1)
+
+
+def test_q204_equals_python_3pass_on_corpus(spark):
+    """The registered 3-pass unroll reproduces a pure-Python 3-pass
+    composition position-for-position on the synthetic corpus (whose
+    tiny vocab chains duplications deep enough that pass 2 and 3 each
+    still remove tokens — the composition is non-vacuous there), and
+    the fixpoint helper runs strictly deeper on the same corpus."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        dup_span_scrub_fixpoint,
+    )
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    catalog._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in catalog.load(spark, sf, "documents").collect()
+    }
+    cur = {d: t.split(" ") if t else [] for d, t in texts.items()}
+    total = {d: 0 for d in cur}
+    pass_removed = []
+    for _ in range(3):
+        cur, nrem = _py_scrub_pass(cur)
+        pass_removed.append(sum(nrem.values()))
+        for d, n in nrem.items():
+            total[d] += n
+    want = {
+        d: (len(texts[d].split(" ")), total[d], " ".join(cur[d]))
+        for d in cur
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in catalog.REGISTRY["q204_dup_span_scrub_3pass"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: every one of the three passes removed something
+    assert all(n > 0 for n in pass_removed)
+    # and TRUE closure on this corpus needs MORE than the 3-pass bound
+    fix_rows = dup_span_scrub_fixpoint(
+        catalog.load(spark, sf, "documents")
+    ).collect()
+    assert {r["n_passes"] for r in fix_rows} == {6}
+    assert sum(r["n_removed"] for r in fix_rows) > sum(
+        v[1] for v in got.values()
+    )
+
+
 def test_dup_span_scrub_matches_python(spark):
     """q203's removal set reproduces a pure-Python recomputation, and
     the keep-one-copy rule holds: for every duplicated shingle, its

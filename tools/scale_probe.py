@@ -163,6 +163,10 @@ HEADLINE = [
     # anti-join + ordered re-aggregation — all doc- or shingle-keyed,
     # so it must track the corpus token count linearly.
     "q203_dup_span_scrub",
+    # q204 is three q203 passes with lineage truncated between them —
+    # same linear shape, 3× constant; later passes shrink as text is
+    # removed, so it must stay within the same linear budget family.
+    "q204_dup_span_scrub_3pass",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
