@@ -1445,6 +1445,36 @@ def q203_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_scrub(load(spark, sf_dir, "documents"))
 
 
+def positional_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, shingle): every 1-based positional 3-shingle of
+    (doc_id, text) — the relation q140 profiles, q203 scrubs over, and
+    the streaming span-scrub twin accumulates as its state key."""
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "shingle")
+    )
+
+
+def covered_positions(marked_ps: DataFrame) -> DataFrame:
+    """Distinct (doc_id, tpos) token positions covered by the given
+    positional shingles — the removal relation (row-local explode)."""
+    return (
+        marked_ps.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("tpos"),
+        )
+        .distinct()
+    )
+
+
 def dup_span_scrub(d: DataFrame) -> DataFrame:
     """ONE pass of exact duplicated-span removal over (doc_id, text):
     every position covered by a cross-document 3-shingle is scrubbed
@@ -1455,18 +1485,7 @@ def dup_span_scrub(d: DataFrame) -> DataFrame:
     duplicated shingles (:func:`dup_span_scrub_fixpoint`)."""
     from pyspark.sql.window import Window
 
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.expr(
-            "transform(sequence(0, size(toks) - 3),"
-            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ps = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "shingle")
-    )
+    ps = positional_shingles(d)
     w_sh = Window.partitionBy("shingle")
     marked = ps.select(
         "doc_id",
@@ -1474,14 +1493,15 @@ def dup_span_scrub(d: DataFrame) -> DataFrame:
         (F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)).alias("dup"),
         (F.col("doc_id") != F.min("doc_id").over(w_sh)).alias("not_canon"),
     )
-    rem = (
-        marked.where(F.col("dup") & F.col("not_canon"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("tpos"),
-        )
-        .distinct()
-    )
+    rem = covered_positions(marked.where(F.col("dup") & F.col("not_canon")))
+    return apply_span_removals(d, rem)
+
+
+def apply_span_removals(d: DataFrame, rem: DataFrame) -> DataFrame:
+    """Drop the (doc_id, tpos) positions in ``rem`` from (doc_id, text)
+    docs and reassemble survivors in position order — the shared tail
+    of q203 and the streaming span-scrub twin. Returns (doc_id,
+    n_tokens, n_removed, clean_text)."""
     toks = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.posexplode("toks").alias("tpos0", "tok"))

@@ -488,3 +488,116 @@ def read_importance_scores(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, n_toks bigint, log2_weight bigint"
         )
+
+# --- Streaming duplicated-span scrub (q203's ingest twin) --------------
+
+
+def apply_span_scrub_batch(
+    batch: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Scrub one micro-batch of (doc_id, text, ...) rows against the
+    accumulated corpus shingle state and extend that state — the
+    ingest twin of batch q203 (single-pass duplicated-span removal).
+
+    A position of an arriving doc is removed iff its covering
+    3-shingle was already introduced by an EARLIER-arrived doc (state
+    probe — equi-join on the shingle, the dedup key IS the shuffle
+    key) or is shared with a lower-doc_id doc INSIDE the same batch
+    (the q203 min-doc_id canonical rule, batch-locally). Under
+    monotone doc_id arrival this is EXACTLY batch q203: q203 removes a
+    position iff some doc with a smaller doc_id contains the covering
+    shingle ("exists another owner AND not the min owner" collapses to
+    "exists a smaller owner"), and with monotone arrival "smaller
+    doc_id" == "arrived earlier (or earlier in this batch)".
+
+    State is the doc's ORIGINAL positional shingles (one row per
+    distinct shingle ever seen, with its first owner) — original, not
+    post-scrub, because q203's removal condition is defined over
+    original texts; it is bounded by distinct corpus shingles, the
+    same O(unique content) envelope as the exact-dedup digest state.
+    Batch-scoped ``batch=N`` overwrites keep replay idempotent: the
+    state probe reads strictly earlier batches, so a re-delivered
+    batch recomputes byte-identical output."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        apply_span_removals,
+        covered_positions,
+        positional_shingles,
+    )
+
+    spark = batch.sparkSession
+    b = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    if not b.take(1):
+        return
+    ps = positional_shingles(b)
+    seen = _read_shingle_state(spark, state_dir, before_batch=batch_id)
+    w_sh = Window.partitionBy("shingle")
+    flagged = ps.join(
+        seen.select("shingle").withColumn("_seen", F.lit(1)),
+        "shingle",
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        "shingle",
+        F.col("_seen").isNotNull().alias("in_state"),
+        (F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)).alias(
+            "batch_dup"
+        ),
+        (F.col("doc_id") != F.min("doc_id").over(w_sh)).alias(
+            "not_batch_canon"
+        ),
+    )
+    rem = covered_positions(
+        flagged.where(
+            F.col("in_state")
+            | (F.col("batch_dup") & F.col("not_batch_canon"))
+        )
+    )
+    out = apply_span_removals(b, rem).localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(f"{state_dir}/docs/batch={batch_id}")
+    new_shingles = (
+        ps.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(seen.select("shingle"), "shingle", "left_anti")
+    )
+    new_shingles.write.mode("overwrite").parquet(
+        f"{state_dir}/shingles/batch={batch_id}"
+    )
+
+
+def _read_shingle_state(
+    spark: SparkSession, state_dir: str, before_batch: int
+) -> DataFrame:
+    try:
+        return (
+            spark.read.parquet(f"{state_dir}/shingles")
+            .filter(F.col("batch") < before_batch)
+            .drop("batch")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "shingle string, doc_id bigint")
+
+
+def stream_span_scrub(doc_stream: DataFrame, state_dir: str):
+    """Wire a (doc_id, text, ...) stream through duplicated-span
+    removal on arrival. Returns a ``DataStreamWriter``; scrubbed docs
+    land under ``{state_dir}/docs`` as batch-partitioned parquet."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_span_scrub_batch(batch, state_dir, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_scrubbed_docs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated scrubbed-document table (q203's output shape)."""
+    try:
+        return spark.read.parquet(f"{state_dir}/docs").drop("batch")
+    except AnalysisException:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_tokens bigint, n_removed bigint,"
+            " clean_text string",
+        )

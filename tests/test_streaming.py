@@ -1721,3 +1721,111 @@ def test_state_readers_fail_closed_on_corrupt_state(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         read_semantic_flags(spark, str(tmp_path / "decon")).count()
+
+
+def test_stream_span_scrub_matches_batch_q203(spark, tmp_path):
+    """Span scrub on arrival must equal batch q203 exactly under
+    monotone doc_id arrival: q203 removes a position iff a SMALLER
+    doc_id contains the covering shingle, and with ordered arrival
+    "smaller" == "arrived earlier or earlier in this batch"."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        read_scrubbed_docs,
+        stream_span_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load(spark, sf, "documents").localCheckpoint(eager=True)
+    src = str(tmp_path / "scrub_src")
+    for lo, hi in [(0, 170), (170, 340), (340, 10_000)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "scrub_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_span_scrub(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in read_scrubbed_docs(spark, state).collect()
+    }
+    catalog._ensure_loaded()
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in catalog.REGISTRY["q203_dup_span_scrub"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: removals happened both within AND across batches
+    assert any(n for (_, n, _) in got.values())
+    # exactly-once: one output row per doc across batch partitions
+    assert read_scrubbed_docs(spark, state).count() == len(got)
+
+
+def test_span_scrub_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a (content, batch_id) micro-batch must leave the
+    scrubbed-docs and shingle-state tables unchanged."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_span_scrub_batch,
+        read_scrubbed_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    state = str(tmp_path / "scrub_state_replay")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    apply_span_scrub_batch(b0, state, 0)
+    apply_span_scrub_batch(b1, state, 1)
+    first = sorted(
+        map(tuple, read_scrubbed_docs(spark, state).collect())
+    )
+    shingles_first = spark.read.parquet(f"{state}/shingles").count()
+    assert first
+    apply_span_scrub_batch(b1, state, 1)  # crash replay
+    second = sorted(
+        map(tuple, read_scrubbed_docs(spark, state).collect())
+    )
+    assert second == first
+    assert spark.read.parquet(f"{state}/shingles").count() == shingles_first
+
+
+def test_span_scrub_cross_batch_canonical_keeps_copy(spark, tmp_path):
+    """The arriving copy of an already-seen span is scrubbed; the
+    earlier (canonical) doc's emitted text is never rewritten — the
+    q203 keep-one-copy rule, realized as first-arrival-wins."""
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_span_scrub_batch,
+        read_scrubbed_docs,
+    )
+
+    state = str(tmp_path / "scrub_canon")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "x alpha beta gamma y")], "doc_id long, text string"
+    )
+    apply_span_scrub_batch(b0, state, 0)
+    apply_span_scrub_batch(b1, state, 1)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in read_scrubbed_docs(spark, state).collect()
+    }
+    assert got == {1: (0, "alpha beta gamma delta"), 2: (3, "x y")}
