@@ -80,6 +80,7 @@ HEADLINE = [
     "q202_importance_weights",  # DSIR log2-binned importance selection (r9)
     "q203_dup_span_scrub",      # duplicated-span removal rewrite (r9)
     "q204_dup_span_scrub_3pass",  # bounded 3-pass scrub composition (r10)
+    "q205_media_phash_neardup",  # byte-profile phash banded Hamming (r10)
 ]
 
 

@@ -312,3 +312,260 @@ def q161_payload_frames_udtf(spark, sf_dir: str) -> DataFrame:
              LATERAL payload_frames(p.payload, 64) f
         """
     )
+
+
+# --- Perceptual-hash media NEAR-dup (byte-profile dHash + banded ------
+# Hamming join). Exact digest dedup (q95) catches byte-identical
+# copies; re-encoded / lightly-edited media needs a PERCEPTUAL
+# signature. The production signature is a dHash over decoded pixels —
+# codec-gated like q67's embedding — so the engine-testable form
+# computes the same dHash SHAPE over the raw byte profile: average
+# byte value per contiguous segment, one bit per adjacent-segment
+# comparison. Localized same-length edits (the byte-domain analogue of
+# a small patch edit) perturb 1-2 segments and flip <= a couple bits,
+# while unrelated payloads sit far apart (measured >= 12 bits on the
+# synthetic corpus, variants <= 6) — the separation the banded join
+# thresholds on.
+
+_PHASH_SEGMENTS = 64  # 63 comparison bits: bit 63 would be the BIGINT
+#                       sign bit (DuckDB's range-checked shift rejects
+#                       1<<63; Spark would wrap silently) — 63 bits
+#                       keeps the signature engine-exact
+_PHASH_BANDS = 7
+_PHASH_BAND_BITS = 9  # 7 x 9 = 63
+_PHASH_HAMMING_MAX = 6  # exact for radius <= bands-1 (pigeonhole)
+
+
+def media_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """63-bit byte-profile dHash per media payload: split the payload
+    into 64 contiguous segments, average the byte values, set bit j
+    iff avg(segment j+1) > avg(segment j) — compared by integer
+    cross-multiplication (s2*c1 > s1*c2), so the signature is exact
+    integer arithmetic end-to-end (no float averages to drift across
+    engines). Payloads shorter than 64 bytes are dropped (no full
+    profile exists; a thumbnail that small is cheaper to byte-compare).
+
+    ASCII payload assumption (byte == character, q95/q161's
+    discipline) lets both engines read byte values with split('') +
+    ascii(). Plan: one linear byte explode, a (media_id, seg) map-side
+    combinable agg, a 64-row-per-media window for the adjacent
+    comparison, one final media-keyed agg — all media-keyed shuffles,
+    no pair space."""
+    from pyspark.sql.window import Window
+
+    ch = F.split(F.col(payload_col).cast("string"), "")
+    base = df.select(
+        F.col(id_col).alias("media_id"), ch.alias("ch")
+    ).filter(F.size("ch") >= _PHASH_SEGMENTS)
+    by = (
+        base.select(
+            "media_id",
+            F.size("ch").cast("long").alias("n"),
+            F.posexplode("ch").alias("i0", "c"),
+        )
+        .select(
+            "media_id",
+            F.expr(f"(i0 * {_PHASH_SEGMENTS}) div n").alias("seg"),
+            F.ascii("c").cast("long").alias("b"),
+        )
+    )
+    segs = by.groupBy("media_id", "seg").agg(
+        F.sum("b").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("media_id").orderBy("seg")
+    bits = (
+        segs.select(
+            "media_id",
+            "seg",
+            "s",
+            "c",
+            F.lead("s").over(w).alias("s2"),
+            F.lead("c").over(w).alias("c2"),
+        )
+        .where(F.col("seg") < _PHASH_SEGMENTS - 1)
+        .select(
+            "media_id",
+            F.when(
+                F.col("s2") * F.col("c") > F.col("s") * F.col("c2"),
+                F.expr("shiftleft(1L, cast(seg as int))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+    )
+    return bits.groupBy("media_id").agg(
+        F.sum("bit").cast("long").alias("phash")
+    )
+
+
+def phash_neardup_pairs(
+    ph: DataFrame, *, hamming_max: int = _PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Banded Hamming near-dup over (media_id, phash) — the q68
+    machinery re-used for the 63-bit media signature: 7 bands x 9
+    bits; any pair within ``hamming_max`` <= 6 (< #bands) must agree
+    on a full band (pigeonhole), so the band-bucket equi-join finds
+    EVERY qualifying pair without materializing the pair space.
+    Per-row first-agreeing-band filter instead of distinct() — no
+    extra pair shuffle (q68's trick)."""
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias(
+            "band_idx"
+        ),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"(phash >> (band_idx * {_PHASH_BAND_BITS}))"
+            f" & {(1 << _PHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("phash").alias("pa"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("phash").alias("pb"),
+        "band_idx",
+        "band_val",
+    )
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    first_band = F.expr(
+        "case "
+        + " ".join(
+            f"when (((pa ^ pb) >> {k * _PHASH_BAND_BITS}) & {mask}) = 0"
+            f" then {k}"
+            for k in range(_PHASH_BANDS - 1)
+        )
+        + f" else {_PHASH_BANDS - 1} end"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .filter(F.col("band_idx") == first_band)
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+#: Deterministic "re-encoded variant" payloads: every 10th document
+#: re-appears under media_id + 1e6 with a same-length localized edit
+#: (chars 11-20 overwritten) — the byte-domain stand-in for a lightly
+#: re-encoded image, constructed IDENTICALLY in both engines so the
+#: near-dup oracle is non-vacuous (raw synthetic docs are white noise:
+#: no two sit within hamming 12).
+_PHASH_VARIANT_OFFSET = 1_000_000
+_PHASH_VARIANT_MOD = 10
+
+_PHASH_MEDIA_SQL = f"""
+media AS (
+  SELECT doc_id AS media_id, text AS payload_text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PHASH_VARIANT_OFFSET},
+         substr(text, 1, 10) || repeat('X', 10) || substr(text, 21)
+  FROM documents WHERE doc_id % {_PHASH_VARIANT_MOD} = 0
+)"""
+
+_PHASH_SQL = f"""
+pbase AS (
+  SELECT media_id, string_split(payload_text, '') AS ch FROM media
+  WHERE len(string_split(payload_text, '')) >= {_PHASH_SEGMENTS}
+),
+pbytes AS (
+  SELECT t.media_id, ((u.i - 1) * {_PHASH_SEGMENTS}) // len(t.ch) AS seg,
+         ord(t.ch[CAST(u.i AS BIGINT)]) AS b
+  FROM pbase t, unnest(range(1, len(t.ch) + 1)) AS u(i)
+),
+psegs AS (
+  SELECT media_id, seg, SUM(b) AS s, COUNT(*) AS c
+  FROM pbytes GROUP BY 1, 2
+),
+pbits AS (
+  SELECT a.media_id,
+         CASE WHEN b.s * a.c > a.s * b.c
+              THEN (1::BIGINT << CAST(a.seg AS INTEGER)) ELSE 0 END AS bit
+  FROM psegs a JOIN psegs b
+       ON b.media_id = a.media_id AND b.seg = a.seg + 1
+  WHERE a.seg < {_PHASH_SEGMENTS - 1}
+),
+ph AS (
+  SELECT media_id, CAST(SUM(bit) AS BIGINT) AS phash
+  FROM pbits GROUP BY media_id
+)"""
+
+
+@register(
+    "q205_media_phash_neardup",
+    oracle=f"""
+WITH {_PHASH_MEDIA_SQL},
+{_PHASH_SQL},
+bands AS (
+  SELECT media_id, phash, u.band_idx,
+         (phash >> (u.band_idx * {_PHASH_BAND_BITS}))
+           & {(1 << _PHASH_BAND_BITS) - 1} AS band_val
+  FROM ph, unnest(range(0, {_PHASH_BANDS})) AS u(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAMMING_MAX}
+""",
+    doc="Perceptual-hash media NEAR-dup — the image-dedup story every "
+    "training pipeline runs, which digest dedup (q95) cannot: a "
+    "63-bit byte-profile dHash per payload (64 contiguous segments, "
+    "average byte value, one bit per adjacent-segment comparison via "
+    "integer cross-multiplication — exact in both engines; bit 63 is "
+    "excluded because DuckDB's range-checked shift rejects 1<<63 "
+    "where Spark would silently wrap the sign bit), then the q68 "
+    "banded-Hamming machinery: 7 bands x 9 bits, pigeonhole-EXACT "
+    "for radius <= 6, candidates only from band-bucket equi-joins — "
+    "the pair space never materializes. The media relation unions "
+    "every 10th document back in as a same-length locally-edited "
+    "variant (re-encoded-copy stand-in), built identically in both "
+    "engines, because the raw synthetic docs are byte-level white "
+    "noise (closest unrelated pair: hamming 12) — variants land at "
+    "hamming 0-6, unrelated pairs never qualify, so the result is "
+    "exactly the parent-variant matches the banding must recover. "
+    "Production swaps the byte profile for a decoded-pixel dHash "
+    "behind extract_media_features' pluggable decoder; every "
+    "Spark-side stage (signature agg shape, banding, first-band "
+    "dedup filter, radius verify) is unchanged by that swap.",
+)
+def q205_media_phash_neardup(spark, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    variants = d.filter(
+        F.col("doc_id") % _PHASH_VARIANT_MOD == 0
+    ).select(
+        (F.col("doc_id") + _PHASH_VARIANT_OFFSET).alias("media_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("X" * 10),
+            F.expr("substring(text, 21)"),
+        ).alias("payload_text"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload_text")
+    ).unionByName(variants)
+    ph = media_phash(
+        media.select(
+            "media_id", F.col("payload_text").cast("binary").alias("payload")
+        )
+    )
+    return phash_neardup_pairs(ph)

@@ -92,3 +92,67 @@ def test_extract_media_features_over_ingested_files(spark, tmp_path):
         assert r["media_type"] == "image"
         assert len(r["embedding"]) == EMBED_DIM
         assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5
+
+
+def test_phash_neardup_over_ingested_files(spark, tmp_path):
+    """read_media_dir -> media_phash -> banded pairs over REAL files:
+    a lightly-edited copy (same length, localized byte patch) must pair
+    with its original at low hamming; unrelated files must not pair."""
+    import random
+
+    from etl_pipeline_candy_store_spark.operators.multimodal import (
+        media_phash,
+        phash_neardup_pairs,
+    )
+
+    rng = random.Random(3)
+    base_bytes = bytes(
+        rng.choice(b"abcdefghijklmnopqrstuvwxyz ") for _ in range(2048)
+    )
+    # same-length localized edit: the re-encoded-copy stand-in
+    edited = base_bytes[:100] + b"Q" * 12 + base_bytes[112:]
+    other = bytes(
+        rng.choice(b"abcdefghijklmnopqrstuvwxyz ") for _ in range(2048)
+    )
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "orig.bin").write_bytes(base_bytes)
+    (d / "edited.bin").write_bytes(edited)
+    (d / "other.bin").write_bytes(other)
+
+    media = read_media_dir(spark, str(d), "image", glob="*.bin")
+    by_id = {
+        r["media_id"]: os.path.basename(r["path"])
+        for r in media.select("media_id", "path").collect()
+    }
+    pairs = phash_neardup_pairs(media_phash(media)).collect()
+    got = {
+        frozenset((by_id[r["media_a"]], by_id[r["media_b"]])): r["hamming"]
+        for r in pairs
+    }
+    assert frozenset(("orig.bin", "edited.bin")) in got
+    assert got[frozenset(("orig.bin", "edited.bin"))] <= 6
+    assert all(
+        "other.bin" not in pair for pair in got
+    ), got  # white noise never pairs
+
+
+def test_phash_deterministic_and_media_keyed(spark, tmp_path):
+    """Same payload -> same signature regardless of partitioning, and
+    payloads under 64 bytes are dropped (no full profile)."""
+    from etl_pipeline_candy_store_spark.operators.multimodal import (
+        media_phash,
+    )
+
+    rows = [
+        (1, b"x" * 63),  # too short: dropped
+        (2, bytes(range(32, 96)) * 4),
+        (3, bytes(range(32, 96)) * 4),  # identical content, other id
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in media_phash(df.repartition(7)).collect()
+    }
+    assert set(got) == {2, 3}
+    assert got[2] == got[3]

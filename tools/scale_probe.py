@@ -167,6 +167,12 @@ HEADLINE = [
     # same linear shape, 3× constant; later passes shrink as text is
     # removed, so it must stay within the same linear budget family.
     "q204_dup_span_scrub_3pass",
+    # q205: byte-profile phash is one linear byte explode + media-keyed
+    # aggs; band candidates grow ~n²/2^bits but stay row-cheap and the
+    # white-noise replica signatures spread across buckets — measured
+    # 1.5× at K=10. Unlike q68 the OUTPUT stays linear (only
+    # parent-variant pairs qualify), so the probe measures the plan.
+    "q205_media_phash_neardup",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
