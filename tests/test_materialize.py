@@ -146,6 +146,65 @@ def test_incremental_neardup_over_materialized_corpus(spark, tmp_path):
     assert materialized_versions("corpus_minhash_per_doc", store) == fps
 
 
+def test_concurrent_reader_survives_cutover_then_fails_loudly_on_prune(
+    spark, tmp_path
+):
+    """The module's reader-safety claim, exercised with an actual pinned
+    reader: a DataFrame resolved against corpus version A must (1) keep
+    returning version-A rows after version B lands — landing a new
+    generation never mutates or half-swaps the old directory — and
+    (2) once A is pruned out from under it, either still complete with
+    the SAME version-A rows or raise — never silently return wrong,
+    partial, or empty results. Relies on Spark's default
+    ``spark.sql.files.ignoreMissingFiles=false``; flipping that to true
+    is exactly the silent-wrongness this test exists to catch."""
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "false"
+    ), "ignoreMissingFiles=true would turn a pruned version into silent row loss"
+
+    store = str(tmp_path / "store")
+    src = _copy_source(tmp_path)
+    calls: list[int] = []
+    build = _counted_build(spark, src, calls)
+    fp_a = source_fingerprint(src, ("documents",))
+
+    reader_a = materialized_relation(
+        spark, "lang_counts", src, build, tables=("documents",), store_dir=store
+    )
+    rows_a = sorted(map(tuple, reader_a.collect()))
+    assert rows_a, "fixture must produce rows"
+
+    # a new corpus generation lands while reader_a is still open
+    os.utime(os.path.join(src, "documents.parquet"))
+    materialized_relation(
+        spark, "lang_counts", src, build, tables=("documents",), store_dir=store
+    )
+    assert calls == [1, 1]
+    assert sorted(map(tuple, reader_a.collect())) == rows_a, (
+        "pinned reader must still see version A after B lands"
+    )
+
+    # version cutover complete -> prune A while reader_a is still open
+    removed = prune_materialized("lang_counts", keep=1, store_dir=store)
+    assert removed == [fp_a]
+    try:
+        post_prune = sorted(map(tuple, reader_a.collect()))
+    except Exception as exc:  # loud failure is an accepted outcome
+        msg = str(exc)
+        assert (
+            "fp=" in msg
+            or "FileNotFound" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "does not exist" in msg
+        ), f"failure must name the vanished version, got: {msg[:500]}"
+    else:
+        # completing (e.g. blocks cached) is only acceptable if correct
+        assert post_prune == rows_a, (
+            "a post-prune read that completes must return version-A rows, "
+            f"got {post_prune!r}"
+        )
+
+
 def test_failed_build_leaves_no_tmp_dir(spark, tmp_path):
     """A build() that throws must clean up its .tmp-* staging directory
     — repeated failures must not strand corpus-scale parquet garbage
