@@ -1,0 +1,482 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: integer Viterbi + hard-EM.
+
+The OTHER production tokenizer family beside BPE (q131-q133): Kudo's
+unigram language model segments each word into the vocabulary pieces
+maximizing the segmentation's likelihood, and training alternates
+Viterbi segmentation (E) with piece-frequency re-estimation (M). This
+module implements the pipeline-shaped core with every stage INTEGER so
+Spark and DuckDB replay bit-identically (the q202 DSIR lesson: stage
+log-likelihoods as integer log2 bins, never raw doubles):
+
+- **Seed vocabulary**: every substring of length 1..4 of every distinct
+  word, counted with corpus word frequencies — the standard
+  substring-seeded initial vocab. A piece's score is the integer log2
+  bin of its count (``length(bin(c))`` = floor(log2 c)+1, identical
+  string function in both engines), and the per-piece likelihood weight
+  is ``score - B`` where ``B`` is the log2 bin of the total seed mass —
+  the integer staging of ``log p(piece) = log c - log total``. Since
+  every length-1 substring of a word is in the vocab by construction,
+  segmentation is always total.
+- **Viterbi DP** (per DISTINCT word, never per document): ``best[i]``
+  = max over piece lengths l=1..4 of ``best[i-l] + w(word[i-l+1..i])``,
+  compared by (weight desc, piece-count asc) — the fewest-pieces
+  tie-break keeps the argmax unique enough to hash. Runs as a row-local
+  JVM ``aggregate`` fold over the word's positions (the q162/q163
+  bounded-recursion strategy; state = the growing best[] array), so the
+  whole DP is ONE pass over the vocabulary-bounded distinct-word table.
+  The oracle unrolls the same DP positionally as chained CTEs
+  (dp1..dp16) — words longer than 16 chars are excluded from training
+  and encoding in BOTH engines (corpus max is 8; probe replicas reach
+  12), so the unroll bound is semantics, not accident.
+- **Encoding** (q206) is a BROADCAST JOIN of the per-word (pieces,
+  weight) result onto the exploded corpus plus one doc-keyed combinable
+  agg — tokenizing 100 TB never re-runs the DP per document (the q133
+  encode shape).
+- **Hard-EM step** (q207): extract each word's Viterbi segmentation by
+  backward walk over best[] (at each position take the LONGEST piece l
+  whose (v, k) reconstructs the recorded optimum — deterministic given
+  best[], so Spark's fold and the oracle's choice-table agree exactly),
+  count corpus-weighted piece usage, and re-bin scores from the usage
+  counts. Pieces the Viterbi never uses drop out — the EM prune that
+  shrinks the seed vocab toward the final tokenizer.
+- **Fertility comparison** (q208): corpus pieces-per-word of this
+  unigram tokenizer vs the 3-merge BPE (q133/q139), side by side in
+  integer micros — the standard which-tokenizer-compresses-better
+  signal.
+
+Reference anchor: the reference repo has no tokenizer training at all
+(its text surface is driver-side row loops, /root/reference/src/
+data_processor.py); this family is part of the training-data extension
+surface alongside BPE (SURVEY.md §2 text-analysis rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
+
+_MAXW = 16  # words longer are excluded from training AND encoding
+_MAXP = 4   # max piece length
+
+# --- Spark-side expression builders -----------------------------------
+
+#: all (end position i, length l, piece) substring occurrences of `word`
+_OCC = f"""
+flatten(transform(sequence(1, length(word)), s ->
+  filter(transform(sequence(1, {_MAXP}), l ->
+    IF(s + l - 1 <= length(word),
+       named_struct('i', CAST(s + l - 1 AS BIGINT), 'l', CAST(l AS BIGINT),
+                    'p', substring(word, s, l)),
+       CAST(NULL AS STRUCT<i: BIGINT, l: BIGINT, p: STRING>))),
+    x -> x IS NOT NULL)))
+"""
+
+
+def _cand(lf: int) -> str:
+    """DP candidate at fold step i: extend best[i-l] with the length-l
+    piece ending at i, NULL when the piece is absent (only possible for
+    l >= 2) or i < l. Piece weights ride in map ``m`` keyed i*8+l."""
+    key = f"CAST(i*8+{lf} AS INT)"
+    prev = f"element_at(acc, CAST(i-{lf}+1 AS INT))"
+    return (
+        f"IF(i >= {lf} AND try_element_at(m, {key}) IS NOT NULL, "
+        f"named_struct('v', {prev}.v + try_element_at(m, {key}), "
+        f"'k', {prev}.k + CAST(1 AS BIGINT)), "
+        f"CAST(NULL AS STRUCT<v: BIGINT, k: BIGINT>))"
+    )
+
+
+#: forward Viterbi: best[] as a growing array, candidates compared by
+#: (v desc, k asc); l=1 always exists so the fold is total
+_BEST = f"""
+aggregate(
+  sequence(1, length(word)),
+  array(named_struct('v', CAST(0 AS BIGINT), 'k', CAST(0 AS BIGINT))),
+  (acc, i) -> array_append(acc,
+    element_at(
+      array_sort(
+        filter(array({_cand(1)}, {_cand(2)}, {_cand(3)}, {_cand(4)}),
+               x -> x IS NOT NULL),
+        (a, b) -> CASE WHEN a.v > b.v THEN -1 WHEN a.v < b.v THEN 1
+                       WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1
+                       ELSE 0 END),
+      1)))
+"""
+
+
+def _bt_cond(lf: int) -> str:
+    """True when the length-l piece ending at acc.pos reconstructs the
+    recorded optimum (both v and k must match — a same-v candidate with
+    more pieces was NOT the forward argmax)."""
+    key = f"CAST(acc.pos*8+{lf} AS INT)"
+    prev = f"element_at(best, CAST(acc.pos-{lf}+1 AS INT))"
+    cur = "element_at(best, CAST(acc.pos+1 AS INT))"
+    return (
+        f"(acc.pos >= {lf} AND try_element_at(m, {key}) IS NOT NULL"
+        f" AND {prev}.v + try_element_at(m, {key}) = {cur}.v"
+        f" AND {prev}.k + CAST(1 AS BIGINT) = {cur}.k)"
+    )
+
+
+_CHOSEN = (
+    f"CASE WHEN {_bt_cond(4)} THEN 4 WHEN {_bt_cond(3)} THEN 3 "
+    f"WHEN {_bt_cond(2)} THEN 2 ELSE 1 END"
+)
+
+#: backward extraction: walk best[] from the end, always taking the
+#: longest reconstructing piece; each step consumes >= 1 char so the
+#: length(word)-step fold always reaches pos 0 (no-op afterwards)
+_BT = f"""
+aggregate(
+  sequence(1, length(word)),
+  named_struct('pos', CAST(length(word) AS BIGINT),
+               'ps', CAST(array() AS ARRAY<STRING>)),
+  (acc, step) -> IF(acc.pos <= 0, acc,
+    named_struct(
+      'pos', acc.pos - CAST(({_CHOSEN}) AS BIGINT),
+      'ps', array_append(acc.ps,
+        substring(word, CAST(acc.pos - ({_CHOSEN}) + 1 AS INT), ({_CHOSEN}))))),
+  acc -> acc.ps)
+"""
+
+
+def _word_table(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= _MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _occurrences(words: DataFrame) -> DataFrame:
+    return words.select(
+        "word", "n", F.explode(F.expr(_OCC)).alias("o")
+    ).select("word", "n", "o.i", "o.l", "o.p")
+
+
+def seed_vocab(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vocab, scored): substring seed counts and their integer
+    likelihood weights w = bin_len(c) - bin_len(total)."""
+    occ = _occurrences(words)
+    vocab = occ.groupBy("p").agg(F.sum("n").cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "c",
+        (F.length(F.bin("c")) - F.length(F.bin("tc"))).cast("long").alias("w"),
+    )
+    return vocab, scored
+
+
+def _words_with_dp(docs: DataFrame) -> DataFrame:
+    """(word, n, m, best): every distinct word with its piece-weight map
+    and solved Viterbi best[] array. The DP runs once per DISTINCT word
+    — vocabulary-bounded, like BPE training."""
+    words = _word_table(docs)
+    _, scored = seed_vocab(words)
+    occ = _occurrences(words)
+    wm = (
+        occ.join(F.broadcast(scored.select("p", "w")), "p")
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("i") * 8 + F.col("l")).cast("int").alias("key"),
+                        F.col("w").alias("value"),
+                    )
+                )
+            ).alias("m")
+        )
+    )
+    return words.join(wm, "word").withColumn("best", F.expr(_BEST))
+
+
+def unigram_encodings(docs: DataFrame) -> DataFrame:
+    """Per distinct word: (word, n, k pieces, v integer log2-bin
+    log-likelihood) under the seed-vocab unigram LM."""
+    dp = _words_with_dp(docs)
+    final = "element_at(best, CAST(length(word)+1 AS INT))"
+    return dp.select(
+        "word",
+        "n",
+        F.expr(f"{final}.v").alias("v"),
+        F.expr(f"{final}.k").alias("k"),
+    )
+
+
+def unigram_encode_docs(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram tokenization counts: the per-word DP result is
+    broadcast onto the exploded corpus (never recomputed per document)."""
+    enc = unigram_encodings(docs)
+    corpus = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        corpus.join(F.broadcast(enc.select("word", "v", "k")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.sum("v").cast("long").alias("ll_bits"),
+        )
+    )
+
+
+def unigram_em_step(docs: DataFrame, top: int = 20) -> DataFrame:
+    """One integer-staged hard-EM iteration: Viterbi-segment every
+    distinct word (backward extraction over the solved best[]), count
+    corpus-weighted piece usage, and re-bin scores from usage. Seed
+    pieces the Viterbi never selects vanish (the EM prune)."""
+    dp = _words_with_dp(docs)
+    words = dp.select("word", "n")
+    _, scored = seed_vocab(_word_table(docs))
+    used = dp.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
+    usage = used.groupBy("piece").agg(
+        F.sum("n").cast("long").alias("n_viterbi")
+    )
+    utot = usage.agg(F.sum("n_viterbi").cast("long").alias("ut"))
+    return (
+        usage.join(
+            F.broadcast(scored.select(F.col("p").alias("piece"), "w")), "piece"
+        )
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "piece",
+            "n_viterbi",
+            F.col("w").cast("long").alias("w_old"),
+            (F.length(F.bin("n_viterbi")) - F.length(F.bin("ut")))
+            .cast("long")
+            .alias("w_new"),
+        )
+        .orderBy(F.col("n_viterbi").desc(), "piece")
+        .limit(top)
+    )
+
+
+# --- DuckDB oracle: the identical DP unrolled positionally ------------
+
+
+def _uni_ctes() -> str:
+    """Shared CTE chain: seed vocab + the DP unrolled to _MAXW position
+    steps (dp{i} holds best[i] for every word of length >= i), collected
+    into alldp and joined back at i = length(word) as enc."""
+    parts = [
+        f"""words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) BETWEEN 1 AND {_MAXW} GROUP BY word
+)""",
+        f"""occ AS (
+  SELECT w.word, w.n, CAST(ss.s + ll.l - 1 AS BIGINT) AS i,
+         CAST(ll.l AS BIGINT) AS l,
+         substring(w.word, CAST(ss.s AS INTEGER), CAST(ll.l AS INTEGER)) AS p
+  FROM words w,
+       (SELECT unnest(range(1, {_MAXW + 1})) AS s) ss,
+       (SELECT unnest(range(1, {_MAXP + 1})) AS l) ll
+  WHERE ss.s + ll.l - 1 <= length(w.word)
+)""",
+        "vocab AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM occ GROUP BY p)",
+        "tot AS (SELECT length(bin(CAST(SUM(c) AS BIGINT))) AS bt FROM vocab)",
+        """sc AS (
+  SELECT p, CAST(length(bin(c)) - t.bt AS BIGINT) AS w FROM vocab, tot t
+)""",
+        """cand AS (
+  SELECT o.word, o.i, o.l, s.w, o.p FROM occ o JOIN sc s USING (p)
+)""",
+        """dp0 AS (
+  SELECT word, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS k FROM words
+)""",
+    ]
+    for i in range(1, _MAXW + 1):
+        unions = "\n      UNION ALL\n      ".join(
+            f"SELECT c.word, d.v + c.w AS v, d.k + 1 AS k "
+            f"FROM cand c JOIN dp{i - lf} d ON d.word = c.word "
+            f"WHERE c.i = {i} AND c.l = {lf}"
+            for lf in range(1, min(_MAXP, i) + 1)
+        )
+        parts.append(
+            f"""dp{i} AS (
+  SELECT word, v, k FROM (
+    SELECT word, v, k,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY v DESC, k ASC) AS rn
+    FROM ({unions})
+  ) WHERE rn = 1
+)"""
+        )
+    alldp = "\n  UNION ALL ".join(
+        f"SELECT word, CAST({i} AS BIGINT) AS i, v, k FROM dp{i}"
+        for i in range(1, _MAXW + 1)
+    )
+    parts.append(
+        f"""alldp AS (
+  SELECT word, CAST(0 AS BIGINT) AS i, v, k FROM dp0
+  UNION ALL {alldp}
+)"""
+    )
+    parts.append(
+        """enc AS (
+  SELECT w.word, w.n, d.v, d.k
+  FROM words w JOIN alldp d
+    ON d.word = w.word AND d.i = CAST(length(w.word) AS BIGINT)
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _q206_oracle() -> str:
+    return f"""WITH {_uni_ctes()}
+SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.k) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.v) AS BIGINT) AS ll_bits
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) x
+JOIN enc e ON e.word = x.word
+GROUP BY x.doc_id
+"""
+
+
+def _q207_oracle(top: int = 20) -> str:
+    return f"""WITH RECURSIVE {_uni_ctes()},
+choice AS (
+  SELECT c.word, c.i AS pos, MAX(c.l) AS l
+  FROM cand c
+  JOIN alldp dprev ON dprev.word = c.word AND dprev.i = c.i - c.l
+  JOIN alldp dcur ON dcur.word = c.word AND dcur.i = c.i
+  WHERE dprev.v + c.w = dcur.v AND dprev.k + 1 = dcur.k
+  GROUP BY c.word, c.i
+),
+bt(word, pos) AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS pos FROM words
+  UNION ALL
+  SELECT b.word, b.pos - c.l
+  FROM bt b JOIN choice c ON c.word = b.word AND c.pos = b.pos
+  WHERE b.pos > 0
+),
+pieces_used AS (
+  SELECT b.word,
+         substring(b.word, CAST(b.pos - c.l + 1 AS INTEGER),
+                   CAST(c.l AS INTEGER)) AS p
+  FROM bt b JOIN choice c ON c.word = b.word AND c.pos = b.pos
+),
+usage AS (
+  SELECT p.p AS piece, CAST(SUM(w.n) AS BIGINT) AS n_viterbi
+  FROM pieces_used p JOIN words w ON w.word = p.word GROUP BY p.p
+),
+utot AS (SELECT length(bin(CAST(SUM(n_viterbi) AS BIGINT))) AS but FROM usage)
+SELECT u.piece, u.n_viterbi,
+       CAST(length(bin(v.c)) - t.bt AS BIGINT) AS w_old,
+       CAST(length(bin(u.n_viterbi)) - ut.but AS BIGINT) AS w_new
+FROM usage u JOIN vocab v ON v.p = u.piece, tot t, utot ut
+ORDER BY u.n_viterbi DESC, u.piece LIMIT {top}
+"""
+
+
+def _q208_oracle() -> str:
+    from etl_pipeline_candy_store_spark.operators.text import _bpe_encode_oracle
+
+    bpe = _bpe_encode_oracle(3)
+    # reuse the BPE encode chain up to its seg CTE, then total it
+    bpe_with = bpe[: bpe.rindex(")") + 1].removeprefix("WITH ")
+    return f"""WITH {bpe_with},
+bpe_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+  JOIN seg s USING (word)
+),
+{_uni_ctes()},
+uni_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(e.k) AS BIGINT) AS n_subwords
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+  JOIN enc e ON e.word = x.word
+)
+SELECT 'bpe3' AS method, n_words, n_subwords,
+       CAST((n_subwords * 1000000) // n_words AS BIGINT) AS fert_micros
+FROM bpe_tot
+UNION ALL
+SELECT 'unigram' AS method, n_words, n_subwords,
+       CAST((n_subwords * 1000000) // n_words AS BIGINT) AS fert_micros
+FROM uni_tot
+"""
+
+
+# --- registered queries ------------------------------------------------
+
+
+@register(
+    "q206_unigram_encode",
+    oracle=_q206_oracle(),
+    doc="Unigram-LM (SentencePiece-style) tokenization of the corpus: "
+    "per-doc word / piece / integer-log-likelihood counts under the "
+    "substring-seeded unigram vocabulary. The Viterbi DP (integer "
+    "log2-bin piece weights, fewest-pieces tie-break) runs ONCE per "
+    "distinct word as a row-local JVM aggregate fold — vocabulary-"
+    "bounded like BPE training — and encoding is a broadcast join of "
+    "the per-word result onto the exploded corpus plus one doc-keyed "
+    "combinable agg. The oracle unrolls the identical DP positionally "
+    "(dp1..dp16 chained CTEs; words >16 chars excluded in both "
+    "engines), so the full optimization — not just the final counts — "
+    "is hash-checked across engines.",
+)
+def q206_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_encode_docs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q207_unigram_em_step",
+    oracle=_q207_oracle(),
+    doc="One hard-EM training iteration for the unigram tokenizer: "
+    "Viterbi-segment every distinct word (backward walk over the "
+    "solved best[] taking the longest reconstructing piece — "
+    "deterministic given the DP table, so the fold and the oracle's "
+    "choice-table replay agree exactly), count corpus-weighted piece "
+    "usage, and re-bin integer scores from usage; seed pieces the "
+    "Viterbi never uses drop out (the EM prune). Top-20 pieces by "
+    "usage with old and re-estimated integer log2-bin weights. Same "
+    "vocabulary-bounded scale shape as q206 plus one piece-keyed "
+    "combinable agg; the oracle backtracks with a recursive CTE over "
+    "the same unrolled DP.",
+)
+def q207_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_em_step(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q208_tokenizer_fertility_compare",
+    oracle=_q208_oracle(),
+    doc="Tokenizer bake-off: corpus fertility (pieces per word, integer "
+    "micros) of the 3-merge BPE (q133's encode) vs the unigram-LM "
+    "Viterbi (q206), side by side — the standard which-tokenizer-"
+    "compresses-better signal a data team reads before committing a "
+    "vocabulary. Both sides are one corpus pass + a broadcast "
+    "segmentation join + a global combinable agg; the oracle chains "
+    "the BPE merge CTEs and the unigram DP CTEs in one statement.",
+)
+def q208_tokenizer_fertility_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.text import bpe_encode_counts
+
+    docs = load(spark, sf_dir, "documents")
+    bpe = bpe_encode_counts(docs, 3).agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+    )
+    uni = unigram_encode_docs(docs).agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_subwords"),
+    )
+    out = bpe.select(F.lit("bpe3").alias("method"), "n_words", "n_subwords").unionByName(
+        uni.select(F.lit("unigram").alias("method"), "n_words", "n_subwords")
+    )
+    return out.select(
+        "method",
+        "n_words",
+        "n_subwords",
+        F.expr("CAST((n_subwords * 1000000) div n_words AS BIGINT)").alias(
+            "fert_micros"
+        ),
+    )

@@ -126,6 +126,7 @@ def _ensure_loaded() -> None:
         sweepline,
         text,
         timeseries,
+        unigram,
     )
 
     _LOADED = True

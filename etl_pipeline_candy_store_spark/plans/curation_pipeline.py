@@ -224,6 +224,7 @@ def curate(
     sf_dir: str,
     out_dir: str,
     n_shards: int = 4,
+    stage_seconds: dict | None = None,
 ) -> dict:
     """Run the full curation funnel and export per-split shards.
 
@@ -233,12 +234,31 @@ def curate(
     the digest groupBy AND the semi-join back — so the source parquet
     would otherwise be rescanned per consumer); stage counts are
     aggregates, never collects.
+
+    Pass ``stage_seconds`` (any dict) to receive per-stage wall-time
+    attribution — each stage's count materializes that stage's cached
+    frame, so the lap around it is that stage's real cost. This is what
+    ``tools/pipeline_probe.py`` gates the composed pipeline's scale
+    posture on (the per-query probes gate each stage's standalone twin;
+    this hook makes the COMPOSITION measurable).
     """
+    import time as _time
+
+    _last = [_time.time()]
+
+    def lap(stage: str) -> None:
+        now = _time.time()
+        if stage_seconds is not None:
+            stage_seconds[stage] = round(now - _last[0], 2)
+        _last[0] = now
+
     docs = load(spark, sf_dir, "documents").cache()
     report: dict = {"funnel": {"input": docs.count()}}
+    lap("load")
 
     d1 = dedup_exact(docs).cache()
     report["funnel"]["after_exact_dedup"] = d1.count()
+    lap("exact_dedup")
 
     # near-dup labels are computed ONCE and reused twice: the dedup drop
     # here, and the license-clearance governance report below (survivors
@@ -246,19 +266,24 @@ def curate(
     cc = near_dup_labels(d1).cache()
     d2 = dedup_near(d1, cc).cache()
     report["funnel"]["after_near_dedup"] = d2.count()
+    lap("near_dedup")
 
     gated = quality_gate(d2).filter(F.col("passed") == 1).select("doc_id")
     d3 = d2.join(gated, "doc_id", "left_semi").cache()
     report["funnel"]["after_quality_gate"] = d3.count()
+    lap("quality_gate")
 
     d3r = drop_repetitive(d3).cache()
     report["funnel"]["after_repetition_gate"] = d3r.count()
+    lap("repetition_gate")
 
     d4 = drop_contaminated(d3r).cache()
     report["funnel"]["after_decontamination"] = d4.count()
+    lap("decontamination")
 
     report["governance"] = governance_report(docs, d1, cc, d4)
     cc.unpersist()
+    lap("governance")
 
     d5 = assign_split(d4)
     report["splits"] = {}
@@ -275,6 +300,7 @@ def curate(
             "n_docs": manifest["total_rows"],
             "manifest": manifest,
         }
+    lap("shard_export")
     for df in (docs, d1, d2, d3, d3r, d4):
         df.unpersist()
     return report

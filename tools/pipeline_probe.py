@@ -1,0 +1,121 @@
+"""Pipeline-level scale rehearsal + GATE: run the COMPOSED curation
+pipeline (``plans.curation_pipeline.curate`` — the thing a user actually
+runs, funnel + governance report + shard export) on sf0.1 and on a K×
+documents expansion, with per-stage wall-time attribution, and gate the
+total on the same linear-with-slack budget family as the per-query
+probes.
+
+    python tools/pipeline_probe.py [K] [--out PIPELINE_SCALE_rN.json]
+
+Why this exists when every stage's standalone twin is already probed
+(q50/q51+q54/q59/q122/q58/q201/q200/q80): composition adds costs no
+per-query probe sees — cache pressure from six live cached frames, the
+funnel's re-consumption pattern (every stage scans its predecessor's
+cache twice), and the shard-export write path. A regression that only
+appears when the stages run TOGETHER (e.g. a cache eviction storm at
+the K× size) fails this gate and no other.
+
+Gate semantics (same family as scale_probe): FAIL when
+``total_big > K × SLACK × max(total_base, FLOOR_SEC)``. Per-stage laps
+are recorded for attribution but not individually gated — single-stage
+laps at base scale sit in the fixed-overhead regime where ratios are
+denominator artifacts (the scale_probe FLOOR lesson); the composed
+total is the meaningful number. Expansion is documents-only (the
+pipeline's single input), via the same per-replica token-suffix
+generator the HEADLINE probe uses, so near-dup pair growth stays linear
+(replicas are new content, not artificial near-dups).
+
+A small sf0.001 warm-up run first pays the session's one-time costs
+(codegen caches, shard-writer classloading) so neither timed side
+carries them; base and big are then single timed reps — at pipeline
+totals (tens of seconds) the ±30% single-rep noise documented for
+sub-second queries is proportionally small, and the 1.5× slack absorbs
+it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SLACK = 1.5
+FLOOR_SEC = 5.0  # pipeline totals, not sub-second queries
+
+
+def timed_curate(spark, sf_dir: str, scratch: str) -> tuple[float, dict, dict]:
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+
+    stage_seconds: dict = {}
+    t0 = time.time()
+    report = curate(spark, sf_dir, scratch, n_shards=4, stage_seconds=stage_seconds)
+    return round(time.time() - t0, 2), stage_seconds, report
+
+
+def main() -> None:
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    k = int(argv[0]) if argv else 10
+
+    from etl_pipeline_candy_store_spark.session import get_spark
+    from tools.scale_probe import expand_documents
+
+    spark = get_spark("pipeline-probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    work = tempfile.mkdtemp(prefix="pipex_")
+    big = os.path.join(work, "big")
+    reps = spark.range(k).withColumnRenamed("id", "_rep")
+    expand_documents(spark, base, big, reps)
+
+    # session warm-up at sf0.001: pays codegen + writer classloading once
+    timed_curate(spark, "/root/testdata/sf0.001", os.path.join(work, "warm"))
+
+    t_base, stages_base, rep_base = timed_curate(
+        spark, base, os.path.join(work, "out_base")
+    )
+    t_big, stages_big, rep_big = timed_curate(spark, big, os.path.join(work, "out_big"))
+
+    budget = k * SLACK
+    denom = max(t_base, FLOOR_SEC)
+    ratio = round(t_big / denom, 1)
+    ok = t_big <= budget * denom
+    result = {
+        "k": k,
+        "slack": SLACK,
+        "floor_sec": FLOOR_SEC,
+        "base_total_sec": t_base,
+        "big_total_sec": t_big,
+        "ratio": ratio,
+        "budget": budget,
+        "stages_base_sec": stages_base,
+        "stages_big_sec": stages_big,
+        "stage_ratios": {
+            s: round(stages_big[s] / max(stages_base[s], 0.1), 1) for s in stages_base
+        },
+        "funnel_base": rep_base["funnel"],
+        "funnel_big": rep_big["funnel"],
+        "gate": "PASS" if ok else "FAIL",
+    }
+    print(json.dumps(result))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

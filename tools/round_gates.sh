@@ -9,8 +9,10 @@
 #    per-query growth-budget violation)
 # 3. release_check (tuned + plain full-oracle sweeps at a CLEAN HEAD,
 #    git_sha-stamped artifacts)
+# 4. gated K=10 pipeline probe -> PIPELINE_SCALE_r<N>.json (the COMPOSED
+#    curate() funnel + governance + shard export, per-stage attribution)
 #
-# Steps 2-3 write round artifacts into the tree; COMMIT them afterwards
+# Steps 2-4 write round artifacts into the tree; COMMIT them afterwards
 # (release_check refuses to even start on a tree with tracked changes,
 # so run this only after the round's code is committed).
 set -euo pipefail
@@ -28,7 +30,10 @@ python -m pytest tests/ -q
 echo "== gate 2/3: full-oracle release check =="
 bash tools/release_check.sh "$round"
 
-echo "== gate 3/3: scale probe (K=10, budget-gated) =="
+echo "== gate 3/4: scale probe (K=10, budget-gated) =="
 python tools/scale_probe.py 10 --out "SCALE_r${round}.json"
 
-echo "ALL GATES GREEN — commit SCALE_r${round}.json and ORACLE_FULL_r${round}*.json"
+echo "== gate 4/4: pipeline probe (K=10, budget-gated) =="
+python tools/pipeline_probe.py 10 --out "PIPELINE_SCALE_r${round}.json"
+
+echo "ALL GATES GREEN — commit SCALE_r${round}.json, PIPELINE_SCALE_r${round}.json and ORACLE_FULL_r${round}*.json"

@@ -199,36 +199,7 @@ def expand(spark, src: str, dst: str, k: int) -> None:
         # queries expect <table>.parquet paths; point a dir there
         os.rename(f"{dst}/{t}_dir", f"{dst}/{t}.parquet")
 
-    # documents: K× docs with shifted doc_ids AND per-replica token
-    # suffixes ("_r<k>"), so each replica is new distinct content — the
-    # vocabulary grows K× (the realistic 10×-corpus shape for q89/q119)
-    # and replicas do NOT become artificial near-dups of their source
-    # (naive text copies would inflate the pair universe ~K², testing
-    # the data generator, not the plan). Replica 0 keeps the original
-    # text so the base corpus is a subset.
-    docs = spark.read.parquet(f"{src}/documents.parquet")
-    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    wide = (
-        docs.crossJoin(reps)
-        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(max_doc))
-        .withColumn(
-            "text",
-            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda tok: F.concat(
-                            tok, F.lit("_r"), F.col("_rep").cast("string")
-                        ),
-                    ),
-                    " ",
-                )
-            ),
-        )
-        .drop("_rep")
-    )
-    wide.repartition(32).write.mode("overwrite").parquet(f"{dst}/documents_dir")
-    os.rename(f"{dst}/documents_dir", f"{dst}/documents.parquet")
+    expand_documents(spark, src, dst, reps)
 
     # events: K× rows with replicas disjoint in user space AND time —
     # user_ids shift per replica (funnel/session/attribution state never
@@ -271,6 +242,43 @@ def expand(spark, src: str, dst: str, k: int) -> None:
     os.rename(f"{dst}/events_dir", f"{dst}/events.parquet")
 
     _expand_embeddings(spark, src, dst, reps)
+
+
+def expand_documents(spark, src: str, dst: str, reps) -> None:
+    """K× docs with shifted doc_ids AND per-replica token suffixes
+    ("_r<k>"), so each replica is new distinct content — the vocabulary
+    grows K× (the realistic 10×-corpus shape for q89/q119) and replicas
+    do NOT become artificial near-dups of their source (naive text
+    copies would inflate the pair universe ~K², testing the data
+    generator, not the plan). Replica 0 keeps the original text so the
+    base corpus is a subset. ``reps`` is a one-column ``_rep`` frame
+    (``spark.range(k).withColumnRenamed("id", "_rep")``). Shared by the
+    per-query HEADLINE probe and ``tools/pipeline_probe.py`` (which
+    expands ONLY documents — the curation pipeline's single input)."""
+    os.makedirs(dst, exist_ok=True)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    wide = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(max_doc))
+        .withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda tok: F.concat(
+                            tok, F.lit("_r"), F.col("_rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .drop("_rep")
+    )
+    wide.repartition(32).write.mode("overwrite").parquet(f"{dst}/documents_dir")
+    os.rename(f"{dst}/documents_dir", f"{dst}/documents.parquet")
 
 
 def _expand_embeddings(spark, src: str, dst: str, reps) -> None:
