@@ -81,6 +81,8 @@ HEADLINE = [
     "q203_dup_span_scrub",      # duplicated-span removal rewrite (r9)
     "q204_dup_span_scrub_3pass",  # bounded 3-pass scrub composition (r10)
     "q205_media_phash_neardup",  # byte-profile phash banded Hamming (r10)
+    "q206_unigram_encode",      # unigram-LM Viterbi tokenization (r10)
+    "q207_unigram_em_step",     # hard-EM piece re-estimation (r10)
 ]
 
 

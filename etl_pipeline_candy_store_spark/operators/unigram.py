@@ -171,11 +171,13 @@ def seed_vocab(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     return vocab, scored
 
 
-def _words_with_dp(docs: DataFrame) -> DataFrame:
-    """(word, n, m, best): every distinct word with its piece-weight map
-    and solved Viterbi best[] array. The DP runs once per DISTINCT word
-    — vocabulary-bounded, like BPE training."""
-    words = _word_table(docs)
+def _dp_bundle(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(scored, dp): the scored seed vocab and every distinct word with
+    its piece-weight map and solved Viterbi best[] array. The word table
+    is locally checkpointed ONCE (vocabulary-bounded — the bpe_train
+    discipline), so the corpus is scanned exactly once for training no
+    matter how many consumers derive from it."""
+    words = _word_table(docs).localCheckpoint(eager=True)
     _, scored = seed_vocab(words)
     occ = _occurrences(words)
     wm = (
@@ -192,7 +194,13 @@ def _words_with_dp(docs: DataFrame) -> DataFrame:
             ).alias("m")
         )
     )
-    return words.join(wm, "word").withColumn("best", F.expr(_BEST))
+    dp = words.join(wm, "word").withColumn("best", F.expr(_BEST))
+    return scored, dp
+
+
+def _words_with_dp(docs: DataFrame) -> DataFrame:
+    """(word, n, m, best): see :func:`_dp_bundle`."""
+    return _dp_bundle(docs)[1]
 
 
 def unigram_encodings(docs: DataFrame) -> DataFrame:
@@ -229,9 +237,7 @@ def unigram_em_step(docs: DataFrame, top: int = 20) -> DataFrame:
     distinct word (backward extraction over the solved best[]), count
     corpus-weighted piece usage, and re-bin scores from usage. Seed
     pieces the Viterbi never selects vanish (the EM prune)."""
-    dp = _words_with_dp(docs)
-    words = dp.select("word", "n")
-    _, scored = seed_vocab(_word_table(docs))
+    scored, dp = _dp_bundle(docs)
     used = dp.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
     usage = used.groupBy("piece").agg(
         F.sum("n").cast("long").alias("n_viterbi")
@@ -263,12 +269,12 @@ def _uni_ctes() -> str:
     steps (dp{i} holds best[i] for every word of length >= i), collected
     into alldp and joined back at i = length(word) as enc."""
     parts = [
-        f"""words AS (
+        f"""words AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE length(word) BETWEEN 1 AND {_MAXW} GROUP BY word
 )""",
-        f"""occ AS (
+        f"""occ AS MATERIALIZED (
   SELECT w.word, w.n, CAST(ss.s + ll.l - 1 AS BIGINT) AS i,
          CAST(ll.l AS BIGINT) AS l,
          substring(w.word, CAST(ss.s AS INTEGER), CAST(ll.l AS INTEGER)) AS p
@@ -277,15 +283,15 @@ def _uni_ctes() -> str:
        (SELECT unnest(range(1, {_MAXP + 1})) AS l) ll
   WHERE ss.s + ll.l - 1 <= length(w.word)
 )""",
-        "vocab AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM occ GROUP BY p)",
-        "tot AS (SELECT length(bin(CAST(SUM(c) AS BIGINT))) AS bt FROM vocab)",
-        """sc AS (
+        "vocab AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM occ GROUP BY p)",
+        "tot AS MATERIALIZED (SELECT length(bin(CAST(SUM(c) AS BIGINT))) AS bt FROM vocab)",
+        """sc AS MATERIALIZED (
   SELECT p, CAST(length(bin(c)) - t.bt AS BIGINT) AS w FROM vocab, tot t
 )""",
-        """cand AS (
+        """cand AS MATERIALIZED (
   SELECT o.word, o.i, o.l, s.w, o.p FROM occ o JOIN sc s USING (p)
 )""",
-        """dp0 AS (
+        """dp0 AS MATERIALIZED (
   SELECT word, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS k FROM words
 )""",
     ]
@@ -297,7 +303,7 @@ def _uni_ctes() -> str:
             for lf in range(1, min(_MAXP, i) + 1)
         )
         parts.append(
-            f"""dp{i} AS (
+            f"""dp{i} AS MATERIALIZED (
   SELECT word, v, k FROM (
     SELECT word, v, k,
            ROW_NUMBER() OVER (PARTITION BY word ORDER BY v DESC, k ASC) AS rn
@@ -310,13 +316,13 @@ def _uni_ctes() -> str:
         for i in range(1, _MAXW + 1)
     )
     parts.append(
-        f"""alldp AS (
+        f"""alldp AS MATERIALIZED (
   SELECT word, CAST(0 AS BIGINT) AS i, v, k FROM dp0
   UNION ALL {alldp}
 )"""
     )
     parts.append(
-        """enc AS (
+        """enc AS MATERIALIZED (
   SELECT w.word, w.n, d.v, d.k
   FROM words w JOIN alldp d
     ON d.word = w.word AND d.i = CAST(length(w.word) AS BIGINT)
@@ -377,8 +383,10 @@ def _q208_oracle() -> str:
     from etl_pipeline_candy_store_spark.operators.text import _bpe_encode_oracle
 
     bpe = _bpe_encode_oracle(3)
-    # reuse the BPE encode chain up to its seg CTE, then total it
-    bpe_with = bpe[: bpe.rindex(")") + 1].removeprefix("WITH ")
+    # reuse the BPE encode chain up to (and including) its seg CTE: cut
+    # just before the final per-doc SELECT, keeping every CTE intact
+    bpe_with = bpe[: bpe.index("\nSELECT w.doc_id")].rstrip().rstrip(",")
+    bpe_with = bpe_with.removeprefix("WITH ")
     return f"""WITH {bpe_with},
 bpe_tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_words,

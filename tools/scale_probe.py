@@ -173,6 +173,12 @@ HEADLINE = [
     # 1.5× at K=10. Unlike q68 the OUTPUT stays linear (only
     # parent-variant pairs qualify), so the probe measures the plan.
     "q205_media_phash_neardup",
+    # q206/q207: the unigram Viterbi DP runs once per DISTINCT word (the
+    # replica token suffixes grow the vocabulary K×, so the DP relation
+    # itself grows K×) and encoding is a broadcast join onto the K×
+    # exploded corpus plus a doc-keyed agg — both must track the scan.
+    "q206_unigram_encode",
+    "q207_unigram_em_step",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
