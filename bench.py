@@ -83,6 +83,8 @@ HEADLINE = [
     "q205_media_phash_neardup",  # byte-profile phash banded Hamming (r10)
     "q206_unigram_encode",      # unigram-LM Viterbi tokenization (r10)
     "q207_unigram_em_step",     # hard-EM piece re-estimation (r10)
+    "q209_kcore",               # bounded k-core peel of the dup graph (r10)
+    "q210_label_propagation",   # deterministic LPA communities (r10)
 ]
 
 

@@ -453,3 +453,210 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --- k-core decomposition ----------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def kcore_round(edges: DataFrame, alive: DataFrame, k: int) -> DataFrame:
+    """One peel round: induced degree over the ``alive`` subgraph, keep
+    nodes with degree >= k. Two node-keyed semi-joins onto the edge
+    list plus one src-keyed combinable count — the PageRank superstep's
+    shuffle budget, with the same shuffle_hash discipline (peel-round
+    node sets arrive unordered from the previous round's aggregation)."""
+    e = edges.join(
+        alive.select(F.col("node").alias("src")).hint("shuffle_hash"),
+        "src",
+        "left_semi",
+    ).join(
+        alive.select(F.col("node").alias("dst")).hint("shuffle_hash"),
+        "dst",
+        "left_semi",
+    )
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+
+
+def kcore(
+    edges: DataFrame, k: int = _KCORE_K, n_rounds: int = _KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded ``n_rounds``-round k-core peel of a symmetrized edge
+    list: (node, deg) for nodes surviving every round, with their final
+    induced degree. Fixed rounds keep the trajectory oracle-expressible
+    (the q136/q204 bounded-iteration convention); run
+    :func:`kcore_fixpoint` for the true core. Lineage grows linearly in
+    rounds (each round references the checkpointed edges plus the
+    previous alive set once), so a few rounds run as one job."""
+    e = edges.localCheckpoint(eager=True)
+    alive = e.select(F.col("src").alias("node")).distinct()
+    out = None
+    for _ in range(n_rounds):
+        out = kcore_round(e, alive, k)
+        alive = out.select("node")
+    return out
+
+
+def kcore_fixpoint(
+    edges: DataFrame, k: int = _KCORE_K, max_rounds: int = 64
+) -> DataFrame:
+    """Peel until no node is removed (the true k-core). Each round cuts
+    lineage with an eager localCheckpoint and the convergence check is
+    one O(1) count per round — at most ``max_rounds`` driver actions,
+    never row data on the driver. Raises if the graph hasn't converged
+    within ``max_rounds`` (every real graph converges in <= |V| rounds;
+    the near-dup graphs here take 1-3)."""
+    e = edges.localCheckpoint(eager=True)
+    cur = kcore_round(
+        e, e.select(F.col("src").alias("node")).distinct(), k
+    ).localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_rounds):
+        nxt = kcore_round(e, cur.select("node"), k).localCheckpoint(eager=True)
+        m = nxt.count()
+        if m == n:
+            return nxt
+        cur, n = nxt, m
+    raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    prev = "alive0" if r == 1 else f"core{r - 1}"
+    return f"""core{r} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges e
+  JOIN {prev} a ON a.node = e.src
+  JOIN {prev} b ON b.node = e.dst
+  GROUP BY e.src
+  HAVING COUNT(*) >= {k}
+)"""
+
+
+@register(
+    "q209_kcore",
+    oracle=f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+{_kcore_round_sql(1, _KCORE_K)},
+{_kcore_round_sql(2, _KCORE_K)},
+{_kcore_round_sql(3, _KCORE_K)}
+SELECT CAST(node AS BIGINT) AS doc_id, deg AS core_deg FROM core3
+""",
+    doc=f"Bounded {_KCORE_ROUNDS}-round {_KCORE_K}-core peel of the "
+    "symmetrized q51 near-duplicate graph: iteratively drop nodes whose "
+    "degree within the surviving subgraph falls below k, keeping the "
+    "dense duplication cores (template farms, mirror clusters) that "
+    "chain-shaped incidental overlap never reaches — the standard "
+    "dense-subgraph screen a curation pipeline runs before deciding "
+    "whole clusters are machine-generated. Per round: two node-keyed "
+    "semi-joins + one combinable count (the PageRank superstep budget); "
+    "per-round cost SHRINKS with the surviving subgraph. Fixed rounds "
+    "keep the trajectory oracle-expressible (the bounded-iteration "
+    "convention); kcore_fixpoint() runs to convergence and "
+    "tests prove 3 rounds ARE the fixpoint on this corpus.",
+)
+def q209_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
+    return kcore(_symmetrize(pairs)).select(
+        F.col("node").alias("doc_id"), F.col("deg").alias("core_deg")
+    )
+
+
+# --- label propagation (community detection) ---------------------------
+
+_LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous, deterministic label propagation over a symmetrized
+    edge list: every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors (ties -> smallest
+    label). Unlike the min-label flood of connected components (q54),
+    frequency voting splits a component into densely-knit communities.
+    Deterministic by construction — synchronous rounds plus a total
+    tie order — so a fixed round count is a well-defined, hashable
+    relation (classic async LPA is run-order dependent).
+
+    Per round: one dst-keyed join of labels to edges, one (src, label)
+    count, one src-keyed combinable argmax (``max_by(lbl, (cnt,
+    -lbl))``). Label relations arrive unordered from the previous
+    round's argmax, so joins are shuffle_hash-hinted (the q136 lesson:
+    unhinted supersteps pay a sort-merge per side per round)."""
+    e = edges.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(n_rounds):
+        labels = (
+            e.join(
+                labels.select(F.col("node").alias("dst"), "lbl").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").cast("long").alias("label"))
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""lbl{r} AS MATERIALIZED (
+  SELECT src AS node, lbl FROM (
+    SELECT e.src, l.lbl, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+    FROM edges e JOIN lbl{r - 1} l ON l.node = e.dst
+    GROUP BY e.src, l.lbl
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "q210_label_propagation",
+    oracle=f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+lbl0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{_lpa_round_sql(1)},
+{_lpa_round_sql(2)},
+{_lpa_round_sql(3)}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS community
+FROM lbl3
+""",
+    doc=f"Synchronous {_LPA_ROUNDS}-round label propagation over the "
+    "symmetrized q51 near-duplicate graph: frequency-voted community "
+    "labels (ties -> smallest label) that split a connected component "
+    "into densely-knit sub-communities — where q54's min-label flood "
+    "assigns one label per component, LPA separates two template "
+    "families bridged by a single incidental near-dup pair, the "
+    "granularity at which per-community canonical selection and "
+    "license rollups actually want to operate. Deterministic by "
+    "synchronous rounds + total tie order (async LPA is run-order "
+    "dependent and unhashable). Per round: one dst-keyed label join, "
+    "one (src,label) count, one src-keyed combinable argmax; "
+    "shuffle_hash-hinted like the q136 supersteps.",
+)
+def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
+    return label_propagation(_symmetrize(pairs)).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )

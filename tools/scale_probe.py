@@ -179,6 +179,11 @@ HEADLINE = [
     # exploded corpus plus a doc-keyed agg — both must track the scan.
     "q206_unigram_encode",
     "q207_unigram_em_step",
+    # q209/q210 ride the checkpointed pair relation like q188/q189:
+    # per-round cost is node-keyed joins/aggs over the K×-linear edge
+    # set (replica suffixes keep pairs within replicas).
+    "q209_kcore",
+    "q210_label_propagation",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
