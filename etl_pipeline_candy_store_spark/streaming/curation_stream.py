@@ -601,3 +601,65 @@ def read_scrubbed_docs(spark: SparkSession, state_dir: str) -> DataFrame:
             "doc_id bigint, n_tokens bigint, n_removed bigint,"
             " clean_text string",
         )
+
+
+# --- Streaming unigram tokenization (q206's ingest twin) ----------------
+
+
+def apply_unigram_encode_batch(
+    batch: DataFrame, enc: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Tokenize one micro-batch of (doc_id, text, ...) rows against the
+    FROZEN per-word encoding table (q206's Viterbi result, built once
+    at calibration — the frozen-scorer discipline of the q202 twin: a
+    tokenizer must not drift while the crawl streams). Per-row
+    stateless, so any batching produces identical counts;
+    ``{out_dir}/batch=N`` is a batch-scoped overwrite
+    (replay-idempotent).
+
+    Words outside the calibration vocabulary are counted in ``n_oov``
+    rather than silently dropped (the q58/q122 NULL lesson): batch q206
+    has no OOV by construction (its corpus defines the vocab), so on
+    the calibration corpus n_oov = 0 and the remaining columns equal
+    q206 exactly; on fresh crawl data n_oov is the retrain signal."""
+    corpus = batch.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    scored = corpus.join(F.broadcast(enc), "word", "left")
+    (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.col("k")).cast("long").alias("n_words"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("ll_bits"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_oov"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/batch={batch_id}")
+    )
+
+
+def stream_unigram_encode(doc_stream: DataFrame, enc: DataFrame, out_dir: str):
+    """Wire a documents stream through the frozen unigram tokenizer.
+    ``enc`` is the (word, v, k) relation from
+    :func:`~etl_pipeline_candy_store_spark.operators.unigram.unigram_encodings`
+    over the calibration corpus. Returns a ``DataStreamWriter``; caller
+    adds checkpoint/trigger."""
+    e = enc.select("word", "v", "k").localCheckpoint(eager=True)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_unigram_encode_batch(batch, e, out_dir, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_unigram_encodings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Accumulated per-doc tokenization counts the stream has emitted."""
+    try:
+        return spark.read.parquet(out_dir).drop("batch")
+    except AnalysisException:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_words bigint, n_pieces bigint,"
+            " ll_bits bigint, n_oov bigint",
+        )

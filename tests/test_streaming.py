@@ -1829,3 +1829,94 @@ def test_span_scrub_cross_batch_canonical_keeps_copy(spark, tmp_path):
         for r in read_scrubbed_docs(spark, state).collect()
     }
     assert got == {1: (0, "alpha beta gamma delta"), 2: (3, "x y")}
+
+
+def test_stream_unigram_encode_matches_batch_q206(spark, tmp_path):
+    """Tokenizing per micro-batch against the FROZEN per-word Viterbi
+    table must reproduce q206 exactly on the calibration corpus (no
+    OOV by construction), and replaying a batch must be idempotent."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.unigram import (
+        unigram_encodings,
+    )
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_unigram_encode_batch,
+        read_unigram_encodings,
+        stream_unigram_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    catalog._ensure_loaded()
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["ll_bits"], 0)
+        for r in catalog.REGISTRY["q206_unigram_encode"]
+        .builder(spark, sf)
+        .collect()
+    }
+
+    docs = catalog.load(spark, sf, "documents").localCheckpoint(eager=True)
+    enc = unigram_encodings(docs).localCheckpoint(eager=True)
+    src = str(tmp_path / "uni_src")
+    for lo, hi in [(0, 170), (170, 340), (340, 10_000)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    out = str(tmp_path / "uni_out")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_unigram_encode(stream, enc, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_uni"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["ll_bits"], r["n_oov"])
+        for r in read_unigram_encodings(spark, out).collect()
+    }
+    assert got == want
+
+    # crash replay of batch 0 must not change anything
+    batch0 = docs.filter(F.col("doc_id") < 170).select("doc_id", "text")
+    apply_unigram_encode_batch(batch0, enc.select("word", "v", "k"), out, 0)
+    again = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["ll_bits"], r["n_oov"])
+        for r in read_unigram_encodings(spark, out).collect()
+    }
+    assert again == got
+
+
+def test_stream_unigram_encode_counts_oov(spark, tmp_path):
+    """Crawl words outside the calibration vocabulary must surface in
+    n_oov (the retrain signal), never silently vanish."""
+    from etl_pipeline_candy_store_spark.operators.unigram import (
+        unigram_encodings,
+    )
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.streaming.curation_stream import (
+        apply_unigram_encode_batch,
+        read_unigram_encodings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load(spark, sf, "documents")
+    enc = unigram_encodings(docs).select("word", "v", "k")
+    known = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).first()["w"]
+    batch = spark.createDataFrame(
+        [(900001, f"{known} zzqqxx {known}")], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "oov_out")
+    apply_unigram_encode_batch(batch, enc, out, 0)
+    row = read_unigram_encodings(spark, out).collect()[0]
+    assert row["n_words"] == 2 and row["n_oov"] == 1
