@@ -85,6 +85,7 @@ HEADLINE = [
     "q207_unigram_em_step",     # hard-EM piece re-estimation (r10)
     "q209_kcore",               # bounded k-core peel of the dup graph (r10)
     "q210_label_propagation",   # deterministic LPA communities (r10)
+    "q211_bootstrap_pass_rate", # multiplier-bootstrap CI for funnel yield (r10)
 ]
 
 

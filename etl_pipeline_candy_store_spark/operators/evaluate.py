@@ -190,3 +190,133 @@ def q143_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("long").alias("sum_score"),
         )
     )
+
+
+# --- Bootstrap confidence intervals -------------------------------------
+
+_BOOT_B = 32  # replicates; lo/hi = 2nd smallest / 2nd largest ≈ 5%/95%
+
+#: portable per-(doc, replicate) multiplier weight in {0, 1, 2}: two md5
+#: hex chars of "doc_id:b" -> 0..255, mod 3. E[w] = 255/256 (documented
+#: 1/256 bias from 256 % 3 = 1), Var ≈ 2/3 — the multiplier-bootstrap
+#: weight family (Poisson(1)-like), deterministic in BOTH engines via
+#: the _h256 hex-char arithmetic (no hex->int casts, which differ).
+_BOOT_KEY_SQL = "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))"
+_BOOT_W_SQL = (
+    f"((instr('0123456789abcdef', substr({_BOOT_KEY_SQL}, 1, 1)) - 1) * 16"
+    f" + (instr('0123456789abcdef', substr({_BOOT_KEY_SQL}, 2, 1)) - 1)) % 3"
+)
+
+
+def _boot_w_spark() -> "F.Column":
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")
+        ).cast("binary")
+    )
+    hexpos = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(key, i, 1)
+    ) - 1
+    return ((hexpos(1) * 16 + hexpos(2)) % 3).cast("long")
+
+
+def bootstrap_rate_ci(flags: DataFrame, b_reps: int = _BOOT_B) -> DataFrame:
+    """Deterministic multiplier-bootstrap CI for a pass RATE over a
+    (doc_id, passed∈{0,1}) relation: B replicate rates, each reweighting
+    every doc by a hash-derived {0,1,2} multiplier (resampling the
+    corpus WITHOUT materializing B resamples — the only bootstrap that
+    scales: the fan-out is B× of a two-integer-column relation, never
+    the text), then order statistics over the B-row replicate relation.
+
+    Returns ONE row: (n_docs, pass_rate_ppm, boot_lo_ppm, boot_hi_ppm,
+    n_replicates) with lo/hi the 2nd smallest / 2nd largest replicate
+    (≈ 5th/95th percentile at B=32)."""
+    q = flags.select("doc_id", F.col("passed").cast("long").alias("passed"))
+    point = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(passed) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "pass_rate_ppm"
+        ),
+    )
+    fan = q.select(
+        "doc_id", "passed", F.explode(F.expr(f"sequence(0, {b_reps - 1})")).alias("b")
+    ).withColumn("w", _boot_w_spark())
+    rep = fan.groupBy("b").agg(
+        F.expr(
+            "CAST(SUM(w * passed) * 1000000 div NULLIF(SUM(w), 0) AS BIGINT)"
+        ).alias("rate_ppm")
+    )
+    ci = rep.agg(
+        F.expr("element_at(array_sort(collect_list(rate_ppm)), 2)")
+        .cast("long")
+        .alias("boot_lo_ppm"),
+        F.expr(
+            f"element_at(array_sort(collect_list(rate_ppm)), {b_reps - 1})"
+        )
+        .cast("long")
+        .alias("boot_hi_ppm"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        "pass_rate_ppm",
+        "boot_lo_ppm",
+        "boot_hi_ppm",
+        F.lit(b_reps).cast("long").alias("n_replicates"),
+    )
+
+
+@register(
+    "q211_bootstrap_pass_rate",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tokens BETWEEN 10 AND 1000
+                    AND n_alpha * 2 >= n_chars
+                    AND n_chars BETWEEN n_tokens * 2 AND n_tokens * 12
+               THEN 1 ELSE 0 END AS BIGINT) AS passed
+  FROM m
+),
+fan AS (
+  SELECT doc_id, passed, bb.b, {_BOOT_W_SQL} AS w
+  FROM q, (SELECT unnest(range(0, {_BOOT_B})) AS b) bb
+),
+rep AS (
+  SELECT b, CAST(SUM(w * passed) * 1000000 // NULLIF(SUM(w), 0) AS BIGINT)
+           AS rate_ppm
+  FROM fan GROUP BY b
+),
+arr AS (SELECT list_sort(list(rate_ppm)) AS a FROM rep)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_docs,
+       (SELECT CAST(SUM(passed) * 1000000 // COUNT(*) AS BIGINT) FROM q)
+         AS pass_rate_ppm,
+       CAST(a[2] AS BIGINT) AS boot_lo_ppm,
+       CAST(a[{_BOOT_B - 1}] AS BIGINT) AS boot_hi_ppm,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+FROM arr
+""",
+    doc="Deterministic multiplier-bootstrap confidence interval for the "
+    "q59 quality-gate pass rate — the funnel yield a data team reports "
+    "WITH error bars instead of a bare point estimate. 32 replicate "
+    "rates, each reweighting every doc by a portable hash-derived "
+    "{0,1,2} multiplier (md5 hex-char arithmetic, identical in both "
+    "engines; E[w]=255/256, Var≈2/3 — the Poisson-bootstrap family), "
+    "lo/hi = 2nd smallest/largest replicate ≈ 5%/95%. Scales because "
+    "the corpus is NEVER resampled: one text scan computes the flags, "
+    "the 32× fan-out rides a two-integer-column relation, and the "
+    "replicate agg is map-side combinable into 32 groups. All integer "
+    "ppm — both engines hash-identical.",
+)
+def q211_bootstrap_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.curation import quality_gate
+
+    flags = quality_gate(load(spark, sf_dir, "documents")).select(
+        "doc_id", "passed"
+    )
+    return bootstrap_rate_ci(flags)

@@ -184,6 +184,10 @@ HEADLINE = [
     # set (replica suffixes keep pairs within replicas).
     "q209_kcore",
     "q210_label_propagation",
+    # q211: one text scan for the flags, then a 32x fan-out of a
+    # two-integer-column relation into a 32-group combinable agg -
+    # must track the scan linearly.
+    "q211_bootstrap_pass_rate",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
