@@ -403,17 +403,12 @@ def media_phash(
     )
 
 
-def phash_neardup_pairs(
-    ph: DataFrame, *, hamming_max: int = _PHASH_HAMMING_MAX
-) -> DataFrame:
-    """Banded Hamming near-dup over (media_id, phash) — the q68
-    machinery re-used for the 63-bit media signature: 7 bands x 9
-    bits; any pair within ``hamming_max`` <= 6 (< #bands) must agree
-    on a full band (pigeonhole), so the band-bucket equi-join finds
-    EVERY qualifying pair without materializing the pair space.
-    Per-row first-agreeing-band filter instead of distinct() — no
-    extra pair shuffle (q68's trick)."""
-    bands = ph.select(
+def phash_bands(ph: DataFrame) -> DataFrame:
+    """(media_id, phash) → one row per LSH band: (media_id, phash,
+    band_idx, band_val). The shared banding of the batch near-dup
+    (q205) and the streaming ingest twin — the band table IS the
+    streaming state shape."""
+    return ph.select(
         "media_id",
         "phash",
         F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias(
@@ -426,6 +421,46 @@ def phash_neardup_pairs(
             f" & {(1 << _PHASH_BAND_BITS) - 1}"
         ),
     )
+
+
+def verify_banded_candidates(
+    cand: DataFrame, *, hamming_max: int = _PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Collapse band-join candidate rows (media_a, pa, media_b, pb,
+    band_idx — one row PER agreeing band) to verified pairs without a
+    distinct(): the first-agreeing-band index is a pure function of
+    pa ^ pb, so keeping only the row whose band_idx equals it emits
+    each pair exactly once (q68's trick), then the Hamming radius
+    verifies."""
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    first_band = F.expr(
+        "case "
+        + " ".join(
+            f"when (((pa ^ pb) >> {k * _PHASH_BAND_BITS}) & {mask}) = 0"
+            f" then {k}"
+            for k in range(_PHASH_BANDS - 1)
+        )
+        + f" else {_PHASH_BANDS - 1} end"
+    )
+    return (
+        cand.filter(F.col("band_idx") == first_band)
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def phash_neardup_pairs(
+    ph: DataFrame, *, hamming_max: int = _PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Banded Hamming near-dup over (media_id, phash) — the q68
+    machinery re-used for the 63-bit media signature: 7 bands x 9
+    bits; any pair within ``hamming_max`` <= 6 (< #bands) must agree
+    on a full band (pigeonhole), so the band-bucket equi-join finds
+    EVERY qualifying pair without materializing the pair space.
+    Per-row first-agreeing-band filter instead of distinct() — no
+    extra pair shuffle (q68's trick)."""
+    bands = phash_bands(ph)
     a = bands.select(
         F.col("media_id").alias("media_a"),
         F.col("phash").alias("pa"),
@@ -438,23 +473,11 @@ def phash_neardup_pairs(
         "band_idx",
         "band_val",
     )
-    mask = (1 << _PHASH_BAND_BITS) - 1
-    first_band = F.expr(
-        "case "
-        + " ".join(
-            f"when (((pa ^ pb) >> {k * _PHASH_BAND_BITS}) & {mask}) = 0"
-            f" then {k}"
-            for k in range(_PHASH_BANDS - 1)
-        )
-        + f" else {_PHASH_BANDS - 1} end"
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .filter(F.col("band_idx") == first_band)
-        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("int"))
-        .filter(F.col("hamming") <= hamming_max)
-        .select("media_a", "media_b", "hamming")
+    return verify_banded_candidates(
+        a.join(b, ["band_idx", "band_val"]).filter(
+            F.col("media_a") < F.col("media_b")
+        ),
+        hamming_max=hamming_max,
     )
 
 

@@ -113,3 +113,95 @@ def stream_minhash_neardup(doc_stream: DataFrame, state_dir: str):
 def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated near-dup pair table the stream has emitted."""
     return _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop("batch")
+
+
+# --- Streaming perceptual-hash media near-dup (q205's ingest twin) ------
+
+_PHASH_PAIRS_SCHEMA = "media_a bigint, media_b bigint, hamming int"
+_PHASH_BANDS_SCHEMA = "media_id bigint, phash bigint, band_idx int, band_val bigint"
+
+
+def apply_phash_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Media near-dup ON ARRIVAL: signature one micro-batch of
+    (media_id, payload) rows, probe the accumulated corpus band state,
+    emit verified pairs, extend state — the ingest twin of batch q205.
+
+    Candidates come from (a) the batch's own band self-join (q205's
+    exact machinery via :func:`phash_neardup_pairs`) and (b) the batch
+    bands equi-joined to the STATE bands — one band-keyed probe, never
+    a pair scan over the corpus. The first-agreeing-band filter is a
+    pure function of pa ^ pb (see verify_banded_candidates), so a pair
+    matched by several bands across the probe still emits exactly once.
+    Cross pairs are emitted id-ordered (least, greatest), so under
+    monotone media_id arrival the accumulated pair table equals batch
+    q205 exactly. State grows with DISTINCT media items (7 band rows
+    each), the exact-dedup state envelope; per-batch cost is
+    O(batch + candidates). Batch-scoped overwrites keep replays
+    idempotent (a replayed batch re-reads only EARLIER state)."""
+    from etl_pipeline_candy_store_spark.operators.multimodal import (
+        media_phash,
+        phash_bands,
+        phash_neardup_pairs,
+        verify_banded_candidates,
+    )
+
+    spark = batch.sparkSession
+    ph_new = media_phash(batch).localCheckpoint(eager=True)
+    bands_new = phash_bands(ph_new)
+    bands_old = _read_state(
+        spark, f"{state_dir}/bands", _PHASH_BANDS_SCHEMA, before_batch=batch_id
+    )
+
+    intra = phash_neardup_pairs(ph_new)
+    cross = verify_banded_candidates(
+        bands_new.select(
+            F.col("media_id").alias("m_new"),
+            F.col("phash").alias("p_new"),
+            "band_idx",
+            "band_val",
+        )
+        .join(
+            bands_old.select(
+                F.col("media_id").alias("m_old"),
+                F.col("phash").alias("p_old"),
+                "band_idx",
+                "band_val",
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select(
+            F.least("m_old", "m_new").alias("media_a"),
+            F.greatest("m_old", "m_new").alias("media_b"),
+            F.when(F.col("m_old") < F.col("m_new"), F.col("p_old"))
+            .otherwise(F.col("p_new"))
+            .alias("pa"),
+            F.when(F.col("m_old") < F.col("m_new"), F.col("p_new"))
+            .otherwise(F.col("p_old"))
+            .alias("pb"),
+            "band_idx",
+        )
+    )
+    intra.unionByName(cross).write.mode("overwrite").parquet(
+        f"{state_dir}/pairs/batch={batch_id}"
+    )
+    bands_new.write.mode("overwrite").parquet(
+        f"{state_dir}/bands/batch={batch_id}"
+    )
+
+
+def stream_phash_neardup(media_stream: DataFrame, state_dir: str):
+    """Wire a (media_id, payload) stream through incremental perceptual
+    near-dup. Returns a ``DataStreamWriter``; caller adds
+    checkpoint/trigger. Pairs accumulate under ``{state_dir}/pairs``."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_phash_batch(batch, state_dir, batch_id)
+
+    return media_stream.writeStream.foreachBatch(_apply).outputMode("update")
+
+
+def read_phash_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated media near-dup pair table the stream has emitted."""
+    return _read_state(spark, f"{state_dir}/pairs", _PHASH_PAIRS_SCHEMA).drop(
+        "batch"
+    )

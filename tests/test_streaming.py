@@ -1920,3 +1920,92 @@ def test_stream_unigram_encode_counts_oov(spark, tmp_path):
     apply_unigram_encode_batch(batch, enc, out, 0)
     row = read_unigram_encodings(spark, out).collect()[0]
     assert row["n_words"] == 2 and row["n_oov"] == 1
+
+
+def _phash_media_relation(spark):
+    """q205's media relation: every doc as a payload plus every 10th doc
+    re-appearing as a locally-edited variant (same construction as the
+    registered query)."""
+    from etl_pipeline_candy_store_spark.operators.multimodal import (
+        _PHASH_VARIANT_MOD,
+        _PHASH_VARIANT_OFFSET,
+    )
+    from etl_pipeline_candy_store_spark.plans import catalog
+
+    d = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    variants = d.filter(F.col("doc_id") % _PHASH_VARIANT_MOD == 0).select(
+        (F.col("doc_id") + _PHASH_VARIANT_OFFSET).alias("media_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("X" * 10),
+            F.expr("substring(text, 21)"),
+        ).alias("payload_text"),
+    )
+    return (
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").alias("payload_text"),
+        )
+        .unionByName(variants)
+        .select("media_id", F.col("payload_text").cast("binary").alias("payload"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_stream_phash_neardup_matches_batch_q205(spark, tmp_path):
+    """Perceptual media near-dup on arrival must equal batch q205 under
+    monotone media_id arrival, and a crash replay must be idempotent."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans import catalog
+    from etl_pipeline_candy_store_spark.streaming.neardup_stream import (
+        apply_phash_batch,
+        read_phash_pairs,
+        stream_phash_neardup,
+    )
+
+    catalog._ensure_loaded()
+    want = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in catalog.REGISTRY["q205_media_phash_neardup"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert want, "fixture must produce near-dup pairs"
+
+    media = _phash_media_relation(spark)
+    src = str(tmp_path / "phash_src")
+    # monotone media_id arrival: originals first, variants last
+    for lo, hi in [(0, 200), (200, 1_000_000), (1_000_000, 10_000_000)]:
+        media.filter(
+            (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "phash_state")
+    stream = (
+        spark.readStream.schema("media_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_phash_neardup(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_phash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in read_phash_pairs(spark, state).collect()
+    )
+    assert got == want
+
+    # crash replay of the LAST batch (the variants) must change nothing
+    apply_phash_batch(media.filter(F.col("media_id") >= 1_000_000), state, 2)
+    again = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in read_phash_pairs(spark, state).collect()
+    )
+    assert again == got

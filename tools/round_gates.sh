@@ -20,14 +20,14 @@ cd "$(dirname "$0")/.."
 
 round="${1:?usage: tools/round_gates.sh <round>}"
 
-echo "== gate 1/3: pytest =="
+echo "== gate 1/4: pytest =="
 python -m pytest tests/ -q
 
 # release check runs BEFORE the scale probe: both stamp the same HEAD,
 # but the probe OVERWRITES SCALE_r<N>.json — if that file is already
 # tracked (re-running the ritual later in a round), the overwrite
 # dirties the tree and release_check would refuse to start.
-echo "== gate 2/3: full-oracle release check =="
+echo "== gate 2/4: full-oracle release check =="
 bash tools/release_check.sh "$round"
 
 echo "== gate 3/4: scale probe (K=10, budget-gated) =="
