@@ -86,6 +86,7 @@ HEADLINE = [
     "q209_kcore",               # bounded k-core peel of the dup graph (r10)
     "q210_label_propagation",   # deterministic LPA communities (r10)
     "q211_bootstrap_pass_rate", # multiplier-bootstrap CI for funnel yield (r10)
+    "q212_unigram_encode_em2",  # full EM cycle: prune + re-Viterbi encode (r10)
 ]
 
 

@@ -43,6 +43,10 @@ log-likelihoods as integer log2 bins, never raw doubles):
   unigram tokenizer vs the 3-merge BPE (q133/q139), side by side in
   integer micros — the standard which-tokenizer-compresses-better
   signal.
+- **Full EM cycle** (q212): usage re-binning + prune, then the corpus
+  re-encoded under the iteration-2 vocabulary — the composition a real
+  SentencePiece trainer iterates; the pruned DP is partial, handled by
+  NULL propagation in the fold and row absence in the oracle chain.
 
 Reference anchor: the reference repo has no tokenizer training at all
 (its text surface is driver-side row loops, /root/reference/src/
@@ -76,12 +80,16 @@ flatten(transform(sequence(1, length(word)), s ->
 
 def _cand(lf: int) -> str:
     """DP candidate at fold step i: extend best[i-l] with the length-l
-    piece ending at i, NULL when the piece is absent (only possible for
-    l >= 2) or i < l. Piece weights ride in map ``m`` keyed i*8+l."""
+    piece ending at i, NULL when the piece is absent (under the SEED
+    vocab only possible for l >= 2; under an EM-pruned vocab any piece
+    can be missing), when i < l, or when position i-l is itself
+    unreachable (null best — possible only under a pruned vocab).
+    Piece weights ride in map ``m`` keyed i*8+l."""
     key = f"CAST(i*8+{lf} AS INT)"
     prev = f"element_at(acc, CAST(i-{lf}+1 AS INT))"
     return (
-        f"IF(i >= {lf} AND try_element_at(m, {key}) IS NOT NULL, "
+        f"IF(i >= {lf} AND try_element_at(m, {key}) IS NOT NULL"
+        f" AND {prev} IS NOT NULL, "
         f"named_struct('v', {prev}.v + try_element_at(m, {key}), "
         f"'k', {prev}.k + CAST(1 AS BIGINT)), "
         f"CAST(NULL AS STRUCT<v: BIGINT, k: BIGINT>))"
@@ -89,13 +97,17 @@ def _cand(lf: int) -> str:
 
 
 #: forward Viterbi: best[] as a growing array, candidates compared by
-#: (v desc, k asc); l=1 always exists so the fold is total
+#: (v desc, k asc). Under the seed vocab l=1 always exists so every
+#: position is reachable; under an EM-pruned vocab a position with no
+#: candidates records NULL (try_element_at on the empty candidate
+#: array), which propagates — a word whose final position is NULL is
+#: unsegmentable under that vocab.
 _BEST = f"""
 aggregate(
   sequence(1, length(word)),
   array(named_struct('v', CAST(0 AS BIGINT), 'k', CAST(0 AS BIGINT))),
   (acc, i) -> array_append(acc,
-    element_at(
+    try_element_at(
       array_sort(
         filter(array({_cand(1)}, {_cand(2)}, {_cand(3)}, {_cand(4)}),
                x -> x IS NOT NULL),
@@ -171,14 +183,12 @@ def seed_vocab(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     return vocab, scored
 
 
-def _dp_bundle(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(scored, dp): the scored seed vocab and every distinct word with
-    its piece-weight map and solved Viterbi best[] array. The word table
-    is locally checkpointed ONCE (vocabulary-bounded — the bpe_train
-    discipline), so the corpus is scanned exactly once for training no
-    matter how many consumers derive from it."""
-    words = _word_table(docs).localCheckpoint(eager=True)
-    _, scored = seed_vocab(words)
+def _dp_with_scores(words: DataFrame, scored: DataFrame) -> DataFrame:
+    """Solve the Viterbi DP for every distinct word against an ARBITRARY
+    scored piece vocab (p, w): (word, n, m, best). Pieces absent from
+    ``scored`` are unavailable to the DP — under the seed vocab every
+    position is reachable; under an EM-pruned vocab a word may come out
+    unsegmentable (final best NULL) and downstream consumers drop it."""
     occ = _occurrences(words)
     wm = (
         occ.join(F.broadcast(scored.select("p", "w")), "p")
@@ -194,13 +204,24 @@ def _dp_bundle(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("m")
         )
     )
-    dp = words.join(wm, "word").withColumn("best", F.expr(_BEST))
-    return scored, dp
+    return words.join(wm, "word").withColumn("best", F.expr(_BEST))
+
+
+def _dp_bundle(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(words, scored, dp): the checkpointed word table, the scored seed
+    vocab, and every distinct word with its piece-weight map and solved
+    Viterbi best[] array. The word table is locally checkpointed ONCE
+    (vocabulary-bounded — the bpe_train discipline), so the corpus is
+    scanned exactly once for training no matter how many consumers
+    derive from it."""
+    words = _word_table(docs).localCheckpoint(eager=True)
+    _, scored = seed_vocab(words)
+    return words, scored, _dp_with_scores(words, scored)
 
 
 def _words_with_dp(docs: DataFrame) -> DataFrame:
     """(word, n, m, best): see :func:`_dp_bundle`."""
-    return _dp_bundle(docs)[1]
+    return _dp_bundle(docs)[2]
 
 
 def unigram_encodings(docs: DataFrame) -> DataFrame:
@@ -237,7 +258,7 @@ def unigram_em_step(docs: DataFrame, top: int = 20) -> DataFrame:
     distinct word (backward extraction over the solved best[]), count
     corpus-weighted piece usage, and re-bin scores from usage. Seed
     pieces the Viterbi never selects vanish (the EM prune)."""
-    scored, dp = _dp_bundle(docs)
+    _, scored, dp = _dp_bundle(docs)
     used = dp.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
     usage = used.groupBy("piece").agg(
         F.sum("n").cast("long").alias("n_viterbi")
@@ -343,9 +364,14 @@ GROUP BY x.doc_id
 """
 
 
-def _q207_oracle(top: int = 20) -> str:
-    return f"""WITH RECURSIVE {_uni_ctes()},
-choice AS (
+def _usage_ctes() -> str:
+    """The hard-EM usage extraction as CTEs (appended after
+    :func:`_uni_ctes`; the ``bt`` backtrack is recursive, so the full
+    statement must open WITH RECURSIVE): the choice table records, per
+    (word, position), the LONGEST piece reconstructing the recorded
+    optimum; the recursive walk emits the chosen pieces; usage
+    corpus-weights them."""
+    return """choice AS (
   SELECT c.word, c.i AS pos, MAX(c.l) AS l
   FROM cand c
   JOIN alldp dprev ON dprev.word = c.word AND dprev.i = c.i - c.l
@@ -366,11 +392,18 @@ pieces_used AS (
                    CAST(c.l AS INTEGER)) AS p
   FROM bt b JOIN choice c ON c.word = b.word AND c.pos = b.pos
 ),
-usage AS (
+usage AS MATERIALIZED (
   SELECT p.p AS piece, CAST(SUM(w.n) AS BIGINT) AS n_viterbi
   FROM pieces_used p JOIN words w ON w.word = p.word GROUP BY p.p
 ),
-utot AS (SELECT length(bin(CAST(SUM(n_viterbi) AS BIGINT))) AS but FROM usage)
+utot AS MATERIALIZED (
+  SELECT length(bin(CAST(SUM(n_viterbi) AS BIGINT))) AS but FROM usage
+)"""
+
+
+def _q207_oracle(top: int = 20) -> str:
+    return f"""WITH RECURSIVE {_uni_ctes()},
+{_usage_ctes()}
 SELECT u.piece, u.n_viterbi,
        CAST(length(bin(v.c)) - t.bt AS BIGINT) AS w_old,
        CAST(length(bin(u.n_viterbi)) - ut.but AS BIGINT) AS w_new
@@ -488,3 +521,143 @@ def q208_tokenizer_fertility_compare(
             "fert_micros"
         ),
     )
+
+
+# --- Iteration-2: encode under the EM-re-estimated vocab ----------------
+
+
+def unigram_encode_docs_em2(docs: DataFrame) -> DataFrame:
+    """Per-doc tokenization counts under the ITERATION-2 vocabulary:
+    run the seed-vocab Viterbi (iteration 1), extract usage (q207's
+    E-step), re-bin scores from usage (M-step, pruning unused pieces),
+    and Viterbi-encode the corpus again under the re-estimated vocab —
+    one full EM cycle applied, the composition q207 only previews.
+
+    Hard-EM invariant (tested): every calibration word stays
+    segmentable under the pruned vocab, because each word's own chosen
+    pieces have usage >= that word's count; words that would become
+    unsegmentable (impossible for calibration words, possible for
+    fresh text) are dropped by the final-state NULL filter rather than
+    scored wrongly. Scale shape identical to q206: both DP passes are
+    per-DISTINCT-word over the once-checkpointed word table, and the
+    corpus is touched exactly twice (word-table build + encode join)."""
+    words, _, dp1 = _dp_bundle(docs)
+    used = dp1.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
+    usage = used.groupBy("piece").agg(
+        F.sum("n").cast("long").alias("n_viterbi")
+    )
+    utot = usage.agg(F.sum("n_viterbi").cast("long").alias("ut"))
+    scored2 = usage.crossJoin(F.broadcast(utot)).select(
+        F.col("piece").alias("p"),
+        (F.length(F.bin("n_viterbi")) - F.length(F.bin("ut")))
+        .cast("long")
+        .alias("w"),
+    )
+    dp2 = _dp_with_scores(words, scored2)
+    final = "try_element_at(best, CAST(length(word)+1 AS INT))"
+    enc2 = (
+        dp2.select("word", F.expr(final).alias("f"))
+        .where(F.col("f").isNotNull())
+        .select("word", F.col("f.v").alias("v"), F.col("f.k").alias("k"))
+    )
+    corpus = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        corpus.join(F.broadcast(enc2), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.sum("v").cast("long").alias("ll_bits"),
+        )
+    )
+
+
+def _dp2_ctes() -> str:
+    """Second DP chain under the usage-re-binned vocab (appended after
+    :func:`_usage_ctes`): sc2 scores only the pieces iteration-1
+    Viterbi actually used (the EM prune — the inner cand2 join makes
+    pruned pieces unavailable), then the same positional unroll.
+    dp2_{i} simply has NO row for an unreachable (word, position), so
+    the final length-join drops unsegmentable words — the relational
+    equivalent of the Spark fold's NULL propagation."""
+    parts = [
+        """sc2 AS MATERIALIZED (
+  SELECT piece AS p,
+         CAST(length(bin(n_viterbi)) - ut.but AS BIGINT) AS w
+  FROM usage, utot ut
+)""",
+        """cand2 AS MATERIALIZED (
+  SELECT o.word, o.i, o.l, s.w FROM occ o JOIN sc2 s USING (p)
+)""",
+        """dp2_0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS k FROM words
+)""",
+    ]
+    for i in range(1, _MAXW + 1):
+        unions = "\n      UNION ALL\n      ".join(
+            f"SELECT c.word, d.v + c.w AS v, d.k + 1 AS k "
+            f"FROM cand2 c JOIN dp2_{i - lf} d ON d.word = c.word "
+            f"WHERE c.i = {i} AND c.l = {lf}"
+            for lf in range(1, min(_MAXP, i) + 1)
+        )
+        parts.append(
+            f"""dp2_{i} AS MATERIALIZED (
+  SELECT word, v, k FROM (
+    SELECT word, v, k,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY v DESC, k ASC) AS rn
+    FROM ({unions})
+  ) WHERE rn = 1
+)"""
+        )
+    alldp2 = "\n  UNION ALL ".join(
+        f"SELECT word, CAST({i} AS BIGINT) AS i, v, k FROM dp2_{i}"
+        for i in range(1, _MAXW + 1)
+    )
+    parts.append(
+        f"""alldp2 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS i, v, k FROM dp2_0
+  UNION ALL {alldp2}
+)"""
+    )
+    parts.append(
+        """enc2 AS MATERIALIZED (
+  SELECT w.word, w.n, d.v, d.k
+  FROM words w JOIN alldp2 d
+    ON d.word = w.word AND d.i = CAST(length(w.word) AS BIGINT)
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _q212_oracle() -> str:
+    return f"""WITH RECURSIVE {_uni_ctes()},
+{_usage_ctes()},
+{_dp2_ctes()}
+SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.k) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.v) AS BIGINT) AS ll_bits
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) x
+JOIN enc2 e ON e.word = x.word
+GROUP BY x.doc_id
+"""
+
+
+@register(
+    "q212_unigram_encode_em2",
+    oracle=_q212_oracle(),
+    doc="One FULL hard-EM training cycle applied: seed-vocab Viterbi "
+    "(q206) -> usage extraction (q207's E-step) -> integer score "
+    "re-binning with unused-piece pruning (M-step) -> corpus re-encoded "
+    "under the iteration-2 vocabulary. The composition proves the EM "
+    "loop composes the way a real SentencePiece trainer iterates, the "
+    "q203->q204 bounded-composition convention. Pruning makes the DP "
+    "partial, so the fold records NULL for unreachable positions and "
+    "drops unsegmentable words (the oracle's dp2 chain simply has no "
+    "row there — tested equivalent); the hard-EM invariant guarantees "
+    "every calibration word survives. Both DP passes are per-DISTINCT-"
+    "word over the once-checkpointed word table; the corpus is touched "
+    "exactly twice regardless of iteration count.",
+)
+def q212_unigram_encode_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_encode_docs_em2(load(spark, sf_dir, "documents"))

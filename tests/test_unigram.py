@@ -135,3 +135,72 @@ def test_fertility_compare(spark):
     # 3 BPE merges barely compress; the substring-seeded unigram with
     # 4-char pieces must beat it on this corpus
     assert rows["unigram"]["fert_micros"] < rows["bpe3"]["fert_micros"]
+
+
+def test_em2_encode_matches_python_reference(spark):
+    """Iteration-2 encoding (full EM cycle: seed Viterbi -> usage ->
+    re-binned pruned vocab -> re-Viterbi) must match an independent
+    Python replay per word, and the hard-EM invariant must hold: every
+    calibration word stays segmentable under the pruned vocab."""
+    from etl_pipeline_candy_store_spark.operators.unigram import (
+        unigram_encode_docs_em2,
+    )
+
+    texts = _texts(spark)
+    words, wt, _, seg = _py_reference(texts)
+    usage: Counter = Counter()
+    for w, n in words.items():
+        for p in seg[w]:
+            usage[p] += n
+    u_tot = sum(usage.values()).bit_length()
+    wt2 = {p: c.bit_length() - u_tot for p, c in usage.items()}
+
+    # iteration-2 Viterbi under the pruned vocab (same DP, partial)
+    enc2: dict[str, tuple[int, int]] = {}
+    for w in words:
+        best: list[tuple[int, int] | None] = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = []
+            for length in range(1, min(_MAXP, i) + 1):
+                p = w[i - length : i]
+                if p in wt2 and best[i - length] is not None:
+                    v, k = best[i - length]
+                    cands.append((v + wt2[p], k + 1))
+            best.append(
+                max(cands, key=lambda x: (x[0], -x[1])) if cands else None
+            )
+        assert best[len(w)] is not None, (
+            f"hard-EM invariant violated: {w!r} unsegmentable"
+        )
+        enc2[w] = best[len(w)]
+
+    # per-doc expectation from the word-level reference
+    want: dict[int, tuple[int, int, int]] = {}
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    for r in docs:
+        n_words = n_pieces = ll = 0
+        for w in r["text"].split(" "):
+            if w in enc2:
+                v, k = enc2[w]
+                n_words += 1
+                n_pieces += k
+                ll += v
+        if n_words:
+            want[r["doc_id"]] = (n_words, n_pieces, ll)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["ll_bits"])
+        for r in unigram_encode_docs_em2(
+            load(spark, SF, "documents")
+        ).collect()
+    }
+    assert got == want
+    # EM tightened the model: corpus log-likelihood must not decrease
+    _, _, enc1 = (
+        None,
+        None,
+        {w: e for w, e in _py_reference(texts)[2].items()},
+    )
+    ll1 = sum(words[w] * enc1[w][0] for w in words)
+    ll2 = sum(words[w] * enc2[w][0] for w in words)
+    assert ll2 >= ll1, "re-estimation must not reduce total likelihood"

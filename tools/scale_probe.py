@@ -188,6 +188,9 @@ HEADLINE = [
     # two-integer-column relation into a 32-group combinable agg -
     # must track the scan linearly.
     "q211_bootstrap_pass_rate",
+    # q212: two vocabulary-bounded DP passes + one corpus encode join -
+    # the q206 shape with a second (smaller, pruned) DP chain.
+    "q212_unigram_encode_em2",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
