@@ -112,6 +112,7 @@ def _ensure_loaded() -> None:
         corpus_curation,
         curation,
         dedup,
+        entity,
         evaluate,
         graph,
         layout,

@@ -1,0 +1,105 @@
+"""Entity resolution (q213): Spark must equal an independent Python
+union-find replay of the blocking + verify + closure semantics, every
+dirty re-registration must resolve to its parent's entity, and the
+3-record entities must exist only through transitive closure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.entity import (
+    _ER_MAX_DIST,
+    _ER_V1_MOD,
+    _ER_V1_OFFSET,
+    _ER_V2_MOD,
+    _ER_V2_OFFSET,
+    q213_entity_resolution,
+)
+from etl_pipeline_candy_store_spark.plans.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _py_reference(customers):
+    regs = {}
+    for ck, name, nk in customers:
+        regs[ck] = (name, nk)
+        if ck % _ER_V1_MOD == 0:
+            regs[ck + _ER_V1_OFFSET] = (name[:11] + "Z" + name[12:], nk)
+        if ck % _ER_V2_MOD == 0:
+            regs[ck + _ER_V2_OFFSET] = (name[:12] + "Q" + name[13:], nk)
+    blocks: dict[tuple, list[int]] = {}
+    for rid, (name, nk) in regs.items():
+        blocks.setdefault((nk, name[14:18]), []).append(rid)
+    parent = {rid: rid for rid in regs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = set()
+    for members in blocks.values():
+        for i, ra in enumerate(members):
+            for rb in members[i + 1 :]:
+                lo, hi = min(ra, rb), max(ra, rb)
+                if _lev(regs[lo][0], regs[hi][0]) <= _ER_MAX_DIST:
+                    pairs.add((lo, hi))
+                    parent[find(lo)] = find(hi)
+    # entity = min reg in component
+    comp: dict[int, list[int]] = {}
+    for rid in regs:
+        comp.setdefault(find(rid), []).append(rid)
+    entity = {}
+    for members in comp.values():
+        m = min(members)
+        for rid in members:
+            entity[rid] = m
+    return regs, pairs, entity
+
+
+def test_entity_resolution_matches_python_reference(spark):
+    customers = [
+        (r["c_custkey"], r["c_name"], r["c_nationkey"])
+        for r in load(spark, SF, "customer").collect()
+    ]
+    regs, pairs, want = _py_reference(customers)
+    got = {
+        r["reg_id"]: r["entity_id"]
+        for r in q213_entity_resolution(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == len(regs)
+
+    # every dirty re-registration resolves to its parent's entity
+    for rid in regs:
+        if rid >= _ER_V1_OFFSET:
+            parent_id = rid % _ER_V1_OFFSET
+            assert got[rid] == got[parent_id], rid
+
+    # 3-record entities exist, and ONLY via transitivity: the two
+    # variants of a customer are distance 2 apart (never a direct pair)
+    triples = [
+        ck
+        for ck, _, _ in customers
+        if ck % _ER_V2_MOD == 0
+    ]
+    assert triples, "fixture must contain 3-record entities"
+    for ck in triples:
+        v1, v2 = ck + _ER_V1_OFFSET, ck + _ER_V2_OFFSET
+        assert got[v1] == got[v2] == got[ck]
+        assert _lev(regs[v1][0], regs[v2][0]) == 2
+        assert (min(v1, v2), max(v1, v2)) not in pairs

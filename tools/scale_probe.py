@@ -191,6 +191,10 @@ HEADLINE = [
     # q212: two vocabulary-bounded DP passes + one corpus encode join -
     # the q206 shape with a second (smaller, pruned) DP chain.
     "q212_unigram_encode_em2",
+    # q213 is NOT probed: customer is a fixed dimension in this
+    # expansion (like q191's part), so the probe would measure
+    # overhead; its fact-scale path - the block-keyed equi-join with
+    # in-block verify - is the q169/q51 blocked-join family, probed.
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
