@@ -88,6 +88,7 @@ HEADLINE = [
     "q211_bootstrap_pass_rate", # multiplier-bootstrap CI for funnel yield (r10)
     "q212_unigram_encode_em2",  # full EM cycle: prune + re-Viterbi encode (r10)
     "q213_entity_resolution",   # blocked record linkage + entity closure (r10)
+    "q214_blocking_quality",    # pair completeness / reduction ratio (r10)
 ]
 
 

@@ -162,3 +162,105 @@ def q213_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entity_id"),
     )
+
+
+@register(
+    "q214_blocking_quality",
+    oracle=f"""
+WITH {_ER_REGS_SQL},
+blocked AS (
+  SELECT reg_id, name, nk, substr(name, 15, 4) AS blk FROM regs
+),
+cand AS (
+  SELECT a.reg_id AS ra, b.reg_id AS rb
+  FROM blocked a
+  JOIN blocked b ON a.nk = b.nk AND a.blk = b.blk AND a.reg_id < b.reg_id
+),
+truth AS (
+  SELECT c_custkey AS ra, c_custkey + {_ER_V1_OFFSET} AS rb
+  FROM customer WHERE c_custkey % {_ER_V1_MOD} = 0
+  UNION ALL
+  SELECT c_custkey, c_custkey + {_ER_V2_OFFSET}
+  FROM customer WHERE c_custkey % {_ER_V2_MOD} = 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs FROM regs),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+      JOIN cand c ON c.ra = t.ra AND c.rb = t.rb) AS n_true_covered,
+    n.n_regs
+  FROM n
+)
+SELECT n_regs, n_candidates, n_true, n_true_covered,
+       CAST(n_true_covered * 1000000 // n_true AS BIGINT)
+         AS pair_completeness_ppm,
+       CAST(1000000 - (n_candidates * 2000000)
+            // (n_regs * (n_regs - 1)) AS BIGINT) AS reduction_ratio_ppm
+FROM counts
+""",
+    doc="Blocking-scheme quality report for the q213 resolver — the two "
+    "numbers every record-linkage textbook demands before trusting a "
+    "blocking key: PAIR COMPLETENESS (fraction of true matches whose "
+    "pair survives blocking — the variant construction IS the ground "
+    "truth, so this is exact, and 1.0 here because corruption "
+    "respects the block key) and REDUCTION RATIO (fraction of the "
+    "O(n²) pair space the blocks never generate). Both integer ppm. "
+    "One block-keyed candidate count + a broadcast-sized truth join; "
+    "at 100 TB this is the cheap pre-flight that says whether the "
+    "expensive verify stage gets 10^6 or 10^12 candidates.",
+)
+def q214_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    regs = registrations(c).localCheckpoint(eager=True)
+    blocked = regs.select(
+        "reg_id", "nk", F.substring("name", 15, 4).alias("blk")
+    )
+    cand = (
+        blocked.select(F.col("reg_id").alias("ra"), "nk", "blk")
+        .join(blocked.select(F.col("reg_id").alias("rb"), "nk", "blk"), ["nk", "blk"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+    )
+    v1 = c.filter(F.col("c_custkey") % _ER_V1_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("rb"),
+    )
+    v2 = c.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("rb"),
+    )
+    truth = v1.unionByName(v2)
+    covered = truth.join(cand, ["ra", "rb"], "left_semi")
+    stats = (
+        regs.agg(F.count(F.lit(1)).cast("long").alias("n_regs"))
+        .crossJoin(
+            F.broadcast(
+                cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        )
+        .crossJoin(
+            F.broadcast(
+                covered.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_true_covered")
+                )
+            )
+        )
+    )
+    return stats.select(
+        "n_regs",
+        "n_candidates",
+        "n_true",
+        "n_true_covered",
+        F.expr("CAST(n_true_covered * 1000000 div n_true AS BIGINT)").alias(
+            "pair_completeness_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 - (n_candidates * 2000000)"
+            " div (n_regs * (n_regs - 1)) AS BIGINT)"
+        ).alias("reduction_ratio_ppm"),
+    )

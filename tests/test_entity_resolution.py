@@ -103,3 +103,87 @@ def test_entity_resolution_matches_python_reference(spark):
         assert got[v1] == got[v2] == got[ck]
         assert _lev(regs[v1][0], regs[v2][0]) == 2
         assert (min(v1, v2), max(v1, v2)) not in pairs
+
+
+def test_stream_er_adversarial_order_matches_batch(spark, tmp_path):
+    """Streaming ER must equal batch q213 even under ADVERSARIAL
+    arrival: both dirty variants of a customer arrive BEFORE the
+    parent, so they sit in separate entities until the parent's batch
+    bridges them — the merge case a label-materializing stream gets
+    wrong and the append-only edge design handles for free. Replay of
+    the bridging batch must be idempotent."""
+    import time
+
+    from etl_pipeline_candy_store_spark.operators.entity import (
+        registrations,
+    )
+    from etl_pipeline_candy_store_spark.streaming.entity_stream import (
+        apply_er_batch,
+        read_resolved_entities,
+        stream_entity_resolution,
+    )
+
+    want = {
+        r["reg_id"]: r["entity_id"]
+        for r in q213_entity_resolution(spark, SF).collect()
+    }
+
+    regs = registrations(load(spark, SF, "customer")).localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path / "er_src")
+    # adversarial order: v2 variants, then v1 variants, then originals
+    for lo, hi in [
+        (_ER_V2_OFFSET, 10_000_000),
+        (_ER_V1_OFFSET, _ER_V2_OFFSET),
+        (0, _ER_V1_OFFSET),
+    ]:
+        regs.filter(
+            (F.col("reg_id") >= lo) & (F.col("reg_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "er_state")
+    stream = (
+        spark.readStream.schema("reg_id bigint, name string, nk bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_entity_resolution(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_er"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["reg_id"]: r["entity_id"]
+        for r in read_resolved_entities(spark, state).collect()
+    }
+    assert got == want
+
+    # the merge case really happened: the two variant-only batches
+    # produced NO edges (variants are distance 2 from each other), so
+    # the %60 customers' variants sat in separate entities until the
+    # parents' batch bridged them
+    from etl_pipeline_candy_store_spark.streaming.neardup_stream import (
+        _read_state,
+    )
+
+    pairs_before = (
+        _read_state(spark, f"{state}/pairs", "ra bigint, rb bigint")
+        .filter(F.col("batch") < 2)
+        .count()
+    )
+    assert pairs_before == 0, (
+        "variants must not match each other directly (distance 2)"
+    )
+
+    # crash replay of the bridging batch (the originals) is idempotent
+    apply_er_batch(regs.filter(F.col("reg_id") < _ER_V1_OFFSET), state, 2)
+    again = {
+        r["reg_id"]: r["entity_id"]
+        for r in read_resolved_entities(spark, state).collect()
+    }
+    assert again == got
