@@ -89,6 +89,7 @@ HEADLINE = [
     "q212_unigram_encode_em2",  # full EM cycle: prune + re-Viterbi encode (r10)
     "q213_entity_resolution",   # blocked record linkage + entity closure (r10)
     "q214_blocking_quality",    # pair completeness / reduction ratio (r10)
+    "q215_resolution_quality",  # entity-level pair precision/recall (r10)
 ]
 
 

@@ -264,3 +264,130 @@ def q214_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_regs * (n_regs - 1)) AS BIGINT)"
         ).alias("reduction_ratio_ppm"),
     )
+
+
+@register(
+    "q215_resolution_quality",
+    oracle=f"""
+WITH RECURSIVE {_ER_REGS_SQL},
+blocked AS (
+  SELECT reg_id, name, nk, substr(name, 15, 4) AS blk FROM regs
+),
+pairs AS (
+  SELECT a.reg_id AS ra, b.reg_id AS rb
+  FROM blocked a
+  JOIN blocked b ON a.nk = b.nk AND a.blk = b.blk AND a.reg_id < b.reg_id
+  WHERE levenshtein(a.name, b.name) <= {_ER_MAX_DIST}
+),
+edges AS (
+  SELECT ra AS src, rb AS dst FROM pairs
+  UNION
+  SELECT rb, ra FROM pairs
+),
+reach(node, lab) AS (
+  SELECT reg_id, reg_id FROM regs
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+resolved AS MATERIALIZED (
+  SELECT node AS reg_id, CAST(MIN(lab) AS BIGINT) AS entity_id
+  FROM reach GROUP BY node
+),
+implied AS MATERIALIZED (
+  SELECT a.reg_id AS ra, b.reg_id AS rb
+  FROM resolved a JOIN resolved b
+    ON a.entity_id = b.entity_id AND a.reg_id < b.reg_id
+),
+truth AS MATERIALIZED (
+  SELECT c_custkey AS ra, c_custkey + {_ER_V1_OFFSET} AS rb
+  FROM customer WHERE c_custkey % {_ER_V1_MOD} = 0
+  UNION ALL
+  SELECT c_custkey, c_custkey + {_ER_V2_OFFSET}
+  FROM customer WHERE c_custkey % {_ER_V2_MOD} = 0
+  UNION ALL
+  SELECT c_custkey + {_ER_V1_OFFSET}, c_custkey + {_ER_V2_OFFSET}
+  FROM customer WHERE c_custkey % {_ER_V2_MOD} = 0
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT entity_id) AS BIGINT) FROM resolved)
+      AS n_entities,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM implied) AS n_implied_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+      JOIN implied i ON i.ra = t.ra AND i.rb = t.rb) AS n_hit
+)
+SELECT n_entities, n_implied_pairs, n_true_pairs, n_hit,
+       CAST(n_hit * 1000000 // n_implied_pairs AS BIGINT)
+         AS pair_precision_ppm,
+       CAST(n_hit * 1000000 // n_true_pairs AS BIGINT) AS pair_recall_ppm
+FROM counts
+""",
+    doc="Resolution-quality audit for the q213 resolver — pairwise "
+    "precision/recall at the ENTITY level, the standard ER evaluation "
+    "(q214 audits the blocking stage; this audits the end result). "
+    "Implied pairs = all same-entity registration pairs AFTER closure; "
+    "truth = all same-TRUE-entity pairs, INCLUDING the variant-variant "
+    "pairs that no direct match produces — so recall measures exactly "
+    "what transitive closure buys, and precision exposes any distance-1 "
+    "block collisions the resolver over-merges. Integer ppm. Implied "
+    "pairs are one entity-keyed self-join whose fan-out is bounded by "
+    "entity size (<= 3 here; a real deployment caps or samples "
+    "mega-entities first — the q135 skew-probe discipline).",
+)
+def q215_resolution_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    resolved = q213_entity_resolution(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    a = resolved.select(F.col("reg_id").alias("ra"), "entity_id")
+    b = resolved.select(F.col("reg_id").alias("rb"), "entity_id")
+    implied = a.join(b, "entity_id").filter(F.col("ra") < F.col("rb")).select(
+        "ra", "rb"
+    )
+    v1 = c.filter(F.col("c_custkey") % _ER_V1_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("rb"),
+    )
+    v2 = c.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("rb"),
+    )
+    vv = c.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("ra"),
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("rb"),
+    )
+    truth = v1.unionByName(v2).unionByName(vv).localCheckpoint(eager=True)
+    hit = truth.join(implied, ["ra", "rb"], "left_semi")
+    return (
+        resolved.agg(
+            F.countDistinct("entity_id").cast("long").alias("n_entities")
+        )
+        .crossJoin(
+            F.broadcast(
+                implied.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_implied_pairs")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        )
+        .select(
+            "n_entities",
+            "n_implied_pairs",
+            "n_true_pairs",
+            "n_hit",
+            F.expr(
+                "CAST(n_hit * 1000000 div n_implied_pairs AS BIGINT)"
+            ).alias("pair_precision_ppm"),
+            F.expr("CAST(n_hit * 1000000 div n_true_pairs AS BIGINT)").alias(
+                "pair_recall_ppm"
+            ),
+        )
+    )

@@ -187,3 +187,40 @@ def test_stream_er_adversarial_order_matches_batch(spark, tmp_path):
         for r in read_resolved_entities(spark, state).collect()
     }
     assert again == got
+
+
+def test_resolution_quality_metrics(spark):
+    """The ER quality audit must report perfect recall (transitive
+    closure recovers every true pair INCLUDING variant-variant) and
+    expose its counts consistently against the Python reference."""
+    from etl_pipeline_candy_store_spark.operators.entity import (
+        q215_resolution_quality,
+    )
+
+    customers = [
+        (r["c_custkey"], r["c_name"], r["c_nationkey"])
+        for r in load(spark, SF, "customer").collect()
+    ]
+    regs, _, entity = _py_reference(customers)
+    comp: dict[int, list[int]] = {}
+    for rid, e in entity.items():
+        comp.setdefault(e, []).append(rid)
+    implied = sum(len(m) * (len(m) - 1) // 2 for m in comp.values())
+    truth = set()
+    for ck, _, _ in customers:
+        if ck % _ER_V1_MOD == 0:
+            truth.add((ck, ck + _ER_V1_OFFSET))
+        if ck % _ER_V2_MOD == 0:
+            truth.add((ck, ck + _ER_V2_OFFSET))
+            truth.add((ck + _ER_V1_OFFSET, ck + _ER_V2_OFFSET))
+    hit = sum(1 for a, b in truth if entity[a] == entity[b])
+
+    row = q215_resolution_quality(spark, SF).collect()[0]
+    assert row["n_entities"] == len(comp)
+    assert row["n_implied_pairs"] == implied
+    assert row["n_true_pairs"] == len(truth)
+    assert row["n_hit"] == hit
+    assert row["pair_recall_ppm"] == 1_000_000, (
+        "closure must recover every true pair, incl. variant-variant"
+    )
+    assert row["pair_precision_ppm"] == hit * 1_000_000 // implied
