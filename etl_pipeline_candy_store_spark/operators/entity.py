@@ -196,8 +196,9 @@ counts AS (
 SELECT n_regs, n_candidates, n_true, n_true_covered,
        CAST(n_true_covered * 1000000 // n_true AS BIGINT)
          AS pair_completeness_ppm,
-       CAST(1000000 - (n_candidates * 2000000)
-            // (n_regs * (n_regs - 1)) AS BIGINT) AS reduction_ratio_ppm
+       CAST(1000000 - (CAST(n_candidates AS HUGEINT) * 2000000)
+            // (CAST(n_regs AS HUGEINT) * (n_regs - 1)) AS BIGINT)
+         AS reduction_ratio_ppm
 FROM counts
 """,
     doc="Blocking-scheme quality report for the q213 resolver — the two "
@@ -259,9 +260,13 @@ def q214_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_true_covered * 1000000 div n_true AS BIGINT)").alias(
             "pair_completeness_ppm"
         ),
+        # DECIMAL(38,0) staging: at the 100 TB pre-flight (~3e9
+        # registrations) n_regs*(n_regs-1) and n_candidates*2000000 both
+        # blow past int64; Spark's IntegralDivide on decimals stays exact
+        # (HUGEINT on the DuckDB side)
         F.expr(
-            "CAST(1000000 - (n_candidates * 2000000)"
-            " div (n_regs * (n_regs - 1)) AS BIGINT)"
+            "CAST(1000000 - (CAST(n_candidates AS DECIMAL(38,0)) * 2000000)"
+            " div (CAST(n_regs AS DECIMAL(38,0)) * (n_regs - 1)) AS BIGINT)"
         ).alias("reduction_ratio_ppm"),
     )
 

@@ -241,9 +241,14 @@ def bootstrap_rate_ci(flags: DataFrame, b_reps: int = _BOOT_B) -> DataFrame:
     fan = q.select(
         "doc_id", "passed", F.explode(F.expr(f"sequence(0, {b_reps - 1})")).alias("b")
     ).withColumn("w", _boot_w_spark())
+    # an all-zero-weight replicate (possible only on tiny corpora) yields
+    # NULL; coalesce to 0 BEFORE the order statistics — Spark collect_list
+    # drops NULLs while DuckDB list() sorts them first, so a NULL here
+    # would silently shift the 2nd-smallest/2nd-largest cross-engine
     rep = fan.groupBy("b").agg(
         F.expr(
-            "CAST(SUM(w * passed) * 1000000 div NULLIF(SUM(w), 0) AS BIGINT)"
+            "COALESCE(CAST(SUM(w * passed) * 1000000"
+            " div NULLIF(SUM(w), 0) AS BIGINT), 0)"
         ).alias("rate_ppm")
     )
     ci = rep.agg(
@@ -288,8 +293,8 @@ fan AS (
   FROM q, (SELECT unnest(range(0, {_BOOT_B})) AS b) bb
 ),
 rep AS (
-  SELECT b, CAST(SUM(w * passed) * 1000000 // NULLIF(SUM(w), 0) AS BIGINT)
-           AS rate_ppm
+  SELECT b, COALESCE(CAST(SUM(w * passed) * 1000000 // NULLIF(SUM(w), 0)
+                     AS BIGINT), 0) AS rate_ppm
   FROM fan GROUP BY b
 ),
 arr AS (SELECT list_sort(list(rate_ppm)) AS a FROM rep)

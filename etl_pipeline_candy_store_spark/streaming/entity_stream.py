@@ -68,6 +68,10 @@ def apply_er_batch(
             ["nk", "blk"],
         )
         .filter(F.levenshtein("nn", "no") <= max_dist)
+        # at-least-once redelivery can re-present a reg_id already in
+        # state; without this guard the probe emits a degenerate
+        # self-edge (ra=rb) that batch q213 can never produce
+        .filter(F.col("rn") != F.col("ro"))
         .select(
             F.least("rn", "ro").alias("ra"), F.greatest("rn", "ro").alias("rb")
         )

@@ -169,6 +169,9 @@ def apply_phash_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
             ),
             ["band_idx", "band_val"],
         )
+        # redelivered media_id would self-pair at hamming 0; the batch
+        # twin (phash_neardup_pairs) only emits a < b, so guard here too
+        .filter(F.col("m_new") != F.col("m_old"))
         .select(
             F.least("m_old", "m_new").alias("media_a"),
             F.greatest("m_old", "m_new").alias("media_b"),

@@ -78,8 +78,18 @@ def main() -> None:
     reps = spark.range(k).withColumnRenamed("id", "_rep")
     expand_documents(spark, base, big, reps)
 
-    # session warm-up at sf0.001: pays codegen + writer classloading once
-    timed_curate(spark, "/root/testdata/sf0.001", os.path.join(work, "warm"))
+    # session warm-up: pays codegen + writer classloading once. Prefer a
+    # tiny sibling fixture of the env-selected base dir; fall back to the
+    # base itself (correct, just a pricier warm-up) rather than crash on
+    # hosts without the /root/testdata layout.
+    warm_src = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_src):
+        print(
+            f"warn: warm-up fixture {warm_src} missing; warming on base dir",
+            file=sys.stderr,
+        )
+        warm_src = base
+    timed_curate(spark, warm_src, os.path.join(work, "warm"))
 
     t_base, stages_base, rep_base = timed_curate(
         spark, base, os.path.join(work, "out_base")
