@@ -1,0 +1,159 @@
+"""Stateful (incremental) near-dup inside curate(): the funnel must be
+hash-equal to the stateless mode on first run, replay, and growth, and
+the stateful path must correctly ignore stale state (changed content,
+shrunk corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.dedup import jaccard_pairs
+from etl_pipeline_candy_store_spark.operators.neardup_state import (
+    applied_runs,
+    compact_neardup_state,
+    neardup_pairs_incremental,
+)
+from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+    curate,
+    dedup_exact,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"])
+        for r in df.collect()
+    }
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_incremental_equals_stateless_first_run_and_replay(spark, tmp_path):
+    state = str(tmp_path / "state")
+    d1 = dedup_exact(_docs(spark))
+    want = _pairs_set(jaccard_pairs(d1))
+
+    got0 = _pairs_set(neardup_pairs_incremental(d1, state))
+    assert got0 == want
+    assert applied_runs(spark, state) == [0]
+
+    # replay: everything matched, nothing recomputed or re-stored
+    got1 = _pairs_set(neardup_pairs_incremental(d1, state))
+    assert got1 == want
+    assert applied_runs(spark, state) == [0, 1]
+    run1 = spark.read.parquet(f"{state}/per_doc").filter(F.col("run") == 1)
+    assert run1.count() == 0
+
+
+def test_incremental_equals_stateless_on_growth(spark, tmp_path):
+    state = str(tmp_path / "state")
+    docs = _docs(spark)
+    # build state from the prior slice; delta doc_ids are LOWER for some
+    # digests, so growth also exercises keeper churn at exact-dedup
+    prior = dedup_exact(docs.filter(F.col("doc_id") % 7 != 0))
+    neardup_pairs_incremental(prior, state).count()
+
+    d1_full = dedup_exact(docs)
+    got = _pairs_set(neardup_pairs_incremental(d1_full, state))
+    assert got == _pairs_set(jaccard_pairs(d1_full))
+
+
+def test_incremental_ignores_stale_state_on_changed_content(spark, tmp_path):
+    state = str(tmp_path / "state")
+    docs = _docs(spark).localCheckpoint(eager=True)
+    neardup_pairs_incremental(dedup_exact(docs), state).count()
+
+    # rewrite one doc's content in place (same doc_id, new digest):
+    # the old generation's shingles/pairs in state must not verify
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim, F.concat(F.lit("xx yy zz "), "text")
+        ).otherwise(F.col("text")),
+    )
+    d1 = dedup_exact(changed)
+    want = _pairs_set(jaccard_pairs(d1))
+    assert _pairs_set(neardup_pairs_incremental(d1, state)) == want
+    # the new generation is now in state ALONGSIDE the stale one; the
+    # generation-stamped pair filter must keep the old pairs dead
+    assert (
+        _pairs_set(neardup_pairs_incremental(d1, state, update_state=False))
+        == want
+    )
+
+
+def test_incremental_ignores_removed_docs(spark, tmp_path):
+    state = str(tmp_path / "state")
+    docs = _docs(spark)
+    neardup_pairs_incremental(dedup_exact(docs), state).count()
+
+    shrunk = dedup_exact(docs.filter(F.col("doc_id") % 3 != 0))
+    got = _pairs_set(
+        neardup_pairs_incremental(shrunk, state, update_state=False)
+    )
+    assert got == _pairs_set(jaccard_pairs(shrunk))
+
+
+def test_curate_stateful_funnel_equals_stateless(spark, tmp_path):
+    r_plain = curate(spark, SF, str(tmp_path / "a"), n_shards=2)
+    state = str(tmp_path / "state")
+    r_s1 = curate(
+        spark, SF, str(tmp_path / "b"), n_shards=2, corpus_state_dir=state
+    )
+    assert r_s1["funnel"] == r_plain["funnel"]
+    assert r_s1["governance"] == r_plain["governance"]
+    assert {k: v["n_docs"] for k, v in r_s1["splits"].items()} == {
+        k: v["n_docs"] for k, v in r_plain["splits"].items()
+    }
+    # shard manifests are content-addressed -> stateless/stateful exports
+    # are byte-identical, not just count-identical (path differs by dir)
+    def _m(r):
+        return {
+            k: {mk: mv for mk, mv in v["manifest"].items() if mk != "path"}
+            for k, v in r["splits"].items()
+        }
+
+    assert _m(r_s1) == _m(r_plain)
+
+    # replayed corpus: identical report again, near-dedup now state-fed
+    r_s2 = curate(
+        spark, SF, str(tmp_path / "c"), n_shards=2, corpus_state_dir=state
+    )
+    assert r_s2["funnel"] == r_plain["funnel"]
+    assert r_s2["governance"] == r_plain["governance"]
+
+
+def test_compact_neardup_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    docs = _docs(spark).localCheckpoint(eager=True)
+    d1 = dedup_exact(docs)
+    neardup_pairs_incremental(d1, state).count()
+    neardup_pairs_incremental(d1, state).count()  # appends an empty run
+
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim, F.concat(F.lit("aa bb cc "), "text")
+        ).otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+    d1c = dedup_exact(changed)
+    neardup_pairs_incremental(d1c, state).count()  # stale gen accumulates
+
+    stats = compact_neardup_state(spark, state, current=changed)
+    assert stats["runs_after"] == 1
+    # exactly one generation per doc survives compaction
+    pd = spark.read.parquet(f"{state}/per_doc")
+    assert pd.count() == pd.select("doc_id").distinct().count()
+    # and the compacted state still answers exactly
+    got = _pairs_set(
+        neardup_pairs_incremental(d1c, state, update_state=False)
+    )
+    assert got == _pairs_set(jaccard_pairs(d1c))
