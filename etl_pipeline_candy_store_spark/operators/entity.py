@@ -396,3 +396,516 @@ def q215_resolution_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter multi-attribute scoring (q217/q218): q213 matches on ONE
+# field at one distance; real record linkage weighs agreement evidence
+# across several attributes (Fellegi & Sunter 1969). Each candidate pair
+# gets a log-likelihood-ratio score sum(log2(m_k/u_k)) over agreeing
+# attributes k plus sum(log2((1-m_k)/(1-u_k))) over disagreeing ones,
+# classified by threshold. u_k (chance agreement among non-matches) is
+# ESTIMATED from the candidate set itself (one aggregate); m_k (agreement
+# among true matches) is a fixed documented prior. All weights are
+# integer log2 bins from cross-multiplication only (the q202 discipline:
+# a float log could drift an ulp across engines), DECIMAL(38,0)/HUGEINT
+# staged so the products survive ~1e12-candidate pre-flights.
+# --------------------------------------------------------------------------
+
+_FS_M_NUM, _FS_M_DEN = 15, 16  # m_k prior: P(attribute agrees | match)
+# classify match at summed-log2 >= 20: under the capped weights a pair
+# must agree on name AND at least one strong attribute (phone/addr);
+# name+mktsegment alone (the best a non-match can do here, score 14)
+# stays below the line
+_FS_THRESHOLD = 20
+_FS_BIN_LO, _FS_BIN_HI = -20, 20
+
+
+def _fs_bin_case(a: str, b: str) -> str:
+    """floor(log2(a/b)) clamped to [lo, hi], by integer comparison ladder
+    only — a and b must already be DECIMAL(38,0)/HUGEINT expressions."""
+    w = [
+        f"WHEN {a} >= {2 ** k} * {b} THEN {k}"
+        for k in range(_FS_BIN_HI, 0, -1)
+    ]
+    w.append(f"WHEN {a} >= {b} THEN 0")
+    w += [
+        f"WHEN {2 ** (-k)} * {a} >= {b} THEN {k}"
+        for k in range(-1, _FS_BIN_LO, -1)
+    ]
+    return "CASE " + " ".join(w) + f" ELSE {_FS_BIN_LO} END"
+
+
+# the rich registration relation: base customers plus two deterministic
+# dirty variants, each corrupting INSIDE one blocking key so no single
+# blocking pass is complete (v1 breaks the phone block, v2 the name
+# block) — the multi-pass union is what restores pair completeness.
+# The test corpus's customer table carries no phone/address, so both are
+# synthesized from c_custkey by integer arithmetic identical in both
+# engines (injective mod 1e8 / 1e6, so phones are unique per customer —
+# a realistic strong attribute)
+_ER_FULL_REGS_SQL = f"""
+cbase AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         lpad(CAST((c_custkey * 7919 + 13) % 100000000 AS VARCHAR), 8, '0')
+           AS ph,
+         'ADDR-' ||
+           lpad(CAST((c_custkey * 104729 + 7) % 1000000 AS VARCHAR), 6, '0')
+           AS ad
+  FROM customer
+),
+regsf AS (
+  SELECT c_custkey AS reg_id, c_name AS name, c_nationkey AS nk,
+         ph AS phone, ad AS addr, c_mktsegment AS mkt
+  FROM cbase
+  UNION ALL
+  SELECT c_custkey + {_ER_V1_OFFSET},
+         substr(c_name, 1, 11) || 'Z' || substr(c_name, 13), c_nationkey,
+         substr(ph, 1, 7) || 'X', ad, c_mktsegment
+  FROM cbase WHERE c_custkey % {_ER_V1_MOD} = 0
+  UNION ALL
+  SELECT c_custkey + {_ER_V2_OFFSET},
+         substr(c_name, 1, 16) || 'Q' || substr(c_name, 18), c_nationkey,
+         ph, 'XX' || substr(ad, 3), c_mktsegment
+  FROM cbase WHERE c_custkey % {_ER_V2_MOD} = 0
+)"""
+
+# multi-pass blocking: (nk, name chars 15-18) UNION (nk, full phone);
+# v1 survives the name pass, v2 the phone pass
+_FS_CAND_SQL = """
+cand AS (
+  SELECT DISTINCT ra, rb FROM (
+    SELECT a.reg_id AS ra, b.reg_id AS rb
+    FROM regsf a JOIN regsf b
+      ON a.nk = b.nk AND substr(a.name, 17, 2) = substr(b.name, 17, 2)
+     AND a.reg_id < b.reg_id
+    UNION ALL
+    SELECT a.reg_id, b.reg_id
+    FROM regsf a JOIN regsf b
+      ON a.nk = b.nk AND a.phone = b.phone
+     AND a.reg_id < b.reg_id
+  )
+)"""
+
+_FS_ATTRS = ("name", "phone", "addr", "mkt")
+
+
+def registrations_full(customers: DataFrame) -> DataFrame:
+    """(reg_id, name, nk, phone, addr, mkt) with the two dirty variants
+    of :data:`_ER_FULL_REGS_SQL` built identically in Spark."""
+    cbase = customers.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.lpad(
+            ((F.col("c_custkey") * 7919 + 13) % 100_000_000).cast("string"),
+            8,
+            "0",
+        ).alias("ph"),
+        F.concat(
+            F.lit("ADDR-"),
+            F.lpad(
+                ((F.col("c_custkey") * 104729 + 7) % 1_000_000).cast("string"),
+                6,
+                "0",
+            ),
+        ).alias("ad"),
+    )
+    base = cbase.select(
+        F.col("c_custkey").alias("reg_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("ph").alias("phone"),
+        F.col("ad").alias("addr"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+    v1 = cbase.filter(F.col("c_custkey") % _ER_V1_MOD == 0).select(
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("reg_id"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("Z"),
+            F.expr("substring(c_name, 13)"),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.concat(F.substring("ph", 1, 7), F.lit("X")).alias("phone"),
+        F.col("ad").alias("addr"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+    v2 = cbase.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("reg_id"),
+        F.concat(
+            F.substring("c_name", 1, 16),
+            F.lit("Q"),
+            F.expr("substring(c_name, 18)"),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("ph").alias("phone"),
+        F.concat(F.lit("XX"), F.expr("substring(ad, 3)")).alias("addr"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+    return base.unionByName(v1).unionByName(v2)
+
+
+def fs_candidates(regsf: DataFrame) -> DataFrame:
+    """Multi-pass blocked candidate pairs carrying both sides'
+    attributes: union of the (nk, name-suffix) and (nk, phone-suffix)
+    passes, deduped on (ra, rb). Each pass is one block-keyed equi-join;
+    the O(n²) space never materializes."""
+    withkeys = regsf.select(
+        "reg_id",
+        "name",
+        "nk",
+        "phone",
+        "addr",
+        "mkt",
+        F.substring("name", 17, 2).alias("blk_name"),
+        F.col("phone").alias("blk_phone"),
+    )
+
+    def _pass(key: str) -> DataFrame:
+        a = withkeys.select(
+            F.col("reg_id").alias("ra"),
+            F.col("name").alias("name_a"),
+            F.col("phone").alias("phone_a"),
+            F.col("addr").alias("addr_a"),
+            F.col("mkt").alias("mkt_a"),
+            "nk",
+            key,
+        )
+        b = withkeys.select(
+            F.col("reg_id").alias("rb"),
+            F.col("name").alias("name_b"),
+            F.col("phone").alias("phone_b"),
+            F.col("addr").alias("addr_b"),
+            F.col("mkt").alias("mkt_b"),
+            "nk",
+            key,
+        )
+        return (
+            a.join(b, ["nk", key])
+            .filter(F.col("ra") < F.col("rb"))
+            .drop("nk", key)
+        )
+
+    # first-pass-wins dedup on the pair key, q68's first-agreeing-band
+    # trick generalized to blocking passes: cheaper than distinct over
+    # the attribute-wide rows
+    return (
+        _pass("blk_name")
+        .withColumn("bpass", F.lit(0))
+        .unionByName(_pass("blk_phone").withColumn("bpass", F.lit(1)))
+        .groupBy("ra", "rb")
+        .agg(
+            F.min_by("name_a", "bpass").alias("name_a"),
+            F.min_by("name_b", "bpass").alias("name_b"),
+            F.min_by("phone_a", "bpass").alias("phone_a"),
+            F.min_by("phone_b", "bpass").alias("phone_b"),
+            F.min_by("addr_a", "bpass").alias("addr_a"),
+            F.min_by("addr_b", "bpass").alias("addr_b"),
+            F.min_by("mkt_a", "bpass").alias("mkt_a"),
+            F.min_by("mkt_b", "bpass").alias("mkt_b"),
+        )
+    )
+
+
+def fs_gamma(cand: DataFrame) -> DataFrame:
+    """Per-pair agreement pattern: name agrees within edit distance 1,
+    the rest agree on equality. Integer 0/1 flags."""
+    return cand.select(
+        "ra",
+        "rb",
+        (F.levenshtein("name_a", "name_b") <= 1).cast("int").alias("g_name"),
+        (F.col("phone_a") == F.col("phone_b")).cast("int").alias("g_phone"),
+        (F.col("addr_a") == F.col("addr_b")).cast("int").alias("g_addr"),
+        (F.col("mkt_a") == F.col("mkt_b")).cast("int").alias("g_mkt"),
+    )
+
+
+def fs_random_pair_gamma(regsf: DataFrame) -> DataFrame:
+    """Agreement patterns over deterministic RANDOM pairings of the base
+    registrations — reg k paired with reg k+17 (a stride that always
+    changes at least two name digits, so no accidental near-agreement).
+    This is where the u-probabilities come from: estimating u from the
+    blocked candidates would be circular (blocking enriches matches, so
+    u→m and the weights degenerate — the classic FS pitfall)."""
+    base = regsf.filter(F.col("reg_id") < _ER_V1_OFFSET)
+    a = base.select(
+        F.col("reg_id").alias("ra"),
+        F.col("name").alias("name_a"),
+        F.col("phone").alias("phone_a"),
+        F.col("addr").alias("addr_a"),
+        F.col("mkt").alias("mkt_a"),
+    )
+    b = base.select(
+        (F.col("reg_id") - 17).alias("ra"),
+        F.col("reg_id").alias("rb"),
+        F.col("name").alias("name_b"),
+        F.col("phone").alias("phone_b"),
+        F.col("addr").alias("addr_b"),
+        F.col("mkt").alias("mkt_b"),
+    )
+    return fs_gamma(a.join(b, "ra"))
+
+
+def fs_weights(gamma_u: DataFrame) -> DataFrame:
+    """ONE-row weight frame: per attribute k, the agree weight
+    floor(log2(m/u_k)) and disagree weight floor(log2((1-m)/(1-u_k))),
+    with u_k = n_agree_k / n_cand estimated from the random-pairing
+    gamma (:func:`fs_random_pair_gamma`) and m = 15/16 the documented
+    prior. Integer ladder over DECIMAL(38,0) products — no float log
+    anywhere; u_k = 0 clamps the agree weight at the ladder cap."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_cand")]
+    aggs += [
+        F.sum(f"g_{k}").cast("long").alias(f"n_{k}") for k in _FS_ATTRS
+    ]
+    u = gamma_u.agg(*aggs)
+    dec = "DECIMAL(38,0)"
+    cols = []
+    for k in _FS_ATTRS:
+        a_agree = f"CAST({_FS_M_NUM} AS {dec}) * n_cand"
+        b_agree = f"CAST({_FS_M_DEN} AS {dec}) * n_{k}"
+        a_dis = f"CAST({_FS_M_DEN - _FS_M_NUM} AS {dec}) * n_cand"
+        b_dis = f"CAST({_FS_M_DEN} AS {dec}) * (n_cand - n_{k})"
+        cols.append(F.expr(_fs_bin_case(a_agree, b_agree)).alias(f"wa_{k}"))
+        cols.append(F.expr(_fs_bin_case(a_dis, b_dis)).alias(f"wd_{k}"))
+    return u.select(*cols)
+
+
+def fs_scores(regsf: DataFrame) -> DataFrame:
+    """Fellegi-Sunter scored candidate pairs: (ra, rb, g_*, score,
+    is_match). The weight frame is 1 row, broadcast back over the
+    candidates — two scans of the registration relation total."""
+    gamma = fs_gamma(fs_candidates(regsf))
+    w = fs_weights(fs_random_pair_gamma(regsf))
+    score = None
+    for k in _FS_ATTRS:
+        term = F.when(F.col(f"g_{k}") == 1, F.col(f"wa_{k}")).otherwise(
+            F.col(f"wd_{k}")
+        )
+        score = term if score is None else score + term
+    return gamma.crossJoin(F.broadcast(w)).select(
+        "ra",
+        "rb",
+        "g_name",
+        "g_phone",
+        "g_addr",
+        "g_mkt",
+        score.cast("long").alias("score"),
+        (score >= _FS_THRESHOLD).cast("int").alias("is_match"),
+    )
+
+
+def _fs_score_sql() -> str:
+    """The per-pair score as SQL over gamma columns g_* and weight
+    columns wa_*/wd_* (same names as the Spark frames)."""
+    return " + ".join(
+        f"CASE WHEN g_{k} = 1 THEN wa_{k} ELSE wd_{k} END" for k in _FS_ATTRS
+    )
+
+
+_FS_GAMMA_SQL = f"""
+gamma AS (
+  SELECT c.ra, c.rb,
+         CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS g_name,
+         CASE WHEN a.phone = b.phone THEN 1 ELSE 0 END AS g_phone,
+         CASE WHEN a.addr = b.addr THEN 1 ELSE 0 END AS g_addr,
+         CASE WHEN a.mkt = b.mkt THEN 1 ELSE 0 END AS g_mkt
+  FROM cand c
+  JOIN regsf a ON a.reg_id = c.ra
+  JOIN regsf b ON b.reg_id = c.rb
+),
+ugamma AS (
+  SELECT
+    CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS g_name,
+    CASE WHEN a.phone = b.phone THEN 1 ELSE 0 END AS g_phone,
+    CASE WHEN a.addr = b.addr THEN 1 ELSE 0 END AS g_addr,
+    CASE WHEN a.mkt = b.mkt THEN 1 ELSE 0 END AS g_mkt
+  FROM regsf a JOIN regsf b ON b.reg_id = a.reg_id + 17
+  WHERE a.reg_id < {_ER_V1_OFFSET} AND b.reg_id < {_ER_V1_OFFSET}
+)"""
+
+
+def _fs_weights_sql() -> str:
+    parts = []
+    for k in _FS_ATTRS:
+        a_agree = f"CAST({_FS_M_NUM} AS HUGEINT) * n_cand"
+        b_agree = f"CAST({_FS_M_DEN} AS HUGEINT) * n_{k}"
+        a_dis = f"CAST({_FS_M_DEN - _FS_M_NUM} AS HUGEINT) * n_cand"
+        b_dis = f"CAST({_FS_M_DEN} AS HUGEINT) * (n_cand - n_{k})"
+        parts.append(f"{_fs_bin_case(a_agree, b_agree)} AS wa_{k}")
+        parts.append(f"{_fs_bin_case(a_dis, b_dis)} AS wd_{k}")
+    sums = ", ".join(
+        [f"CAST(SUM(g_{k}) AS BIGINT) AS n_{k}" for k in _FS_ATTRS]
+    )
+    return f"""
+u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand, {sums} FROM ugamma),
+w AS (SELECT {", ".join(parts)} FROM u)"""
+
+
+@register(
+    "q217_fellegi_sunter",
+    oracle=f"""
+WITH {_ER_FULL_REGS_SQL.strip()},
+{_FS_CAND_SQL.strip()},
+{_FS_GAMMA_SQL.strip()},
+{_fs_weights_sql().strip()}
+SELECT g.ra, g.rb,
+       CAST(g_name AS INT) AS g_name, CAST(g_phone AS INT) AS g_phone,
+       CAST(g_addr AS INT) AS g_addr, CAST(g_mkt AS INT) AS g_mkt,
+       CAST({_fs_score_sql()} AS BIGINT) AS score,
+       CAST(CASE WHEN {_fs_score_sql()} >= {_FS_THRESHOLD}
+            THEN 1 ELSE 0 END AS INT) AS is_match
+FROM gamma g CROSS JOIN w
+""",
+    doc="Fellegi-Sunter multi-attribute record-linkage scoring: "
+    "candidates from TWO blocking passes (nk+name-suffix, "
+    "nk+phone-suffix — each dirty variant defeats exactly one pass, so "
+    "only the union is complete), per-pair agreement pattern over "
+    "(name<=1 edit, phone, addr, mktsegment), score = sum of "
+    "floor(log2(m/u_k)) over agreements + floor(log2((1-m)/(1-u_k))) "
+    "over disagreements with u_k estimated from deterministic RANDOM "
+    "pairings (stride-17, never from the match-enriched candidate set "
+    "— the classic circularity pitfall) and m=15/16 a documented "
+    "prior, threshold-classified. Weights are "
+    "integer comparison-ladder log2 bins over DECIMAL(38,0)/HUGEINT "
+    "products (q202 discipline) — both engines bit-identical, and the "
+    "staging survives ~1e12-candidate deployments. Plan: one union of "
+    "two block-keyed equi-joins, first-pass-wins dedup (q68 trick), "
+    "ONE 1-row aggregate for u, broadcast back — never O(n²), no "
+    "second scan of the candidate relation.",
+)
+def q217_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fs_scores(registrations_full(load(spark, sf_dir, "customer")))
+
+
+@register(
+    "q218_blocking_quality_multi",
+    oracle=f"""
+WITH {_ER_FULL_REGS_SQL.strip()},
+passes AS (
+  SELECT 'name_sfx' AS scheme, a.reg_id AS ra, b.reg_id AS rb
+  FROM regsf a JOIN regsf b
+    ON a.nk = b.nk AND substr(a.name, 17, 2) = substr(b.name, 17, 2)
+   AND a.reg_id < b.reg_id
+  UNION ALL
+  SELECT 'phone_sfx', a.reg_id, b.reg_id
+  FROM regsf a JOIN regsf b
+    ON a.nk = b.nk AND a.phone = b.phone
+   AND a.reg_id < b.reg_id
+),
+schemes AS (
+  SELECT scheme, ra, rb FROM passes
+  UNION
+  SELECT 'union', ra, rb FROM passes
+),
+truth AS (
+  SELECT c_custkey AS ra, c_custkey + {_ER_V1_OFFSET} AS rb
+  FROM customer WHERE c_custkey % {_ER_V1_MOD} = 0
+  UNION ALL
+  SELECT c_custkey, c_custkey + {_ER_V2_OFFSET}
+  FROM customer WHERE c_custkey % {_ER_V2_MOD} = 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs FROM regsf),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+per AS (
+  SELECT scheme,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN EXISTS (
+             SELECT 1 FROM truth t2 WHERE t2.ra = s.ra AND t2.rb = s.rb
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_true_covered
+  FROM schemes s GROUP BY scheme
+)
+SELECT scheme, n_candidates, n_true, n_true_covered,
+       CAST(n_true_covered * 1000000 // n_true AS BIGINT)
+         AS pair_completeness_ppm,
+       CAST(1000000 - (CAST(n_candidates AS HUGEINT) * 2000000)
+            // (CAST(n_regs AS HUGEINT) * (n_regs - 1)) AS BIGINT)
+         AS reduction_ratio_ppm
+FROM per CROSS JOIN n CROSS JOIN t
+""",
+    doc="q214's blocking audit re-run on the multi-attribute scheme: "
+    "pair completeness + reduction ratio per blocking pass AND for "
+    "their union. The corruption model defeats each single pass (v1 "
+    "breaks the phone block, v2 the name block), so the per-pass rows "
+    "show completeness ~750000/~250000 ppm while the union restores "
+    "1000000 — the number that justifies multi-pass blocking at "
+    "100 TB. DECIMAL/HUGEINT-staged ppm math as in q214.",
+)
+def q218_blocking_quality_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    regsf = registrations_full(c).localCheckpoint(eager=True)
+    keyed = regsf.select(
+        "reg_id",
+        "nk",
+        F.substring("name", 17, 2).alias("blk_name"),
+        F.col("phone").alias("blk_phone"),
+    )
+
+    def _pass(key: str, scheme: str) -> DataFrame:
+        a = keyed.select(F.col("reg_id").alias("ra"), "nk", key)
+        b = keyed.select(F.col("reg_id").alias("rb"), "nk", key)
+        return (
+            a.join(b, ["nk", key])
+            .filter(F.col("ra") < F.col("rb"))
+            .select(F.lit(scheme).alias("scheme"), "ra", "rb")
+        )
+
+    passes = _pass("blk_name", "name_sfx").unionByName(
+        _pass("blk_phone", "phone_sfx")
+    )
+    schemes = passes.unionByName(
+        passes.select(F.lit("union").alias("scheme"), "ra", "rb")
+    ).distinct()
+
+    v1 = c.filter(F.col("c_custkey") % _ER_V1_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("rb"),
+    )
+    v2 = c.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("rb"),
+    )
+    truth = v1.unionByName(v2).localCheckpoint(eager=True)
+    covered = schemes.join(F.broadcast(truth), ["ra", "rb"], "left_semi")
+    per = (
+        schemes.groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .join(
+            covered.groupBy("scheme").agg(
+                F.count(F.lit(1)).cast("long").alias("n_true_covered")
+            ),
+            "scheme",
+            "left",
+        )
+        .withColumn(
+            "n_true_covered",
+            F.coalesce("n_true_covered", F.lit(0)).cast("long"),
+        )
+    )
+    return (
+        per.crossJoin(
+            F.broadcast(
+                regsf.agg(F.count(F.lit(1)).cast("long").alias("n_regs"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+            )
+        )
+        .select(
+            "scheme",
+            "n_candidates",
+            "n_true",
+            "n_true_covered",
+            F.expr(
+                "CAST(n_true_covered * 1000000 div n_true AS BIGINT)"
+            ).alias("pair_completeness_ppm"),
+            F.expr(
+                "CAST(1000000 - (CAST(n_candidates AS DECIMAL(38,0))"
+                " * 2000000) div (CAST(n_regs AS DECIMAL(38,0))"
+                " * (n_regs - 1)) AS BIGINT)"
+            ).alias("reduction_ratio_ppm"),
+        )
+    )

@@ -135,30 +135,67 @@ def neardup_pairs_incremental(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp"), "text"
     )
     per_doc_st = _read_state(spark, state_dir, "per_doc", _ND_PERDOC_SCHEMA, runs)
-    matched = keyed.join(
+    # the matched/new split runs on a SLIM (doc_id, fp) projection so the
+    # anti-join never shuffles document text; the text joins back via a
+    # broadcast semi-join on the (batch-sized) new-id set
+    slim = keyed.select("doc_id", "fp")
+    matched = slim.join(
         per_doc_st.select("doc_id", "fp"), ["doc_id", "fp"], "left_semi"
-    ).select("doc_id", "fp")
-    new = keyed.join(
-        per_doc_st.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
-    ).select("doc_id", "fp", "text")
+    )
+    n_new = None
     if runs:
-        # incremental case: the new slice is batch-sized — pin it so the
-        # four consumers below (shingling twice, pair verify, state
-        # write) don't re-run the anti-join against the corpus state
-        new = new.localCheckpoint(eager=True)
+        new_ids = slim.join(
+            per_doc_st.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
+        ).localCheckpoint(eager=True)
+        n_new = new_ids.count()
+        ids = new_ids.select("doc_id")
+        if n_new <= broadcast_max_docs:
+            ids = F.broadcast(ids)
+        # batch-sized — pin it so the consumers below (shingling twice,
+        # pair verify, state write) don't re-run the split
+        new = keyed.join(ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+    else:
+        new = keyed.select("doc_id", "fp", "text")
 
     new_sh = _shingles(new.select("doc_id", "text"))
     card_new = new_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
 
-    empty_pairs = spark.createDataFrame([], _ND_PAIRS_SCHEMA)
+    empty_pairs = spark.createDataFrame([], _ND_PAIRS_SCHEMA).select(
+        "doc_a", "doc_b", "n_common", "n_union"
+    )
     if runs:
+        stored = (
+            _read_state(spark, state_dir, "pairs", _ND_PAIRS_SCHEMA, runs)
+            .join(
+                matched.select(
+                    F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
+                ),
+                ["doc_a", "fp_a"],
+                "left_semi",
+            )
+            .join(
+                matched.select(
+                    F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
+                ),
+                ["doc_b", "fp_b"],
+                "left_semi",
+            )
+            .select("doc_a", "doc_b", "n_common", "n_union")
+        )
+        if n_new == 0:
+            # pure replay: every doc matched — nothing to probe, nothing
+            # to append (state writes are delta-only, so a replayed
+            # corpus costs one state read + the semi-filters)
+            return stored
         sh_st = _read_state(
             spark, state_dir, "shingles", _ND_SHINGLES_SCHEMA, runs
         )
         probe = new_sh.select(F.col("doc_id").alias("doc_new"), "shingle")
-        if new.count() <= broadcast_max_docs:
+        if n_new <= broadcast_max_docs:
             probe = F.broadcast(probe)
         inter = (
             sh_st.select(F.col("doc_id").alias("doc_seen"), "fp", "shingle")
@@ -199,28 +236,8 @@ def neardup_pairs_incremental(
                 "n_union",
             )
         )
-        stored = (
-            _read_state(spark, state_dir, "pairs", _ND_PAIRS_SCHEMA, runs)
-            .join(
-                matched.select(
-                    F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
-                ),
-                ["doc_a", "fp_a"],
-                "left_semi",
-            )
-            .join(
-                matched.select(
-                    F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
-                ),
-                ["doc_b", "fp_b"],
-                "left_semi",
-            )
-            .select("doc_a", "doc_b", "n_common", "n_union")
-        )
     else:
-        cross = stored = empty_pairs.select(
-            "doc_a", "doc_b", "n_common", "n_union"
-        )
+        cross = stored = empty_pairs
 
     within = jaccard_pairs(new.select("doc_id", "text"), threshold)
     fresh = within.unionByName(cross)
@@ -248,6 +265,11 @@ def neardup_pairs_incremental(
         spark.createDataFrame([(nrun,)], "n bigint").write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/applied/run={nrun}")
+        # downstream consumers read the just-written pairs back instead
+        # of re-running the probe plan a second time
+        fresh = spark.read.parquet(f"{state_dir}/pairs/run={nrun}").select(
+            "doc_a", "doc_b", "n_common", "n_union"
+        )
 
     return stored.unionByName(fresh)
 

@@ -43,12 +43,10 @@ def test_incremental_equals_stateless_first_run_and_replay(spark, tmp_path):
     assert got0 == want
     assert applied_runs(spark, state) == [0]
 
-    # replay: everything matched, nothing recomputed or re-stored
+    # replay: everything matched — nothing recomputed, no new run at all
     got1 = _pairs_set(neardup_pairs_incremental(d1, state))
     assert got1 == want
-    assert applied_runs(spark, state) == [0, 1]
-    run1 = spark.read.parquet(f"{state}/per_doc").filter(F.col("run") == 1)
-    assert run1.count() == 0
+    assert applied_runs(spark, state) == [0]
 
 
 def test_incremental_equals_stateless_on_growth(spark, tmp_path):
