@@ -101,11 +101,15 @@ def _cand(lf: int) -> str:
 #: position is reachable; under an EM-pruned vocab a position with no
 #: candidates records NULL (try_element_at on the empty candidate
 #: array), which propagates — a word whose final position is NULL is
-#: unsegmentable under that vocab.
+#: unsegmentable under that vocab. The zero MUST be cast to the DDL
+#: array type: a bare array(named_struct(...)) infers containsNull =
+#: false for the accumulator, and serializing a pruned-vocab best[]
+#: with NULL entries then NPEs in the unsafe row writer.
 _BEST = f"""
 aggregate(
   sequence(1, length(word)),
-  array(named_struct('v', CAST(0 AS BIGINT), 'k', CAST(0 AS BIGINT))),
+  CAST(array(named_struct('v', CAST(0 AS BIGINT), 'k', CAST(0 AS BIGINT)))
+       AS ARRAY<STRUCT<v: BIGINT, k: BIGINT>>),
   (acc, i) -> array_append(acc,
     try_element_at(
       array_sort(
@@ -661,3 +665,272 @@ GROUP BY x.doc_id
 )
 def q212_unigram_encode_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_docs_em2(load(spark, sf_dir, "documents"))
+
+
+# --- Training to convergence (q219): the EM loop a real SentencePiece
+# trainer runs, with the kcore_fixpoint discipline (localCheckpoint per
+# iteration, raise past max_iters) ----------------------------------------
+
+_TRAJ_SCHEMA = (
+    "iter bigint, n_vocab bigint, n_seg_words bigint,"
+    " n_pieces bigint, ll_bits bigint"
+)
+
+
+def _segmentable(dp: DataFrame) -> DataFrame:
+    """(word, n, m, best, f) for words whose final DP state is reachable
+    under the current (possibly pruned) vocab."""
+    final = "try_element_at(best, CAST(length(word)+1 AS INT))"
+    return dp.withColumn("f", F.expr(final)).where(F.col("f").isNotNull())
+
+
+def unigram_train(
+    docs: DataFrame,
+    *,
+    target_vocab: int | None = None,
+    max_iters: int = 10,
+    exact_iters: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Iterate the q207/q212 hard-EM cycle to a FIXPOINT (piece set AND
+    integer weights unchanged) or down to ``target_vocab`` pieces,
+    whichever is asked for. Returns (scored vocab (p, w), per-iteration
+    trajectory rows). Raises RuntimeError past ``max_iters`` without
+    convergence — the kcore_fixpoint discipline; ``exact_iters`` runs a
+    fixed number of cycles instead (the oracle-paired q219 shape).
+
+    Per iteration: ONE Viterbi pass over the distinct-word table (JVM
+    fold, vocabulary-bounded), usage extraction, integer re-binning,
+    optional size-targeted prune (keep top pieces by usage — the
+    SentencePiece shrink schedule, 3/4 per round, floored at the
+    target). The corpus itself is scanned exactly once (word-table
+    build) no matter how many iterations run; every per-iteration
+    relation is vocab-sized and localCheckpointed so lineage stays flat.
+
+    Log-likelihood: in pure-EM mode (no ``target_vocab``) each word's
+    previous segmentation stays available to the next DP (its pieces
+    were just counted), so corpus ll_bits is non-decreasing per
+    iteration (tested); with a size target, pruning used pieces can
+    lower it — that trade-off is the trajectory's story."""
+    spark = docs.sparkSession
+    words = _word_table(docs).localCheckpoint(eager=True)
+    _, scored0 = seed_vocab(words)
+    scored = scored0.select("p", "w").localCheckpoint(eager=True)
+    n_vocab = scored.count()
+    traj: list[dict] = []
+    rounds = exact_iters if exact_iters is not None else max_iters
+    converged = False
+    for it in range(1, rounds + 1):
+        seg = _segmentable(_dp_with_scores(words, scored))
+        st = seg.agg(
+            F.sum("n").cast("long").alias("n_seg_words"),
+            F.sum(F.col("n") * F.col("f.k")).cast("long").alias("n_pieces"),
+            F.sum(F.col("n") * F.col("f.v")).cast("long").alias("ll_bits"),
+        ).collect()[0]
+        traj.append(
+            {
+                "iter": it,
+                "n_vocab": n_vocab,
+                "n_seg_words": st["n_seg_words"],
+                "n_pieces": st["n_pieces"],
+                "ll_bits": st["ll_bits"],
+            }
+        )
+        usage = (
+            seg.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").cast("long").alias("n_viterbi"))
+        )
+        if target_vocab is not None:
+            keep = max(target_vocab, (n_vocab * 3) // 4)
+            usage = usage.orderBy(
+                F.col("n_viterbi").desc(), "piece"
+            ).limit(keep)
+        utot = usage.agg(F.sum("n_viterbi").cast("long").alias("ut"))
+        scored_next = (
+            usage.crossJoin(F.broadcast(utot))
+            .select(
+                F.col("piece").alias("p"),
+                (F.length(F.bin("n_viterbi")) - F.length(F.bin("ut")))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_next = scored_next.count()
+        if exact_iters is None:
+            if target_vocab is not None and n_next <= target_vocab:
+                scored, n_vocab = scored_next, n_next
+                converged = True
+                break
+            n_diff = (
+                scored.withColumnRenamed("w", "w_a")
+                .join(scored_next.withColumnRenamed("w", "w_b"), "p", "full")
+                .where(
+                    F.col("w_a").isNull()
+                    | F.col("w_b").isNull()
+                    | (F.col("w_a") != F.col("w_b"))
+                )
+                .count()
+            )
+            if n_diff == 0:
+                converged = True
+                break
+        scored, n_vocab = scored_next, n_next
+    if exact_iters is None and not converged:
+        raise RuntimeError(
+            f"unigram_train did not converge within {max_iters} iterations"
+            f" (vocab {n_vocab})"
+        )
+    return scored, traj
+
+
+# --- q219 oracle: generation-3 CTE chain, the generalized pattern of
+# _usage_ctes/_dp2_ctes applied once more --------------------------------
+
+
+def _usage2_ctes() -> str:
+    """E-step over the ITERATION-2 DP (appended after _dp2_ctes): same
+    choice-table + recursive backtrack as _usage_ctes, but over
+    cand2/alldp2, seeded from enc2 (only words segmentable under the
+    pruned vocab backtrack)."""
+    return """choice2 AS (
+  SELECT c.word, c.i AS pos, MAX(c.l) AS l
+  FROM cand2 c
+  JOIN alldp2 dprev ON dprev.word = c.word AND dprev.i = c.i - c.l
+  JOIN alldp2 dcur ON dcur.word = c.word AND dcur.i = c.i
+  WHERE dprev.v + c.w = dcur.v AND dprev.k + 1 = dcur.k
+  GROUP BY c.word, c.i
+),
+bt2(word, pos) AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS pos FROM enc2
+  UNION ALL
+  SELECT b.word, b.pos - c.l
+  FROM bt2 b JOIN choice2 c ON c.word = b.word AND c.pos = b.pos
+  WHERE b.pos > 0
+),
+pieces_used2 AS (
+  SELECT b.word,
+         substring(b.word, CAST(b.pos - c.l + 1 AS INTEGER),
+                   CAST(c.l AS INTEGER)) AS p
+  FROM bt2 b JOIN choice2 c ON c.word = b.word AND c.pos = b.pos
+),
+usage2 AS MATERIALIZED (
+  SELECT p.p AS piece, CAST(SUM(w.n) AS BIGINT) AS n_viterbi
+  FROM pieces_used2 p JOIN words w ON w.word = p.word GROUP BY p.p
+),
+utot2 AS MATERIALIZED (
+  SELECT length(bin(CAST(SUM(n_viterbi) AS BIGINT))) AS but FROM usage2
+)"""
+
+
+def _dp3_ctes() -> str:
+    """M-step + iteration-3 DP chain (sc3/cand3/dp3_i/alldp3/enc3) —
+    _dp2_ctes' pattern applied to usage2."""
+    parts = [
+        """sc3 AS MATERIALIZED (
+  SELECT piece AS p,
+         CAST(length(bin(n_viterbi)) - ut.but AS BIGINT) AS w
+  FROM usage2, utot2 ut
+)""",
+        """cand3 AS MATERIALIZED (
+  SELECT o.word, o.i, o.l, s.w FROM occ o JOIN sc3 s USING (p)
+)""",
+        """dp3_0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS k FROM words
+)""",
+    ]
+    for i in range(1, _MAXW + 1):
+        unions = "\n      UNION ALL\n      ".join(
+            f"SELECT c.word, d.v + c.w AS v, d.k + 1 AS k "
+            f"FROM cand3 c JOIN dp3_{i - lf} d ON d.word = c.word "
+            f"WHERE c.i = {i} AND c.l = {lf}"
+            for lf in range(1, min(_MAXP, i) + 1)
+        )
+        parts.append(
+            f"""dp3_{i} AS MATERIALIZED (
+  SELECT word, v, k FROM (
+    SELECT word, v, k,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY v DESC, k ASC) AS rn
+    FROM ({unions})
+  ) WHERE rn = 1
+)"""
+        )
+    alldp3 = "\n  UNION ALL ".join(
+        f"SELECT word, CAST({i} AS BIGINT) AS i, v, k FROM dp3_{i}"
+        for i in range(1, _MAXW + 1)
+    )
+    parts.append(
+        f"""alldp3 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS i, v, k FROM dp3_0
+  UNION ALL {alldp3}
+)"""
+    )
+    parts.append(
+        """enc3 AS MATERIALIZED (
+  SELECT w.word, w.n, d.v, d.k
+  FROM words w JOIN alldp3 d
+    ON d.word = w.word AND d.i = CAST(length(w.word) AS BIGINT)
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _q219_oracle() -> str:
+    stats = """SELECT CAST({it} AS BIGINT) AS iter,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {sc}) AS n_vocab,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM {enc}) AS n_seg_words,
+       (SELECT CAST(SUM(n * k) AS BIGINT) FROM {enc}) AS n_pieces,
+       (SELECT CAST(SUM(n * v) AS BIGINT) FROM {enc}) AS ll_bits"""
+    rows = " UNION ALL ".join(
+        stats.format(it=it, sc=sc, enc=enc)
+        for it, sc, enc in (
+            (1, "sc", "enc"),
+            (2, "sc2", "enc2"),
+            (3, "sc3", "enc3"),
+        )
+    )
+    return f"""WITH RECURSIVE {_uni_ctes()},
+{_usage_ctes()},
+{_dp2_ctes()},
+{_usage2_ctes()},
+{_dp3_ctes()}
+{rows}
+"""
+
+
+@register(
+    "q219_unigram_train_trajectory",
+    oracle=_q219_oracle(),
+    doc="Unigram-LM training to convergence, 3-iteration trajectory "
+    "(q131's oracle-paired-merges convention applied to EM cycles): "
+    "per iteration the vocab size the DP ran under, corpus-weighted "
+    "segmentable words, total pieces, and integer-binned corpus "
+    "log-likelihood. The Spark side is unigram_train(exact_iters=3) — "
+    "the SAME loop users run open-ended with the kcore_fixpoint "
+    "discipline (localCheckpoint per round, RuntimeError past "
+    "max_iters, optional target_vocab shrink schedule); the oracle "
+    "unrolls all three E/M generations as chained CTE families "
+    "(dp -> usage -> dp2 -> usage2 -> dp3). Corpus cost is ONE scan "
+    "regardless of iteration count; every EM relation is vocab-sized. "
+    "Pure-EM ll_bits is non-decreasing across rows (hard-EM), which "
+    "tests assert on this trajectory.",
+)
+def q219_unigram_train_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, traj = unigram_train(
+        load(spark, sf_dir, "documents"), exact_iters=3
+    )
+    return spark.createDataFrame(
+        [
+            (
+                t["iter"],
+                t["n_vocab"],
+                t["n_seg_words"],
+                t["n_pieces"],
+                t["ll_bits"],
+            )
+            for t in traj
+        ],
+        _TRAJ_SCHEMA,
+    )
