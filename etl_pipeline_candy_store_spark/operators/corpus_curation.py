@@ -698,8 +698,8 @@ tot AS (
 ),
 bins AS (
   SELECT tok, {_DSIR_BIN_SQL} AS bin
-  FROM (SELECT tok, (c_t + 1) * (n_s + vsz) AS a,
-               (c_s + 1) * (n_t + vsz) AS b
+  FROM (SELECT tok, CAST(c_t + 1 AS HUGEINT) * (n_s + vsz) AS a,
+               CAST(c_s + 1 AS HUGEINT) * (n_t + vsz) AS b
         FROM v CROSS JOIN tot)
 )
 SELECT t.doc_id,
@@ -724,15 +724,15 @@ GROUP BY t.doc_id
     "is ONE token-keyed equi-join + doc-keyed agg — the tf-idf/BM25 "
     "shape, linear in corpus tokens, no windows. Emits WEIGHTS, not a "
     "binary cut: resampling consumes weights, and floor-binning biases "
-    "the zero point, so consumers threshold (q91 discipline). BIGINT "
+    "the zero point, so consumers threshold (q91 discipline). Overflow "
     "envelope: a=(c_t+1)*(n_s+vsz) is a product of two token-count-"
     "scale terms, so for a stop-word (c_t ~ N) it reaches N^2 — int64 "
-    "overflows near N ~ 3e9 corpus tokens (the 16*b band comparison "
-    "trips ~4x sooner, ~7e8). Spark (non-ANSI) WRAPS silently and "
-    "produces wrong bins while DuckDB errors, so the engines diverge "
-    "loudly on the oracle but not in production: migrate a/b (and the "
-    "16*b comparison) to DECIMAL(38,0) before ~5e8 corpus tokens; the "
-    "plan is unchanged.",
+    "would wrap silently in Spark (non-ANSI) near N ~ 3e9 corpus "
+    "tokens (the 16*b band comparison ~4x sooner, ~7e8) while DuckDB "
+    "errors. a/b and the band comparisons are therefore staged in "
+    "DECIMAL(38,0)/HUGEINT — good to ~1e19 tokens, plan unchanged; a "
+    "constructed high-count fixture test proves the BIGINT staging "
+    "miscounts where the decimal staging doesn't.",
 )
 def q202_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -752,6 +752,20 @@ def importance_bins(toks: DataFrame, is_target) -> DataFrame:
         F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("c_t"),
         F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("c_s"),
     )
+    return importance_bins_from_counts(v)
+
+
+def importance_bins_from_counts(
+    v: DataFrame, stage_type: str = "decimal(38,0)"
+) -> DataFrame:
+    """(tok, bin) from a (tok, c_t, c_s) count relation.
+
+    DECIMAL(38,0)/HUGEINT staging by default: a,b are products of two
+    token-count-scale terms (N^2 for a stop-word), so BIGINT wraps
+    silently near N ~ 3e9 corpus tokens (the 16*b band comparison trips
+    ~4x sooner); decimals carry the ladder to ~1e19 tokens with the
+    plan unchanged. ``stage_type`` exists so the overflow test can pin
+    the broken "long" staging and prove it miscounts."""
     tot = v.agg(
         F.sum("c_t").cast("long").alias("n_t"),
         F.sum("c_s").cast("long").alias("n_s"),
@@ -761,8 +775,14 @@ def importance_bins(toks: DataFrame, is_target) -> DataFrame:
         v.crossJoin(F.broadcast(tot))
         .select(
             "tok",
-            ((F.col("c_t") + 1) * (F.col("n_s") + F.col("vsz"))).alias("a"),
-            ((F.col("c_s") + 1) * (F.col("n_t") + F.col("vsz"))).alias("b"),
+            (
+                (F.col("c_t") + 1).cast(stage_type)
+                * (F.col("n_s") + F.col("vsz"))
+            ).alias("a"),
+            (
+                (F.col("c_s") + 1).cast(stage_type)
+                * (F.col("n_t") + F.col("vsz"))
+            ).alias("b"),
         )
         .select("tok", F.expr(_DSIR_BIN_SQL).alias("bin"))
     )

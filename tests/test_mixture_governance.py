@@ -309,3 +309,60 @@ def test_temperature_weights_properties(spark):
         assert (r["boost_ppm"] >= 1000000) == (
             r["natural_ppm"] <= r["weight_ppm"]
         ) or abs(r["natural_ppm"] - r["weight_ppm"]) <= 1
+
+
+def test_dsir_decimal_staging_survives_overflow(spark):
+    """Constructed high-count fixture at the ~3e9-token scale the 100 TB
+    target implies: the decimal staging computes the exact ladder bin,
+    while the old BIGINT staging provably miscounts (int64 product
+    wraps). Guards the q202 overflow envelope with code, not a doc."""
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        importance_bins_from_counts,
+    )
+
+    # one stop-word-scale token plus a rare one; totals ~4e9 tokens, so
+    # a = (c_t+1)(n_s+vsz) ~ 1.6e19 > int64 max (9.2e18)
+    big, small = 4_000_000_000, 5
+    v = spark.createDataFrame(
+        [("the", big, big), ("rare", small, big)],
+        "tok string, c_t bigint, c_s bigint",
+    )
+
+    def exact_bin(c_t, c_s, n_t, n_s, vsz):
+        a = (c_t + 1) * (n_s + vsz)
+        b = (c_s + 1) * (n_t + vsz)
+        for k in range(4, -5, -1):
+            if a >= (2**k) * b:
+                return k
+        return -5
+
+    n_t, n_s, vsz = big + small, 2 * big, 2
+    want = {
+        "the": exact_bin(big, big, n_t, n_s, vsz),
+        "rare": exact_bin(small, big, n_t, n_s, vsz),
+    }
+    got = {
+        r["tok"]: r["bin"]
+        for r in importance_bins_from_counts(v).collect()
+    }
+    assert got == want
+
+    # the old BIGINT staging fails at this scale either way: under ANSI
+    # (Spark 4 default) the multiply raises ARITHMETIC_OVERFLOW, under
+    # ansi=false it wraps silently into wrong bins
+    import pyspark.errors
+
+    try:
+        wrapped = {
+            r["tok"]: r["bin"]
+            for r in importance_bins_from_counts(
+                v, stage_type="long"
+            ).collect()
+        }
+    except pyspark.errors.exceptions.base.ArithmeticException:
+        pass
+    else:
+        assert wrapped != want, (
+            "fixture no longer overflows int64 — raise the counts so the "
+            "test keeps proving the decimal staging is load-bearing"
+        )
