@@ -2009,3 +2009,88 @@ def test_stream_phash_neardup_matches_batch_q205(spark, tmp_path):
         for r in read_phash_pairs(spark, state).collect()
     )
     assert again == got
+
+
+def test_stream_curate_matches_batch_curate(spark, tmp_path):
+    """The COMPOSED streaming curation funnel (one state dir, one ledger
+    protocol) must reproduce batch curate()'s exported survivor set
+    (doc_id, split) exactly under monotone doc_id arrival."""
+    import time
+
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        read_curated,
+        stream_curate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    src = str(tmp_path / "curate_src")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # monotone arrival in three chunks; near-dup pairs and exact copies
+    # straddle micro-batch boundaries
+    for lo, hi in [(0, n_max // 3), (n_max // 3, 2 * n_max // 3), (2 * n_max // 3, n_max)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    state = str(tmp_path / "curate_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_curate(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["split"])
+        for r in read_curated(spark, state).collect()
+    }
+
+    out = str(tmp_path / "batch_out")
+    report = curate(spark, sf, out, n_shards=2)
+    want = set()
+    for split in ("train", "val", "test"):
+        for r in (
+            spark.read.parquet(f"{out}/split={split}")
+            .select("doc_id")
+            .collect()
+        ):
+            want.add((r["doc_id"], split))
+    assert want, "batch curate exported nothing"
+    assert got == want
+    assert len(got) == report["funnel"]["after_decontamination"]
+
+
+def test_curate_stream_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a micro-batch with the same (content, batch_id)
+    must leave every state relation and the read-side survivors
+    identical — the shared batch-scoped-overwrite ledger protocol."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    first = docs.filter(F.col("doc_id") < n_max // 2)
+    second = docs.filter(F.col("doc_id") >= n_max // 2)
+    state = str(tmp_path / "curate_replay")
+
+    apply_curate_batch(first, state, 0)
+    apply_curate_batch(second, state, 1)
+    want = sorted(map(tuple, read_curated(spark, state).collect()))
+    assert want, "fixture produced no survivors"
+
+    apply_curate_batch(second, state, 1)  # crash replay
+    got = sorted(map(tuple, read_curated(spark, state).collect()))
+    assert got == want
