@@ -81,6 +81,10 @@ def source_fingerprint(
     for table in sorted(tables):
         root = os.path.join(sf_dir, f"{table}.parquet")
         if not os.path.exists(root):
+            # streaming state relations (entity_stream, curate_stream)
+            # live under bare batch-partitioned dirs, no .parquet suffix
+            root = os.path.join(sf_dir, table)
+        if not os.path.exists(root):
             raise FileNotFoundError(f"source table not found: {root}")
         entries = sorted(
             (rel, st.st_size, st.st_mtime_ns)

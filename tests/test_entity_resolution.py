@@ -224,3 +224,140 @@ def test_resolution_quality_metrics(spark):
         "closure must recover every true pair, incl. variant-variant"
     )
     assert row["pair_precision_ppm"] == hit * 1_000_000 // implied
+
+
+def test_er_state_compaction_preserves_resolution(spark, tmp_path):
+    """Consolidating committed batch partitions must not change the
+    resolved entities, must actually shrink the partition count, and a
+    crash between the staged commit and the finish must be repaired on
+    the next read with identical output."""
+    import os
+    import shutil
+
+    from etl_pipeline_candy_store_spark.operators.entity import registrations
+    from etl_pipeline_candy_store_spark.streaming.entity_stream import (
+        apply_er_batch,
+        compact_er_state,
+        read_resolved_entities,
+    )
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    regs = registrations(c).localCheckpoint(eager=True)
+    state = str(tmp_path / "er_state")
+    n_max = regs.agg(F.max("reg_id")).collect()[0][0] + 1
+    cuts = [0, 400, 1_000_500, n_max]
+    for b, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        apply_er_batch(
+            regs.filter((F.col("reg_id") >= lo) & (F.col("reg_id") < hi)),
+            state,
+            b,
+        )
+    want = sorted(
+        map(tuple, read_resolved_entities(spark, state).collect())
+    )
+
+    stats = compact_er_state(spark, state, upto_batch=2)
+    assert stats["blocked"] == 3 and stats["pairs"] == 3
+    for kind in ("blocked", "pairs"):
+        parts = [
+            d
+            for d in os.listdir(f"{state}/{kind}")
+            if d.startswith("batch=")
+        ]
+        assert parts == ["batch=2"]
+    got = sorted(map(tuple, read_resolved_entities(spark, state).collect()))
+    assert got == want
+
+    # a new batch after compaction still probes the consolidated state:
+    # replay batch 2's slice as batch 3 (redelivery shape) — idempotent
+    apply_er_batch(
+        regs.filter(F.col("reg_id") >= 1_000_500), state, 3
+    )
+    got2 = sorted(
+        map(tuple, read_resolved_entities(spark, state).collect())
+    )
+    assert got2 == want
+
+    # crash between staged commit and finish: re-fragment via batch 4,
+    # stage a new compaction, then "crash" by skipping the finish —
+    # simulated by manufacturing the stage dir state by hand
+    apply_er_batch(
+        regs.filter(F.col("reg_id") < 0), state, 4
+    )  # empty batch still writes its partitions
+    df = spark.read.parquet(f"{state}/blocked")
+    staged = str(tmp_path / "staged_copy")
+    df.drop("batch").coalesce(2).write.parquet(staged)
+    stage = f"{state}/blocked/.compact_stage"
+    shutil.copytree(staged, stage)
+    with open(f"{stage}/_UPTO", "w") as fh:
+        fh.write("4\n")
+    got3 = sorted(
+        map(tuple, read_resolved_entities(spark, state).collect())
+    )
+    assert got3 == want
+    assert not os.path.isdir(stage), "repair must finish the rename"
+    parts = [
+        d for d in os.listdir(f"{state}/blocked") if d.startswith("batch=")
+    ]
+    assert parts == ["batch=4"]
+
+
+def test_er_materialized_closure_pinned_reader(spark, tmp_path):
+    """read_resolved_entities_materialized: same rows as the direct
+    read, no rebuild on a repeat read, rebuild on a new batch, and the
+    pinned-reader guarantee across prune (the test_materialize pattern
+    applied to ER state)."""
+    import os
+
+    from etl_pipeline_candy_store_spark.operators.entity import registrations
+    from etl_pipeline_candy_store_spark.operators.materialize import (
+        materialized_versions,
+        prune_materialized,
+    )
+    from etl_pipeline_candy_store_spark.streaming.entity_stream import (
+        apply_er_batch,
+        read_resolved_entities,
+        read_resolved_entities_materialized,
+    )
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    regs = registrations(c).localCheckpoint(eager=True)
+    state = str(tmp_path / "er_state")
+    store = str(tmp_path / "store")
+    apply_er_batch(regs.filter(F.col("reg_id") < 1_000_000), state, 0)
+
+    reader_a = read_resolved_entities_materialized(spark, state, store)
+    rows_a = sorted(map(tuple, reader_a.collect()))
+    assert rows_a == sorted(
+        map(tuple, read_resolved_entities(spark, state).collect())
+    )
+    assert len(materialized_versions("er_resolved", store)) == 1
+    # repeat read: fingerprint hit, still one stored generation
+    read_resolved_entities_materialized(spark, state, store).count()
+    assert len(materialized_versions("er_resolved", store)) == 1
+
+    # a new batch changes the state fingerprint -> one rebuild
+    apply_er_batch(regs.filter(F.col("reg_id") >= 1_000_000), state, 1)
+    rows_b = sorted(
+        map(
+            tuple,
+            read_resolved_entities_materialized(spark, state, store).collect(),
+        )
+    )
+    assert rows_b == sorted(
+        map(tuple, read_resolved_entities(spark, state).collect())
+    )
+    assert len(materialized_versions("er_resolved", store)) == 2
+    # generation A is still pinned-readable after B landed
+    assert sorted(map(tuple, reader_a.collect())) == rows_a
+
+    # retention: prune to the latest; the pinned reader must now either
+    # return the SAME rows or fail loudly — never silently diverge
+    removed = prune_materialized("er_resolved", keep=1, store_dir=store)
+    assert len(removed) == 1
+    try:
+        post = sorted(map(tuple, reader_a.collect()))
+    except Exception:
+        pass
+    else:
+        assert post == rows_a
