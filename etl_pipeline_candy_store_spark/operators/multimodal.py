@@ -566,10 +566,10 @@ WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAMMING_MAX}
     "noise (closest unrelated pair: hamming 12) — variants land at "
     "hamming 0-6, unrelated pairs never qualify, so the result is "
     "exactly the parent-variant matches the banding must recover. "
-    "Production swaps the byte profile for a decoded-pixel dHash "
-    "behind extract_media_features' pluggable decoder; every "
-    "Spark-side stage (signature agg shape, banding, first-band "
-    "dedup filter, radius verify) is unchanged by that swap.",
+    "Production swaps the byte profile for the decoded-pixel dHash "
+    "(media_phash_pixels: PIL-gated decode, numpy P6 fallback, "
+    "tested upscale-invariant); every Spark-side stage (banding, "
+    "first-band dedup filter, radius verify) is SHARED with it.",
 )
 def q205_media_phash_neardup(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -592,3 +592,139 @@ def q205_media_phash_neardup(spark, sf_dir: str) -> DataFrame:
         )
     )
     return phash_neardup_pairs(ph)
+
+
+# --- Decoded-pixel dHash (the production swap q205's doc promises) -------
+#
+# q205's byte-profile signature is the oracle-checkable stand-in; real
+# image near-dup hashes DECODED PIXELS so that re-encodes (different
+# bytes, same picture) still collide. The decode is import-gated: PIL
+# when available (any format), else a pure-numpy raw P6 PPM parser (the
+# format this sandbox can exercise end-to-end — PIL closes with egress).
+# Everything downstream of the per-media signature — banding, the
+# first-agreeing-band dedup filter, the Hamming-radius verify — is the
+# SAME code as q205 (phash_bands / verify_banded_candidates /
+# phash_neardup_pairs), so swapping the signature never touches the
+# Spark plan shape.
+
+_DHASH_ROWS = 8
+_DHASH_COLS = 9  # 8x8 adjacent comparisons = 64 bits; bit 63 dropped to
+#                 keep the 63-bit engine-exact convention of media_phash
+
+
+def _decode_ppm_p6(payload: bytes) -> np.ndarray:
+    """Raw (binary) P6 PPM -> (h, w, 3) uint8, numpy only. Tolerates
+    comments and arbitrary whitespace in the header, as the spec
+    allows; raises ValueError for anything that is not an 8-bit P6."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    vals: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and payload[i] not in b"\r\n":
+                i += 1
+        elif chr(c).isdigit():
+            j = i
+            while j < n and chr(payload[j]).isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed PPM header")
+    if len(vals) < 3 or i >= n:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    i += 1  # the single whitespace byte after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, offset=i, count=h * w * 3)
+    if data.size != h * w * 3:
+        raise ValueError("truncated PPM data")
+    return data.reshape(h, w, 3)
+
+
+def _decode_rgb(payload: bytes) -> np.ndarray:
+    """Import-gated decode: PIL for arbitrary formats when installed,
+    else the numpy P6 parser. ValueError marks an undecodable payload
+    (callers skip it, mirroring how a production pipeline quarantines
+    corrupt media)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — the import IS the gate
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        return _decode_ppm_p6(payload)
+
+
+def _dhash_from_rgb(arr: np.ndarray) -> int:
+    """Classic dHash over an (h, w, 3) integer array: integer grayscale
+    (channel sum), box-average pooling to an 8x9 grid, one bit per
+    row-adjacent comparison — means compared by cross-multiplication,
+    so the hash is exact integer arithmetic end-to-end and invariant
+    under pixel-replicating upscales (tested)."""
+    g = arr.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    if h < _DHASH_ROWS or w < _DHASH_COLS:
+        raise ValueError("image smaller than the dHash grid")
+    row_idx = (np.arange(h) * _DHASH_ROWS) // h
+    col_idx = (np.arange(w) * _DHASH_COLS) // w
+    rb = np.add.reduceat(
+        g, np.searchsorted(row_idx, np.arange(_DHASH_ROWS)), axis=0
+    )
+    s = np.add.reduceat(
+        rb, np.searchsorted(col_idx, np.arange(_DHASH_COLS)), axis=1
+    )
+    cnt = np.outer(
+        np.bincount(row_idx, minlength=_DHASH_ROWS),
+        np.bincount(col_idx, minlength=_DHASH_COLS),
+    ).astype(np.int64)
+    bits = 0
+    for r in range(_DHASH_ROWS):
+        for c in range(_DHASH_COLS - 1):
+            k = r * (_DHASH_COLS - 1) + c
+            if k >= _PHASH_SEGMENTS - 1:
+                break
+            if s[r, c + 1] * cnt[r, c] > s[r, c] * cnt[r, c + 1]:
+                bits |= 1 << k
+    return bits
+
+
+def media_phash_pixels(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, phash) from DECODED pixels via Arrow-batched
+    ``mapInPandas`` — the production signature for
+    :func:`phash_neardup_pairs` (same 63-bit domain, same banding, same
+    verify as the byte-profile q205 path). Undecodable or sub-grid
+    payloads are skipped, not scored."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            phs: list[int] = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = _decode_rgb(bytes(payload))
+                    ph = _dhash_from_rgb(arr)
+                except ValueError:
+                    continue
+                ids.append(int(mid))
+                phs.append(ph)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema="media_id long, phash long")
