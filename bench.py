@@ -90,6 +90,10 @@ HEADLINE = [
     "q213_entity_resolution",   # blocked record linkage + entity closure (r10)
     "q214_blocking_quality",    # pair completeness / reduction ratio (r10)
     "q215_resolution_quality",  # entity-level pair precision/recall (r10)
+    "q216_incremental_exact_neardup",  # stateful exact near-dup delta path (r11)
+    "q217_fellegi_sunter",      # multi-attribute FS record-linkage scoring (r11)
+    "q218_blocking_quality_multi",  # per-pass + union blocking audit (r11)
+    "q219_unigram_train_trajectory",  # 3-iteration EM training trajectory (r11)
 ]
 
 
