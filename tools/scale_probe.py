@@ -195,6 +195,15 @@ HEADLINE = [
     # expansion (like q191's part), so the probe would measure
     # overhead; its fact-scale path - the block-keyed equi-join with
     # in-block verify - is the q169/q51 blocked-join family, probed.
+    # (q217/q218 are customer-based too - same exclusion.)
+    # q216: builds exact near-dup state on the doc_id%7<>0 slice, then
+    # runs the full corpus through the stateful path - two linear
+    # shingle passes + the state-scan probe, the q51 family twice.
+    "q216_incremental_exact_neardup",
+    # q219: three EM iterations, each a vocabulary-bounded DP pass over
+    # the distinct-word table (vocab grows Kx with the replica token
+    # suffixes) + vocab-sized usage aggs - the q212 shape iterated.
+    "q219_unigram_train_trajectory",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
