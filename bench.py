@@ -94,6 +94,7 @@ HEADLINE = [
     "q217_fellegi_sunter",      # multi-attribute FS record-linkage scoring (r11)
     "q218_blocking_quality_multi",  # per-pass + union blocking audit (r11)
     "q219_unigram_train_trajectory",  # 3-iteration EM training trajectory (r11)
+    "q220_fellegi_sunter_em",   # unsupervised EM of the FS m/u weights (r11)
 ]
 
 

@@ -126,3 +126,71 @@ def test_multiblock_audit_union_complete(spark):
     # blocking must actually block: >99% of the pair space never built
     for r in rows.values():
         assert r["reduction_ratio_ppm"] > 990_000
+
+
+def test_em_converges_and_recovers_truth(spark):
+    """Open-ended fs_em_train reaches a (weights, threshold) fixpoint;
+    classifying with the LEARNED parameters recovers the synthetic
+    truth pairs exactly; and EM learns what the bootstrap cannot see —
+    name agreement is common among blocked non-matches, so its learned
+    agree-weight collapses below the strong attributes'."""
+    from etl_pipeline_candy_store_spark.operators.entity import fs_em_train
+
+    # sf0.01: the sf0.001 candidate set is 14 pairs (11 true), far too
+    # match-heavy for the learned u to show structure; at sf0.01 the
+    # blocks contribute ~500 non-matches and EM has a population
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    regsf = registrations_full(c)
+    final, traj = fs_em_train(regsf, max_iters=10)
+    assert len(traj) >= 2
+    assert final["wa_name"] < final["wa_phone"]
+    assert final["wa_name"] < final["wa_addr"]
+
+    gamma = fs_gamma(fs_candidates(regsf))
+    score = None
+    for k in _FS_ATTRS:
+        term = F.when(
+            F.col(f"g_{k}") == 1, F.lit(final[f"wa_{k}"])
+        ).otherwise(F.lit(final[f"wd_{k}"]))
+        score = term if score is None else score + term
+    matched = gamma.filter(score >= F.lit(final["threshold"])).select(
+        "ra", "rb"
+    )
+    v1 = c.filter(F.col("c_custkey") % _ER_V1_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V1_OFFSET).alias("rb"),
+    )
+    v2 = c.filter(F.col("c_custkey") % _ER_V2_MOD == 0).select(
+        F.col("c_custkey").alias("ra"),
+        (F.col("c_custkey") + _ER_V2_OFFSET).alias("rb"),
+    )
+    truth = v1.unionByName(v2)
+    n_true = truth.count()
+    assert matched.count() == n_true
+    assert matched.join(truth, ["ra", "rb"], "left_semi").count() == n_true
+
+
+def test_em_max_iters_raises(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_candy_store_spark.operators.entity import fs_em_train
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        fs_em_train(registrations_full(_customers(spark)), max_iters=1)
+
+
+def test_em_trajectory_matches_query(spark):
+    """The registered q220 (exact_iters=3) must be the same loop."""
+    from etl_pipeline_candy_store_spark.operators.entity import (
+        fs_em_train,
+        q220_fellegi_sunter_em,
+    )
+
+    _, traj = fs_em_train(
+        registrations_full(_customers(spark)), exact_iters=3
+    )
+    got = sorted(
+        (r.asDict() for r in q220_fellegi_sunter_em(spark, SF).collect()),
+        key=lambda r: r["iter"],
+    )
+    assert [dict(t) for t in traj] == got

@@ -75,10 +75,10 @@ def main() -> None:
         "bucket-totals window (q119/q137/q141 two-level prefix sums, q89's",
         "32-row rank) or a regression.",
         "",
-        "q219 audits as all-zero by construction: the trainer loop runs",
-        "its per-iteration plans inside unigram_train (each iteration =",
-        "one q206/q212-shaped DP pass, audited under those rows) and the",
-        "returned trajectory is a 3-row local relation.",
+        "q219/q220 audit as all-zero by construction: their training loops",
+        "run per-iteration plans inside unigram_train / fs_em_train (the",
+        "q206/q212 DP shapes and one pair-sized aggregate per EM round)",
+        "and the returned trajectories are 3-row local relations.",
         "",
         "| query | exchanges | broadcast joins | sort-merge joins | explodes | cartesian | windows | unpartitioned specs | scans w/ pushed filters |",
         "|---|---|---|---|---|---|---|---|---|",
