@@ -197,12 +197,15 @@ def stream_curate(doc_stream: DataFrame, state_dir: str):
     return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
 
 
-def read_curated(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_curated(
+    spark: SparkSession, state_dir: str, *, with_docs: bool = False
+) -> DataFrame:
     """(doc_id, split) survivors over everything ingested so far —
     equal to batch ``curate()``'s export over the same docs under
     monotone arrival. Near-dup drops are derived here (connected
     components over the accumulated pair state, drop non-min members);
-    the other gates are the stored per-doc flags."""
+    the other gates are the stored per-doc flags. ``with_docs`` keeps
+    the full document columns (the export shape)."""
     docs = _read_state(spark, f"{state_dir}/docs", _DOCS_SCHEMA).drop("batch")
     pairs = _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop(
         "batch"
@@ -246,10 +249,44 @@ def read_curated(spark: SparkSession, state_dir: str) -> DataFrame:
         contaminated, "doc_id", "left_anti"
     )
     h = _h256()
-    return survivors.select(
-        "doc_id",
+    split = (
         F.when(h < 230, F.lit("train"))
         .when(h < 243, F.lit("val"))
         .otherwise(F.lit("test"))
-        .alias("split"),
+        .alias("split")
     )
+    if with_docs:
+        return survivors.select(
+            "doc_id", "text", "lang", "source", "n_chars", split
+        )
+    return survivors.select("doc_id", split)
+
+
+def export_curated(
+    spark: SparkSession, state_dir: str, out_dir: str, n_shards: int = 4
+) -> dict:
+    """Ship the stream-curated survivors through the SAME shard writer
+    as batch ``curate()`` (content-stable hash shards + manifest per
+    split) — the handoff that lets a team run the stream online and
+    still export byte-identical training shards. Manifests match the
+    batch run's (modulo output path) because the survivor rows and the
+    shard key/order columns are identical."""
+    import os as _os
+
+    from etl_pipeline_candy_store_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    d = read_curated(spark, state_dir, with_docs=True)
+    report: dict = {}
+    for split in ("train", "val", "test"):
+        part = d.filter(F.col("split") == split).drop("split")
+        manifest = write_training_shards(
+            part,
+            _os.path.join(out_dir, f"split={split}"),
+            key_cols=["doc_id"],
+            n_shards=n_shards,
+            order_cols=["source", "doc_id"],
+        )
+        report[split] = {"n_docs": manifest["total_rows"], "manifest": manifest}
+    return report

@@ -2094,3 +2094,33 @@ def test_curate_stream_replay_is_idempotent(spark, tmp_path):
     apply_curate_batch(second, state, 1)  # crash replay
     got = sorted(map(tuple, read_curated(spark, state).collect()))
     assert got == want
+
+
+def test_export_curated_matches_batch_manifests(spark, tmp_path):
+    """Stream-curated survivors exported through the shared shard writer
+    must produce the same content-addressed manifests as batch
+    curate()'s export (modulo output path)."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        export_curated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    state = str(tmp_path / "state")
+    apply_curate_batch(docs.filter(F.col("doc_id") < n_max // 2), state, 0)
+    apply_curate_batch(docs.filter(F.col("doc_id") >= n_max // 2), state, 1)
+
+    got = export_curated(spark, state, str(tmp_path / "stream_out"), n_shards=2)
+    want = curate(spark, sf, str(tmp_path / "batch_out"), n_shards=2)
+
+    def _m(split_report):
+        return {
+            k: {mk: mv for mk, mv in v["manifest"].items() if mk != "path"}
+            for k, v in split_report.items()
+        }
+
+    assert _m(got) == _m(want["splits"])
