@@ -44,9 +44,10 @@ Scale posture: per-run cost is O(batch shingles + corpus-state scan +
 candidate verify) with the only shuffles keyed on batch-sized
 relations; the corpus-state scan is a columnar parquet read probed by a
 broadcast hash join (no exchange). At 100 TB the shingle state is wide;
-the ``broadcast_max_docs`` guard falls back to a shuffle join when a
-"batch" is too big to broadcast, and compaction bounds the stale-row
-overhead.
+the ``broadcast_max_shingles`` guard measures the BATCH SHINGLE table
+(the relation actually broadcast — gating on doc count would under-
+estimate by the ~50x shingle fan-out) and falls back to a shuffle join
+past it, and compaction bounds the stale-row overhead.
 
 Reference anchor: the reference pipeline (candy orders) has no corpus
 state at all — every DAG run recomputes from the raw inputs
@@ -116,7 +117,7 @@ def neardup_pairs_incremental(
     state_dir: str,
     *,
     update_state: bool = True,
-    broadcast_max_docs: int = 200_000,
+    broadcast_max_shingles: int = 2_000_000,
     threshold: float = _JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact q51 near-dup pairs over ``d1`` (doc_id, text — unique
@@ -149,7 +150,7 @@ def neardup_pairs_incremental(
         ).localCheckpoint(eager=True)
         n_new = new_ids.count()
         ids = new_ids.select("doc_id")
-        if n_new <= broadcast_max_docs:
+        if n_new <= 10_000_000:  # one long per doc — broadcast-cheap
             ids = F.broadcast(ids)
         # batch-sized — pin it so the consumers below (shingling twice,
         # pair verify, state write) don't re-run the split
@@ -160,6 +161,11 @@ def neardup_pairs_incremental(
         new = keyed.select("doc_id", "fp", "text")
 
     new_sh = _shingles(new.select("doc_id", "text"))
+    if runs:
+        # batch-sized and consumed 3-4 times (count, probe, cardinality,
+        # state write) — pin it; the first run's corpus-sized shingle
+        # relation stays lazy like the stateless path
+        new_sh = new_sh.localCheckpoint(eager=True)
     card_new = new_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -195,7 +201,9 @@ def neardup_pairs_incremental(
             spark, state_dir, "shingles", _ND_SHINGLES_SCHEMA, runs
         )
         probe = new_sh.select(F.col("doc_id").alias("doc_new"), "shingle")
-        if n_new <= broadcast_max_docs:
+        # gate the broadcast on the SHINGLE row count — the relation
+        # being shipped — not the doc count (~50x smaller)
+        if new_sh.count() <= broadcast_max_shingles:
             probe = F.broadcast(probe)
         inter = (
             sh_st.select(F.col("doc_id").alias("doc_seen"), "fp", "shingle")

@@ -54,6 +54,7 @@ from etl_pipeline_candy_store_spark.streaming.neardup_stream import _read_state
 
 _REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's documented defaults
 _REP_DUP_TRIGRAM_MAX = 400_000
+_BROADCAST_MAX_SHINGLES = 2_000_000  # neardup_state's guard, same basis
 
 _DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint,"
@@ -108,14 +109,15 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     card_st = _read_state(
         spark, f"{state_dir}/cards", _CARD_SCHEMA, before_batch=batch_id
     ).drop("batch")
+    # broadcast gated on the BATCH SHINGLE row count (the relation being
+    # shipped), not the doc count — a fat micro-batch falls back to a
+    # shuffle join instead of a multi-hundred-MB broadcast
+    probe = sh_new.select(F.col("doc_id").alias("doc_new"), "shingle")
+    if sh_new.count() <= _BROADCAST_MAX_SHINGLES:
+        probe = F.broadcast(probe)
     inter = (
         sh_st.select(F.col("doc_id").alias("doc_seen"), "shingle")
-        .join(
-            F.broadcast(
-                sh_new.select(F.col("doc_id").alias("doc_new"), "shingle")
-            ),
-            "shingle",
-        )
+        .join(probe, "shingle")
         .groupBy("doc_seen", "doc_new")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
