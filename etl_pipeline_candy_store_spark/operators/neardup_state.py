@@ -402,3 +402,19 @@ def q216_incremental_exact_neardup(
     neardup_pairs_incremental(prior, state).count()  # run 0: build state
     d1 = dedup_exact(docs)
     return neardup_pairs_incremental(d1, state, update_state=False)
+
+
+def forget_from_neardup_state(
+    spark: SparkSession, state_dir: str, current: DataFrame
+) -> dict:
+    """Right-to-be-forgotten for the PERSISTENT dedup state (the q194
+    family's obligation extended to derived state): a document deleted
+    from the corpus must leave no trace in the shingle relation, the
+    per-doc index, or the stored pairs — derived state is still
+    personal data. Implemented as a compaction against the post-forget
+    corpus: :func:`compact_neardup_state` already keeps only the
+    generations present in ``current``, and its ledger-cutover write
+    makes the purge PHYSICAL (old run partitions are deleted, not
+    filtered at read time — a tombstone that still materializes the
+    text on disk is not a deletion)."""
+    return compact_neardup_state(spark, state_dir, current=current)

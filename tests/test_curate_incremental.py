@@ -155,3 +155,54 @@ def test_compact_neardup_state(spark, tmp_path):
         neardup_pairs_incremental(d1c, state, update_state=False)
     )
     assert got == _pairs_set(jaccard_pairs(d1c))
+
+
+def test_forget_physically_purges_state(spark, tmp_path):
+    """RTBF against the persistent near-dup state: after the corpus
+    drops a doc and the state is purged, NO state relation contains the
+    forgotten doc (physical deletion, verified by reading the raw
+    parquet dirs), and the stateful path still answers exactly for the
+    surviving corpus."""
+    import os
+
+    from etl_pipeline_candy_store_spark.operators.neardup_state import (
+        forget_from_neardup_state,
+    )
+
+    state = str(tmp_path / "state")
+    docs = _docs(spark).localCheckpoint(eager=True)
+    d1 = dedup_exact(docs)
+    neardup_pairs_incremental(d1, state).count()
+
+    # pick a doc that participates in at least one stored pair, so the
+    # purge has to scrub the pairs relation too
+    some_pair = (
+        spark.read.parquet(f"{state}/pairs").select("doc_a").limit(1).collect()
+    )
+    victim = some_pair[0]["doc_a"]
+    kept = docs.filter(F.col("doc_id") != victim).localCheckpoint(eager=True)
+
+    forget_from_neardup_state(spark, state, current=kept)
+
+    for kind, cols in (
+        ("per_doc", ["doc_id"]),
+        ("shingles", ["doc_id"]),
+        ("pairs", ["doc_a", "doc_b"]),
+    ):
+        df = spark.read.parquet(f"{state}/{kind}")
+        for c in cols:
+            assert df.filter(F.col(c) == victim).count() == 0, (kind, c)
+    # physical: exactly one run dir remains on disk per relation
+    for kind in ("per_doc", "shingles", "pairs"):
+        runs = [
+            d
+            for d in os.listdir(f"{state}/{kind}")
+            if d.startswith("run=")
+        ]
+        assert len(runs) == 1, (kind, runs)
+
+    d1_kept = dedup_exact(kept)
+    got = _pairs_set(
+        neardup_pairs_incremental(d1_kept, state, update_state=False)
+    )
+    assert got == _pairs_set(jaccard_pairs(d1_kept))
