@@ -310,20 +310,28 @@ def compact_neardup_state(
     runs = applied_runs(spark, state_dir)
     if not runs:
         return {"runs_before": 0, "runs_after": 0}
-    per_doc = _read_state(spark, state_dir, "per_doc", _ND_PERDOC_SCHEMA, runs)
-    # latest generation per doc_id = the one whose fp matches `current`
-    # if given, else the row from the highest run (re-read with run col)
     pd_runs = (
         spark.read.parquet(f"{state_dir}/per_doc")
         .filter(F.col("run").isin(runs))
     )
-    latest = pd_runs.groupBy("doc_id").agg(F.max("run").alias("run"))
-    keep = pd_runs.join(latest, ["doc_id", "run"]).select("doc_id", "fp", "n")
     if current is not None:
+        # keep exactly the generation matching the live corpus. A
+        # (doc_id, fp) pair exists in at most one run (a matched doc is
+        # never re-appended), so the semi-join is already unique — and
+        # unlike max-run selection it keeps a REVERTED doc's old-but-
+        # current generation instead of its newer superseded one.
         cur = current.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
         )
-        keep = keep.join(cur, ["doc_id", "fp"], "left_semi")
+        keep = pd_runs.join(cur, ["doc_id", "fp"], "left_semi").select(
+            "doc_id", "fp", "n"
+        )
+    else:
+        # no corpus given: latest generation per doc_id
+        latest = pd_runs.groupBy("doc_id").agg(F.max("run").alias("run"))
+        keep = pd_runs.join(latest, ["doc_id", "run"]).select(
+            "doc_id", "fp", "n"
+        )
     keep = keep.localCheckpoint(eager=True)
     kd = keep.select("doc_id", "fp")
     sh = _read_state(

@@ -206,3 +206,36 @@ def test_forget_physically_purges_state(spark, tmp_path):
         neardup_pairs_incremental(d1_kept, state, update_state=False)
     )
     assert got == _pairs_set(jaccard_pairs(d1_kept))
+
+
+def test_compaction_keeps_reverted_generation(spark, tmp_path):
+    """A doc changed B and later reverted to A has gen A in an EARLY run
+    and gen B in a later one; compaction against the reverted corpus
+    must keep gen A (the live one), not the newer superseded B — and
+    the state must answer without re-paying the doc."""
+    state = str(tmp_path / "state")
+    docs = _docs(spark).localCheckpoint(eager=True)
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim, F.concat(F.lit("bb cc dd "), "text")
+        ).otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+
+    neardup_pairs_incremental(dedup_exact(docs), state).count()  # gen A
+    neardup_pairs_incremental(dedup_exact(changed), state).count()  # gen B
+    # revert: corpus is back to gen A (already matched in state — no run)
+    compact_neardup_state(spark, state, current=docs)
+
+    pd = spark.read.parquet(f"{state}/per_doc")
+    assert pd.filter(F.col("doc_id") == victim).count() == 1
+    d1 = dedup_exact(docs)
+    got = _pairs_set(
+        neardup_pairs_incremental(d1, state, update_state=False)
+    )
+    assert got == _pairs_set(jaccard_pairs(d1))
+    # ...and 'no re-pay': the post-compaction run sees everything matched
+    neardup_pairs_incremental(d1, state).count()
+    runs = applied_runs(spark, state)
+    assert len(runs) == 1  # replay appended nothing after the compact run
