@@ -292,3 +292,33 @@ def export_curated(
         )
         report[split] = {"n_docs": manifest["total_rows"], "manifest": manifest}
     return report
+
+
+def read_curated_materialized(
+    spark: SparkSession,
+    state_dir: str,
+    store_dir: str | None = None,
+    *,
+    with_docs: bool = False,
+) -> DataFrame:
+    """``read_curated`` memoized per STATE GENERATION through the
+    durable store (the ER twin's ``read_resolved_entities_materialized``
+    pattern): the read-side derivation (connected components over the
+    pair state + the decontamination join) runs once per generation;
+    repeat reads between micro-batches are a parquet scan, a new batch
+    changes the fingerprint and the next read rebuilds once, and
+    ``prune_materialized("stream_curated*", store_dir=...)`` is the
+    retention knob with the store's pinned-reader guarantee."""
+    from etl_pipeline_candy_store_spark.operators.materialize import (
+        materialized_relation,
+    )
+
+    name = "stream_curated_docs" if with_docs else "stream_curated"
+    return materialized_relation(
+        spark,
+        name,
+        state_dir,
+        build=lambda: read_curated(spark, state_dir, with_docs=with_docs),
+        tables=("docs", "pairs", "shingles"),
+        store_dir=store_dir,
+    )

@@ -2124,3 +2124,38 @@ def test_export_curated_matches_batch_manifests(spark, tmp_path):
         }
 
     assert _m(got) == _m(want["splits"])
+
+
+def test_read_curated_materialized(spark, tmp_path):
+    """The memoized read equals the direct read, hits the store on a
+    repeat, and rebuilds when a new batch lands (fingerprint change)."""
+    from etl_pipeline_candy_store_spark.operators.materialize import (
+        materialized_versions,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+        read_curated_materialized,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    state = str(tmp_path / "state")
+    store = str(tmp_path / "store")
+    apply_curate_batch(docs.filter(F.col("doc_id") < n_max // 2), state, 0)
+
+    a = sorted(
+        map(tuple, read_curated_materialized(spark, state, store).collect())
+    )
+    assert a == sorted(map(tuple, read_curated(spark, state).collect()))
+    assert len(materialized_versions("stream_curated", store)) == 1
+    read_curated_materialized(spark, state, store).count()
+    assert len(materialized_versions("stream_curated", store)) == 1
+
+    apply_curate_batch(docs.filter(F.col("doc_id") >= n_max // 2), state, 1)
+    b = sorted(
+        map(tuple, read_curated_materialized(spark, state, store).collect())
+    )
+    assert b == sorted(map(tuple, read_curated(spark, state).collect()))
+    assert len(materialized_versions("stream_curated", store)) == 2
