@@ -172,20 +172,27 @@ def main() -> None:
         )
         return dedup_exact(docs)
 
-    def _med(fn, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        return round(statistics.median(ts), 2)
+    # INTERLEAVED median-of-5: plain and incremental alternate within
+    # one window, so host-load drift (this box has measured 2x swings
+    # within an hour) hits both sides equally and cancels out of the
+    # ratio — back-to-back blocks once mis-measured 0.80 where
+    # interleaved runs of the same build read 0.51-0.60
+    def _plain():
+        jaccard_pairs(_d1()).count()
 
-    t_pairs_plain = _med(lambda: jaccard_pairs(_d1()).count())
-    t_pairs_incr = _med(
-        lambda: neardup_pairs_incremental(
-            _d1(), state, update_state=False
-        ).count()
-    )
+    def _incr():
+        neardup_pairs_incremental(_d1(), state, update_state=False).count()
+
+    tp, ti = [], []
+    for _ in range(5):
+        t0 = time.time()
+        _plain()
+        tp.append(time.time() - t0)
+        t0 = time.time()
+        _incr()
+        ti.append(time.time() - t0)
+    t_pairs_plain = round(statistics.median(tp), 2)
+    t_pairs_incr = round(statistics.median(ti), 2)
     incr_ratio = round(t_pairs_incr / max(t_pairs_plain, 0.5), 2)
     incr_ok = (
         incr_ratio <= INCR_BUDGET and rep_sf["funnel"] == rep_big["funnel"]
@@ -201,7 +208,10 @@ def main() -> None:
         "funnel_matches_stateless": rep_sf["funnel"] == rep_big["funnel"],
         "gate": "PASS" if incr_ok else "FAIL",
     }
+    # the top-level gate must reflect BOTH the composed-total budget and
+    # the incremental gate (it is written before this section runs)
     ok = ok and incr_ok
+    result["gate"] = "PASS" if ok else "FAIL"
     print(json.dumps(result))
     if out_path:
         with open(out_path, "w") as fh:
