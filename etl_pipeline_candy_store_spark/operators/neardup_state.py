@@ -7,30 +7,43 @@ the corpus it deduplicates is mostly the same corpus it deduplicated
 yesterday. This module gives ``curate`` a persistent corpus state so a
 re-run only pays for the NEW slice:
 
-- ``per_doc``  (doc_id, fp, n)       — membership + shingle cardinality
-- ``shingles`` (doc_id, fp, shingle) — the exploded shingle relation
-- ``pairs``    (doc_a, doc_b, n_common, n_union) — verified pairs among
-  docs already in state
+- ``per_doc``  (doc_id, fp, n)   — membership + shingle cardinality
+- ``postings`` (doc_id, sh)      — the exploded shingle relation with
+  each shingle stored as its 16-byte ``unhex(md5(shingle))`` digest:
+  24 bytes per row instead of (doc_id, 32-char md5, ~30-char shingle
+  string). The per-run probe scans two narrow columns and joins on a
+  fixed-width binary key — the round-11 floor analysis (SCALE_NOTES
+  "incremental amortization") attributed ~0.4-0.5x of the stateful
+  path's residual cost to exactly that scan. Digest equality stands in
+  for string equality at the SAME md5-grade certainty the pipeline's
+  exact-dedup stage (``fp = md5(text)``) already rests on — the two
+  relations share one equality contract. A side benefit for
+  governance: the state never materializes text-derived strings at
+  all, only digests.
+- ``pairs``    (doc_a, fp_a, doc_b, fp_b, n_common, n_union) —
+  verified pairs among docs already in state, generation-stamped.
 
 On each run the input splits into *matched* (same (doc_id, content-
 digest) already in state) and *new*; the emitted pair relation is
 
   stored-pairs(matched x matched)  — read back, never recomputed
-  ∪ cross(new x matched)           — ONE linear scan of the shingle
-                                     state probed by the (broadcast)
-                                     new batch's shingle table: no
-                                     corpus self-join, no corpus shuffle
+  ∪ cross(new x matched)           — ONE probe of the postings state
+                                     by the (broadcast-gated) batch's
+                                     hashed shingle table: no corpus
+                                     self-join, no corpus-sized string
+                                     shuffle, no corpus string scan
   ∪ within(new x new)              — q51's exact jaccard_pairs on the
                                      batch only
 
-Because every branch is the EXACT shingle-intersection semantics (not
-an LSH approximation like the streaming MinHash twin in
-``streaming/neardup_stream.py``), the union is provably bit-identical
-to ``jaccard_pairs`` over the full input — the stateful and stateless
+A (run, doc_id) pair identifies exactly one document generation (a
+matched doc is never re-appended; changed content is a new generation
+in a new run), so joining the probe's candidate counts back through
+``per_doc`` on (run, doc_id) both fetches stored cardinalities and
+drops stale generations. The union is bit-identical to
+``jaccard_pairs`` over the full input — the stateful and stateless
 ``curate`` modes produce hash-equal funnels, which q216 locks against
 the DuckDB oracle and ``tests/test_curate_incremental.py`` asserts
-end-to-end (including the changed-content and shrunk-corpus edges,
-where stale state rows are filtered by the (doc_id, fp) match).
+end-to-end (including the changed-content and shrunk-corpus edges).
 
 State discipline (the streaming ledger pattern, run- instead of
 batch-scoped): each run appends ``run=N`` partitions and commits by
@@ -38,16 +51,20 @@ writing ``applied/run=N`` LAST; readers consult the applied ledger, so
 a crash mid-write leaves an orphan partition that the next run
 overwrites instead of a half-visible state. Stale rows from changed or
 removed docs accumulate until :func:`compact_neardup_state` rewrites
-the state into a fresh single-run layout.
+the state into a fresh single-run layout — and the compacted postings
+land as a HASH-BUCKETED catalog table on the probe's join key ``sh``,
+so the steady-state probe joins the corpus-sized relation with NO
+state-side Exchange even past the broadcast cap: the bucket layout is
+the shuffle, paid once at compaction
+(``tests/test_curate_incremental.py`` plan-locks it).
 
-Scale posture: per-run cost is O(batch shingles + corpus-state scan +
+Scale posture: per-run cost is O(batch shingles + postings scan +
 candidate verify) with the only shuffles keyed on batch-sized
-relations; the corpus-state scan is a columnar parquet read probed by a
-broadcast hash join (no exchange). At 100 TB the shingle state is wide;
-the ``broadcast_max_shingles`` guard measures the BATCH SHINGLE table
-(the relation actually broadcast — gating on doc count would under-
-estimate by the ~50x shingle fan-out) and falls back to a shuffle join
-past it, and compaction bounds the stale-row overhead.
+relations; the postings scan is a columnar read of (long, 16-byte
+binary) probed by a broadcast hash join (no exchange), falling back
+past ``broadcast_max_shingles`` to a shuffle join in which the
+bucketed state side still never moves. Compaction bounds the
+stale-row overhead.
 
 Reference anchor: the reference pipeline (candy orders) has no corpus
 state at all — every DAG run recomputes from the raw inputs
@@ -56,6 +73,9 @@ recurring 100 TB curation run cannot live without.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,7 +90,7 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
 from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
 _ND_PERDOC_SCHEMA = "doc_id bigint, fp string, n bigint"
-_ND_SHINGLES_SCHEMA = "doc_id bigint, fp string, shingle string"
+_ND_POSTINGS_SCHEMA = "doc_id bigint, sh binary"
 # pairs are stamped with BOTH endpoints' content digests: a pair is
 # valid only for the generations it was computed from — once a doc's
 # content changes, its old pairs must never match again even though the
@@ -80,12 +100,27 @@ _ND_PAIRS_SCHEMA = (
     " n_common bigint, n_union bigint"
 )
 
+_ND_BUCKETS = 32
+
+
+def _sh_digest(col: str = "shingle") -> F.Column:
+    """16-byte binary digest of a shingle string — the postings join
+    key. md5-grade equality, the same contract as the pipeline's
+    ``fp = md5(text)`` exact-dedup key."""
+    return F.unhex(F.md5(F.col(col).cast("binary")))
+
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def _state_digest(state_dir: str) -> str:
+    return hashlib.md5(
+        os.path.abspath(state_dir).encode("utf-8")
+    ).hexdigest()[:12]
 
 
 def applied_runs(spark: SparkSession, state_dir: str) -> list[int]:
@@ -99,17 +134,62 @@ def applied_runs(spark: SparkSession, state_dir: str) -> list[int]:
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, kind: str, schema: str, runs: list[int]
+    spark: SparkSession,
+    state_dir: str,
+    kind: str,
+    schema: str,
+    runs: list[int],
+    *,
+    keep_run: bool = False,
 ) -> DataFrame:
-    """Committed rows of one state relation; empty frame before the
-    first commit. The run-partition filter prunes uncommitted (crashed)
-    partitions at the scan."""
+    """Committed rows of one plain-parquet state relation; empty frame
+    before the first commit. The run-partition filter prunes
+    uncommitted (crashed) partitions at the scan."""
     path = f"{state_dir}/{kind}"
     if not runs or not _fs_exists(spark, path):
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.parquet(path).filter(F.col("run").isin(runs)).drop("run")
-    )
+        empty = spark.createDataFrame([], f"run int, {schema}")
+        return empty if keep_run else empty.drop("run")
+    df = spark.read.parquet(path).filter(F.col("run").isin(runs))
+    return df if keep_run else df.drop("run")
+
+
+def _bucketed_table_name(state_dir: str, run: int) -> str:
+    return f"ndstate_p_{_state_digest(state_dir)}_r{run}"
+
+
+def _read_postings(
+    spark: SparkSession, state_dir: str, runs: list[int]
+) -> DataFrame:
+    """(run, doc_id, sh) over the committed runs. Each run is stored
+    EITHER as plain ``postings/run=N`` parquet (incremental appends) OR
+    as the compaction's bucketed catalog table at ``postings_b/run=N``
+    — a compacted state is exactly one bucketed run, so its probe join
+    plans with no state-side Exchange; the catalog-table read degrades
+    gracefully to a plain parquet read of the same files when the table
+    definition is not in this session's catalog (bucket metadata lost,
+    rows identical)."""
+    parts: list[DataFrame] = []
+    for r in runs:
+        pb = f"{state_dir}/postings_b/run={r}"
+        if _fs_exists(spark, pb):
+            tbl = _bucketed_table_name(state_dir, r)
+            post = (
+                spark.table(tbl)
+                if spark.catalog.tableExists(tbl)
+                else spark.read.parquet(pb)
+            )
+            parts.append(post.select(F.lit(r).alias("run"), "doc_id", "sh"))
+        elif _fs_exists(spark, f"{state_dir}/postings/run={r}"):
+            parts.append(
+                spark.read.parquet(f"{state_dir}/postings/run={r}").select(
+                    F.lit(r).alias("run"), "doc_id", "sh"
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], f"run int, {_ND_POSTINGS_SCHEMA}")
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
 
 
 def neardup_pairs_incremental(
@@ -126,9 +206,9 @@ def neardup_pairs_incremental(
 
     Returns (doc_a, doc_b, n_common, n_union), bit-identical to
     ``jaccard_pairs(d1, threshold)``. With ``update_state`` the new
-    slice's shingles/cardinalities and the freshly discovered pairs are
-    committed as the next run, so a replayed corpus pays nothing and a
-    grown corpus pays for its delta.
+    slice's hashed postings, cardinalities and the freshly discovered
+    pairs are committed as the next run, so a replayed corpus pays
+    nothing and a grown corpus pays for its delta.
     """
     spark = d1.sparkSession
     runs = applied_runs(spark, state_dir)
@@ -136,10 +216,15 @@ def neardup_pairs_incremental(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp"), "text"
     )
     per_doc_st = _read_state(spark, state_dir, "per_doc", _ND_PERDOC_SCHEMA, runs)
-    # the matched/new split runs on a SLIM (doc_id, fp) projection so the
-    # anti-join never shuffles document text; the text joins back via a
-    # broadcast semi-join on the (batch-sized) new-id set
+    # the matched/new split runs on a SLIM (doc_id, fp) projection so
+    # the anti-join never shuffles document text — and the projection
+    # is PINNED, because every downstream consumer (matched semi-joins,
+    # the new-id anti-join, the pair-endpoint stamping) would otherwise
+    # re-run the full-corpus md5 text scan it embodies: one digest scan
+    # per run, total, is the contract (~40 bytes/doc to checkpoint)
     slim = keyed.select("doc_id", "fp")
+    if runs:
+        slim = slim.localCheckpoint(eager=True)
     matched = slim.join(
         per_doc_st.select("doc_id", "fp"), ["doc_id", "fp"], "left_semi"
     )
@@ -149,13 +234,18 @@ def neardup_pairs_incremental(
             per_doc_st.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
         ).localCheckpoint(eager=True)
         n_new = new_ids.count()
-        ids = new_ids.select("doc_id")
-        if n_new <= 10_000_000:  # one long per doc — broadcast-cheap
+        ids = new_ids
+        if n_new <= 10_000_000:  # one long + one digest per doc
             ids = F.broadcast(ids)
         # batch-sized — pin it so the consumers below (shingling twice,
-        # pair verify, state write) don't re-run the split
-        new = keyed.join(ids, "doc_id", "left_semi").localCheckpoint(
-            eager=True
+        # pair verify, state write) don't re-run the split. fp rides in
+        # from new_ids so this text fetch does NOT recompute md5 over
+        # the corpus.
+        new = (
+            d1.select("doc_id", "text")
+            .join(ids, "doc_id")
+            .select("doc_id", "fp", "text")
+            .localCheckpoint(eager=True)
         )
     else:
         new = keyed.select("doc_id", "fp", "text")
@@ -197,32 +287,36 @@ def neardup_pairs_incremental(
             # to append (state writes are delta-only, so a replayed
             # corpus costs one state read + the semi-filters)
             return stored
-        sh_st = _read_state(
-            spark, state_dir, "shingles", _ND_SHINGLES_SCHEMA, runs
+        post_st = _read_postings(spark, state_dir, runs)
+        probe = new_sh.select(
+            F.col("doc_id").alias("doc_new"), _sh_digest().alias("sh")
         )
-        probe = new_sh.select(F.col("doc_id").alias("doc_new"), "shingle")
-        # gate the broadcast on the SHINGLE row count — the relation
-        # being shipped — not the doc count (~50x smaller)
+        # gate the broadcast on the BATCH SHINGLE row count — the
+        # relation being shipped — not the doc count (~50x smaller)
         if new_sh.count() <= broadcast_max_shingles:
             probe = F.broadcast(probe)
         inter = (
-            sh_st.select(F.col("doc_id").alias("doc_seen"), "fp", "shingle")
-            .join(probe, "shingle")
-            .groupBy("doc_seen", "fp", "doc_new")
+            post_st.select("run", F.col("doc_id").alias("doc_seen"), "sh")
+            .join(probe, "sh")
+            .groupBy("run", "doc_seen", "doc_new")
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
-        # joining on (doc_seen, fp) both fetches the stored cardinality
-        # AND drops candidates whose state row is stale (content changed
-        # or doc gone): only the matched generation of a doc_id verifies
-        seen_card = per_doc_st.join(matched, ["doc_id", "fp"], "left_semi")
+        # (run, doc_id) identifies exactly one generation; joining the
+        # matched-filtered per_doc on it both fetches the stored
+        # cardinality AND drops candidates whose state row is stale
+        # (content changed or doc gone): only the matched generation of
+        # a doc_id verifies
+        seen_card = _read_state(
+            spark, state_dir, "per_doc", _ND_PERDOC_SCHEMA, runs, keep_run=True
+        ).join(matched, ["doc_id", "fp"], "left_semi")
         cross = (
             inter.join(
                 seen_card.select(
+                    "run",
                     F.col("doc_id").alias("doc_seen"),
-                    "fp",
                     F.col("n").alias("n_a"),
                 ),
-                ["doc_seen", "fp"],
+                ["run", "doc_seen"],
             )
             .join(
                 card_new.select(
@@ -252,14 +346,15 @@ def neardup_pairs_incremental(
 
     if update_state:
         nrun = (max(runs) + 1) if runs else 0
-        new_sh.join(new.select("doc_id", "fp"), "doc_id").select(
-            "doc_id", "fp", "shingle"
-        ).write.mode("overwrite").parquet(f"{state_dir}/shingles/run={nrun}")
+        new_sh.select("doc_id", _sh_digest().alias("sh")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/postings/run={nrun}")
         new.select("doc_id", "fp").join(card_new, "doc_id", "left").select(
             "doc_id", "fp", F.coalesce("n", F.lit(0)).cast("long").alias("n")
         ).write.mode("overwrite").parquet(f"{state_dir}/per_doc/run={nrun}")
-        # stamp both endpoints' digests (every endpoint is in keyed)
-        fpm = keyed.select("doc_id", "fp")
+        # stamp both endpoints' digests (every endpoint is in slim —
+        # checkpointed when state exists, so no md5 rescan)
+        fpm = slim
         fresh.join(
             fpm.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")),
             "doc_a",
@@ -293,13 +388,23 @@ def neardup_labels_incremental(
 
 
 def compact_neardup_state(
-    spark: SparkSession, state_dir: str, current: DataFrame | None = None
+    spark: SparkSession,
+    state_dir: str,
+    current: DataFrame | None = None,
+    n_buckets: int = _ND_BUCKETS,
 ) -> dict:
     """Rewrite the accumulated run partitions into a single fresh run,
     dropping rows superseded by a later generation of the same doc_id
     and (when ``current`` — a (doc_id, text) frame — is given) rows for
     docs no longer in the corpus. Bounded-state discipline for a state
     dir that would otherwise grow with every changed doc.
+
+    The compacted postings land as a HASH-BUCKETED catalog table on
+    ``sh`` (path under the state dir, name derived from its digest):
+    the steady-state probe's join against the corpus-sized postings
+    relation then plans with no state-side Exchange even on the
+    shuffle-fallback path — the bucket layout is the shuffle, paid
+    once here.
 
     Uses the materialized-store cutover pattern: the compacted
     partitions are written under NEW run ids first, the applied ledger
@@ -310,9 +415,8 @@ def compact_neardup_state(
     runs = applied_runs(spark, state_dir)
     if not runs:
         return {"runs_before": 0, "runs_after": 0}
-    pd_runs = (
-        spark.read.parquet(f"{state_dir}/per_doc")
-        .filter(F.col("run").isin(runs))
+    pd_runs = _read_state(
+        spark, state_dir, "per_doc", _ND_PERDOC_SCHEMA, runs, keep_run=True
     )
     if current is not None:
         # keep exactly the generation matching the live corpus. A
@@ -323,36 +427,44 @@ def compact_neardup_state(
         cur = current.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
         )
-        keep = pd_runs.join(cur, ["doc_id", "fp"], "left_semi").select(
-            "doc_id", "fp", "n"
-        )
+        keep = pd_runs.join(cur, ["doc_id", "fp"], "left_semi")
     else:
         # no corpus given: latest generation per doc_id
         latest = pd_runs.groupBy("doc_id").agg(F.max("run").alias("run"))
-        keep = pd_runs.join(latest, ["doc_id", "run"]).select(
-            "doc_id", "fp", "n"
-        )
+        keep = pd_runs.join(latest, ["doc_id", "run"])
     keep = keep.localCheckpoint(eager=True)
-    kd = keep.select("doc_id", "fp")
-    sh = _read_state(
-        spark, state_dir, "shingles", _ND_SHINGLES_SCHEMA, runs
-    ).join(kd, ["doc_id", "fp"], "left_semi")
+    kd = keep.select("run", "doc_id")
+    postings = _read_postings(spark, state_dir, runs).join(
+        kd, ["run", "doc_id"], "left_semi"
+    )
     pairs = (
         _read_state(spark, state_dir, "pairs", _ND_PAIRS_SCHEMA, runs)
         .join(
-            kd.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")),
+            keep.select(
+                F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
+            ),
             ["doc_a", "fp_a"],
             "left_semi",
         )
         .join(
-            kd.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")),
+            keep.select(
+                F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
+            ),
             ["doc_b", "fp_b"],
             "left_semi",
         )
     )
     nrun = max(runs) + 1
-    sh.write.mode("overwrite").parquet(f"{state_dir}/shingles/run={nrun}")
-    keep.write.mode("overwrite").parquet(f"{state_dir}/per_doc/run={nrun}")
+    ptbl = _bucketed_table_name(state_dir, nrun)
+    spark.sql(f"DROP TABLE IF EXISTS {ptbl}")
+    postings.select("doc_id", "sh").write.mode("overwrite").bucketBy(
+        n_buckets, "sh"
+    ).sortBy("sh").option("path", f"{state_dir}/postings_b/run={nrun}").format(
+        "parquet"
+    ).saveAsTable(ptbl)
+    keep.select("doc_id", "fp", "n").write.mode("overwrite").parquet(
+        f"{state_dir}/per_doc/run={nrun}"
+    )
     pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/run={nrun}")
     # ledger swap: overwrite the WHOLE applied dir with just the new run
     spark.createDataFrame([(nrun,)], "n bigint").write.mode(
@@ -364,9 +476,11 @@ def compact_neardup_state(
     fs = Path(state_dir).getFileSystem(conf)
     fs.delete(Path(f"{state_dir}/applied"), True)
     fs.rename(Path(f"{state_dir}/applied.next"), Path(f"{state_dir}/applied"))
-    for kind in ("shingles", "per_doc", "pairs"):
+    for kind in ("postings", "per_doc", "pairs", "postings_b"):
         for r in runs:
             fs.delete(Path(f"{state_dir}/{kind}/run={r}"), True)
+    for r in runs:
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(state_dir, r)}")
     return {"runs_before": len(runs), "runs_after": 1, "run": nrun}
 
 
@@ -387,7 +501,7 @@ WITH d1 AS ({_Q216_D1_SQL}),
     doc="Incremental exact near-dup: corpus state is built from the "
     "doc_id % 7 <> 0 slice (its own post-exact-dedup survivors), then "
     "the FULL corpus runs through the stateful path — stored pairs for "
-    "matched docs, one state-scan cross probe for the delta, q51 "
+    "matched docs, one hashed-postings probe for the delta, q51 "
     "within-pairs for the delta only. The oracle is plain exact "
     "jaccard pairs over the full post-exact-dedup corpus: hash "
     "equality IS the proof that the incremental decomposition loses "
@@ -417,12 +531,14 @@ def forget_from_neardup_state(
 ) -> dict:
     """Right-to-be-forgotten for the PERSISTENT dedup state (the q194
     family's obligation extended to derived state): a document deleted
-    from the corpus must leave no trace in the shingle relation, the
+    from the corpus must leave no trace in the postings relation, the
     per-doc index, or the stored pairs — derived state is still
-    personal data. Implemented as a compaction against the post-forget
-    corpus: :func:`compact_neardup_state` already keeps only the
-    generations present in ``current``, and its ledger-cutover write
-    makes the purge PHYSICAL (old run partitions are deleted, not
-    filtered at read time — a tombstone that still materializes the
-    text on disk is not a deletion)."""
+    personal data (the postings store only 16-byte shingle digests,
+    never text-derived strings, but digests of a person's data are
+    still linkable state and are purged all the same). Implemented as
+    a compaction against the post-forget corpus:
+    :func:`compact_neardup_state` already keeps only the generations
+    present in ``current``, and its ledger-cutover write makes the
+    purge PHYSICAL (old run partitions are deleted, not filtered at
+    read time)."""
     return compact_neardup_state(spark, state_dir, current=current)

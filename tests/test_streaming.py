@@ -2159,3 +2159,108 @@ def test_read_curated_materialized(spark, tmp_path):
     )
     assert b == sorted(map(tuple, read_curated(spark, state).collect()))
     assert len(materialized_versions("stream_curated", store)) == 2
+
+
+def test_stream_curate_arrival_order_independent(spark, tmp_path):
+    """The digest-keyed funnel state must reproduce batch curate()'s
+    survivor set under a SHUFFLED arrival permutation — including the
+    two shapes monotone arrival never exercises: (a) a later batch
+    carries a SMALLER doc_id for an already-seen digest and re-elects
+    the exact-dedup keeper; (b) a later batch bridges two already-
+    emitted near-dup clusters. Keepers and components are read-time
+    derivations over order-independent sets, so any batch partition of
+    the corpus must yield the same (doc_id, split) export."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+
+    # REVERSED interleave: batch 0 gets the HIGH doc_id of every exact-
+    # duplicate group first (xxhash-based striping reverses no pattern
+    # the fixture relies on; doc_id % 3 == 2 strictly contains higher
+    # ids than % 3 == 0 within each contiguous dup group), so keeper
+    # re-election on read is exercised for real
+    state = str(tmp_path / "curate_shuffled")
+    apply_curate_batch(docs.filter(F.col("doc_id") % 3 == 2), state, 0)
+    apply_curate_batch(docs.filter(F.col("doc_id") % 3 == 0), state, 1)
+    apply_curate_batch(docs.filter(F.col("doc_id") % 3 == 1), state, 2)
+
+    got = {
+        (r["doc_id"], r["split"]) for r in read_curated(spark, state).collect()
+    }
+
+    out = str(tmp_path / "batch_out")
+    curate(spark, sf, out, n_shards=2)
+    want = set()
+    for split in ("train", "val", "test"):
+        for r in (
+            spark.read.parquet(f"{out}/split={split}")
+            .select("doc_id")
+            .collect()
+        ):
+            want.add((r["doc_id"], split))
+    assert want, "batch curate exported nothing"
+    assert got == want
+
+    # and a SECOND permutation over the same corpus must derive the
+    # identical set (state content differs per batch, derivation not)
+    state2 = str(tmp_path / "curate_shuffled2")
+    apply_curate_batch(docs.filter(F.col("doc_id") % 2 == 1), state2, 0)
+    apply_curate_batch(docs.filter(F.col("doc_id") % 2 == 0), state2, 1)
+    got2 = {
+        (r["doc_id"], r["split"])
+        for r in read_curated(spark, state2).collect()
+    }
+    assert got2 == want
+
+
+def test_stream_curate_late_small_doc_id_re_elects_keeper(spark, tmp_path):
+    """Directed fixture for the arrival-order contract: the SECOND
+    batch delivers a smaller doc_id for a digest seen in the first
+    batch AND a bridge doc that merges two near-dup clusters. The
+    derived survivors must match what batch curate()'s stages produce
+    over the union — keeper = global min doc_id, one keeper per merged
+    cluster."""
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill every single afternoon in summer "
+        "and the birds sing their usual songs from the old oak tree"
+    )
+    # bridge shares half its text with base and half with an unrelated
+    # second cluster seed
+    other = (
+        "deep in the valley the river bends past granite boulders and "
+        "pine forests where hikers rest beside the cold clear water "
+        "each morning before the long climb up the northern ridge line"
+    )
+    bridge = base + " " + other
+    rows1 = [
+        (1000, base, "en", "web", len(base)),
+        (1001, base, "en", "web", len(base)),  # exact dup, higher id
+        (2000, other, "en", "web", len(other)),
+    ]
+    rows2 = [
+        (900, base, "en", "web", len(base)),  # smaller id, re-elects
+        (1500, bridge, "en", "web", len(bridge)),  # merges both clusters
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    state = str(tmp_path / "directed")
+    apply_curate_batch(spark.createDataFrame(rows1, schema), state, 0)
+    apply_curate_batch(spark.createDataFrame(rows2, schema), state, 1)
+
+    got = {r["doc_id"] for r in read_curated(spark, state).collect()}
+    # exact dedup: base's keeper is 900 (NOT 1000 — first arrival lost);
+    # near-dup: {900, 1500, 2000} form ONE bridged cluster, min survives
+    assert 1000 not in got and 1001 not in got
+    assert 1500 not in got and 2000 not in got
+    assert 900 in got
