@@ -110,11 +110,14 @@ def _sh_digest(col: str = "shingle") -> F.Column:
     return F.unhex(F.md5(F.col(col).cast("binary")))
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+from etl_pipeline_candy_store_spark.operators.ledger import (  # noqa: E402
+    fs_exists as _fs_exists,
+)
+from etl_pipeline_candy_store_spark.operators.ledger import (  # noqa: E402
+    committed_runs,
+    repair_applied,
+    swap_applied,
+)
 
 
 def _state_digest(state_dir: str) -> str:
@@ -124,13 +127,12 @@ def _state_digest(state_dir: str) -> str:
 
 
 def applied_runs(spark: SparkSession, state_dir: str) -> list[int]:
-    """Runs whose state writes are committed (ledger written last)."""
-    path = f"{state_dir}/applied"
-    if not _fs_exists(spark, path):
-        return []
-    return sorted(
-        r["run"] for r in spark.read.parquet(path).select("run").collect()
-    )
+    """Runs whose state writes are committed (ledger written last) —
+    the shared run-ledger protocol (:mod:`.ledger`). Repairs a
+    compaction cutover interrupted between its delete and rename
+    before reading."""
+    repair_applied(spark, state_dir)
+    return committed_runs(spark, state_dir)
 
 
 def _read_state(
@@ -142,15 +144,11 @@ def _read_state(
     *,
     keep_run: bool = False,
 ) -> DataFrame:
-    """Committed rows of one plain-parquet state relation; empty frame
-    before the first commit. The run-partition filter prunes
-    uncommitted (crashed) partitions at the scan."""
-    path = f"{state_dir}/{kind}"
-    if not runs or not _fs_exists(spark, path):
-        empty = spark.createDataFrame([], f"run int, {schema}")
-        return empty if keep_run else empty.drop("run")
-    df = spark.read.parquet(path).filter(F.col("run").isin(runs))
-    return df if keep_run else df.drop("run")
+    from etl_pipeline_candy_store_spark.operators.ledger import read_run_state
+
+    return read_run_state(
+        spark, state_dir, kind, schema, runs, keep_part=keep_run
+    )
 
 
 def _bucketed_table_name(state_dir: str, run: int) -> str:
@@ -345,29 +343,46 @@ def neardup_pairs_incremental(
     fresh = within.unionByName(cross)
 
     if update_state:
+        from etl_pipeline_candy_store_spark.operators.ledger import commit_run
+
         nrun = (max(runs) + 1) if runs else 0
-        new_sh.select("doc_id", _sh_digest().alias("sh")).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/postings/run={nrun}")
-        new.select("doc_id", "fp").join(card_new, "doc_id", "left").select(
-            "doc_id", "fp", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-        ).write.mode("overwrite").parquet(f"{state_dir}/per_doc/run={nrun}")
         # stamp both endpoints' digests (every endpoint is in slim —
         # checkpointed when state exists, so no md5 rescan)
         fpm = slim
-        fresh.join(
-            fpm.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")),
-            "doc_a",
-        ).join(
-            fpm.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")),
-            "doc_b",
-        ).select(
-            "doc_a", "fp_a", "doc_b", "fp_b", "n_common", "n_union"
-        ).write.mode("overwrite").parquet(f"{state_dir}/pairs/run={nrun}")
-        # ledger LAST: a crash before this line leaves run=N invisible
-        spark.createDataFrame([(nrun,)], "n bigint").write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/applied/run={nrun}")
+        stamped_pairs = (
+            fresh.join(
+                fpm.select(
+                    F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                fpm.select(
+                    F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
+                ),
+                "doc_b",
+            )
+            .select("doc_a", "fp_a", "doc_b", "fp_b", "n_common", "n_union")
+        )
+        # shared run-ledger protocol: data partitions first, the
+        # applied ledger LAST — a crash before the ledger write leaves
+        # run=N invisible
+        commit_run(
+            spark,
+            state_dir,
+            nrun,
+            {
+                "postings": new_sh.select("doc_id", _sh_digest().alias("sh")),
+                "per_doc": new.select("doc_id", "fp")
+                .join(card_new, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "fp",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                ),
+                "pairs": stamped_pairs,
+            },
+        )
         # downstream consumers read the just-written pairs back instead
         # of re-running the probe plan a second time
         fresh = spark.read.parquet(f"{state_dir}/pairs/run={nrun}").select(
@@ -466,19 +481,15 @@ def compact_neardup_state(
         f"{state_dir}/per_doc/run={nrun}"
     )
     pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/run={nrun}")
-    # ledger swap: overwrite the WHOLE applied dir with just the new run
-    spark.createDataFrame([(nrun,)], "n bigint").write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/applied.next/run={nrun}")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(state_dir).getFileSystem(conf)
-    fs.delete(Path(f"{state_dir}/applied"), True)
-    fs.rename(Path(f"{state_dir}/applied.next"), Path(f"{state_dir}/applied"))
-    for kind in ("postings", "per_doc", "pairs", "postings_b"):
-        for r in runs:
-            fs.delete(Path(f"{state_dir}/{kind}/run={r}"), True)
+    # ledger swap (shared protocol): cut the applied dir over to just
+    # the new run, then delete the superseded partitions
+    swap_applied(
+        spark,
+        state_dir,
+        nrun,
+        runs,
+        ["postings", "per_doc", "pairs", "postings_b"],
+    )
     for r in runs:
         spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(state_dir, r)}")
     return {"runs_before": len(runs), "runs_after": 1, "run": nrun}

@@ -74,7 +74,9 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
 )
-from etl_pipeline_candy_store_spark.streaming.neardup_stream import _read_state
+from etl_pipeline_candy_store_spark.operators.ledger import (
+    read_batch_state as _read_state,
+)
 
 _REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's documented defaults
 _REP_DUP_TRIGRAM_MAX = 400_000

@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_candy_store_spark.streaming.neardup_stream import _read_state
+from etl_pipeline_candy_store_spark.operators.ledger import (
+    read_batch_state as _read_state,
+)
 
 _ER_BLOCKED_SCHEMA = "reg_id bigint, name string, nk bigint, blk string"
 _ER_PAIRS_SCHEMA = "ra bigint, rb bigint"
@@ -157,31 +159,21 @@ def read_resolved_entities(spark: SparkSession, state_dir: str) -> DataFrame:
 #    the store's pinned-reader guarantee (an open reader keeps its
 #    generation until pruned, then fails loudly — never silently).
 
-import os as _os
-import shutil as _shutil
+from etl_pipeline_candy_store_spark.operators.ledger import (  # noqa: E402
+    repair_staged_compaction,
+    staged_compact,
+)
 
 _ER_STATE_KINDS = ("blocked", "pairs")
 
 
 def _repair_er_compaction(state_dir: str) -> None:
     """Finish (or discard) a compaction interrupted by a crash; no-op
-    when no stage dir exists. Idempotent; called before writes/reads."""
+    when no stage dir exists. Idempotent; called before writes/reads.
+    Delegates to the shared staged-commit protocol (:mod:`...operators.
+    ledger`) per state relation."""
     for kind in _ER_STATE_KINDS:
-        root = f"{state_dir}/{kind}"
-        stage = _os.path.join(root, ".compact_stage")
-        if not _os.path.isdir(stage):
-            continue
-        marker = _os.path.join(stage, "_UPTO")
-        if not _os.path.exists(marker):
-            # crash before commit marker: stage is garbage, state intact
-            _shutil.rmtree(stage, ignore_errors=True)
-            continue
-        with open(marker) as fh:
-            upto = int(fh.read().strip())
-        for d in _os.listdir(root):
-            if d.startswith("batch=") and int(d[len("batch=") :]) <= upto:
-                _shutil.rmtree(_os.path.join(root, d), ignore_errors=True)
-        _os.rename(stage, _os.path.join(root, f"batch={upto}"))
+        repair_staged_compaction(f"{state_dir}/{kind}")
 
 
 def compact_er_state(spark, state_dir: str, upto_batch: int) -> dict:
@@ -199,32 +191,11 @@ def compact_er_state(spark, state_dir: str, upto_batch: int) -> dict:
     finish is idempotent (``_repair_er_compaction`` completes it after
     a crash at any point past the marker; before the marker the stage
     is discarded and the state is untouched)."""
-    _repair_er_compaction(state_dir)
     stats: dict = {}
     for kind in _ER_STATE_KINDS:
-        root = f"{state_dir}/{kind}"
-        if not _os.path.isdir(root):
-            stats[kind] = 0
-            continue
-        parts = [
-            d
-            for d in _os.listdir(root)
-            if d.startswith("batch=")
-            and int(d[len("batch=") :]) <= upto_batch
-        ]
-        if len(parts) <= 1:
-            stats[kind] = 0
-            continue
-        df = spark.read.parquet(
-            *[_os.path.join(root, d) for d in sorted(parts)]
+        stats[kind] = staged_compact(
+            spark, f"{state_dir}/{kind}", upto_batch
         )
-        stage = _os.path.join(root, ".compact_stage")
-        _shutil.rmtree(stage, ignore_errors=True)
-        df.coalesce(8).write.mode("overwrite").parquet(stage)
-        with open(_os.path.join(stage, "_UPTO"), "w") as fh:
-            fh.write(f"{upto_batch}\n")
-        stats[kind] = len(parts)
-    _repair_er_compaction(state_dir)
     return stats
 
 

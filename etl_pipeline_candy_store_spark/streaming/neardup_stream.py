@@ -41,22 +41,12 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_common bigint, n_union bigint"
 
 
-def _read_state(
-    spark: SparkSession, path: str, schema: str, before_batch: int | None = None
-) -> DataFrame:
-    """Read a batch-partitioned parquet state dir (empty frame before the
-    first write). ``before_batch`` keeps only partitions written by
-    earlier micro-batches — a replayed batch must not see its own
-    partial output."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return spark.createDataFrame([], f"batch bigint, {schema}")
-    df = spark.read.parquet(path)
-    if before_batch is not None:
-        df = df.filter(F.col("batch") < before_batch)
-    return df
+# the batch-scoped state reader now lives in the shared ledger module
+# (operators/ledger.py) with the rest of the protocol family; this
+# alias keeps the established import path for the streaming twins
+from etl_pipeline_candy_store_spark.operators.ledger import (  # noqa: E402
+    read_batch_state as _read_state,
+)
 
 
 def apply_neardup_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:

@@ -60,31 +60,23 @@ def stream_incremental_rollup(
     recompute over all rows seen so far would produce."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        from etl_pipeline_candy_store_spark.operators.ledger import (
+            read_max_applied,
+            write_applied_into,
+        )
+
         spark = batch.sparkSession
         _fs_recover(spark, target_path)
         jvm, fs = _hadoop_fs(spark, target_path)
         P = jvm.org.apache.hadoop.fs.Path
         target = target_path.rstrip("/")
-        # only the MAX applied batch_id is stored: batch ids are
-        # monotonic and only recent batches redeliver, so `<= max` is
-        # the replay test and ledger I/O stays O(1) per batch (a legacy
-        # multi-row ledger reads as the max of its rows)
-        applied_max = -1
+        # shared max-applied protocol (operators/ledger.py): only the
+        # MAX batch_id is stored (ids are monotonic, only recent batches
+        # redeliver), an absent ledger on an externally-seeded target
+        # means "nothing applied", and a zero-row ledger (crash between
+        # swap steps) recovers instead of wedging
+        applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
         if fs.exists(P(target)):
-            # an externally-seeded target may have no ledger yet —
-            # treat that as "no batches applied", don't wedge the stream
-            if fs.exists(P(target + "/" + _LEDGER)):
-                # default=-1: a zero-row ledger (crash between swap
-                # steps) means "nothing applied" — recover, don't wedge
-                applied_max = max(
-                    (
-                        r["batch_id"]
-                        for r in spark.read.parquet(
-                            target + "/" + _LEDGER
-                        ).collect()
-                    ),
-                    default=-1,
-                )
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
             merged = (
@@ -100,10 +92,9 @@ def stream_incremental_rollup(
             merged = _batch_partials(batch)
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        ledger = spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
-        )
-        ledger.coalesce(1).write.mode("overwrite").parquet(tmp + "/" + _LEDGER)
+        # ledger stamped INSIDE the unswapped version: data + the fact
+        # of its application become visible in one atomic rename
+        write_applied_into(spark, tmp, batch_id, _LEDGER)
         _fs_swap(spark, tmp, target)
 
     return (
