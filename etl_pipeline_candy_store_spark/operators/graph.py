@@ -660,3 +660,66 @@ def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_symmetrize(pairs)).select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
+
+
+@register(
+    "q221_khop_recursive_native",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, nbr, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.node, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.nbr
+  WHERE w.depth < 3
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT nbr) AS BIGINT) AS n_within3
+FROM walk
+WHERE nbr <> node
+GROUP BY node
+""",
+    doc="q188's bounded transitive closure executed through Spark 4's "
+    "NATIVE `WITH RECURSIVE` (spark.sql over a temp view of the "
+    "symmetrized q51 pair relation) instead of the semi-naive "
+    "DataFrame loop — the q156 raw-SQL discipline applied to the "
+    "recursive feature, so every oracle sweep locks the native "
+    "evaluation against both DuckDB and (via q188's shared oracle) "
+    "the semi-naive operator. Crossover guidance (SCALE_NOTES): "
+    "Spark's recursive CTE is UNION ALL-only, i.e. it enumerates "
+    "WALKS — per-hop work grows with path counts, exponential in "
+    "dense components — while the q188 operator tracks REACHED PAIRS "
+    "(per-hop work = newly discovered pairs) and checkpoints each "
+    "frontier. Use the native form for shallow bounds on sparse "
+    "graphs where SQL-surface simplicity wins; use khop_reachability "
+    "whenever components can be dense or the closure is the dominant "
+    "cost — and never express an unbounded closure as UNION ALL "
+    "recursion (a single cycle makes it non-terminating; the "
+    "UNION-distinct form that fixes this is exactly what Spark 4.1 "
+    "does not yet support, which is why q54's components stay on the "
+    "semi-naive operator with no native alternate).",
+)
+def q221_khop_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
+    _symmetrize(pairs).createOrReplaceTempView("q221_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, nbr, depth) AS (
+          SELECT src, dst, 1 FROM q221_edges
+          UNION ALL
+          SELECT w.node, e.dst, w.depth + 1
+          FROM walk w JOIN q221_edges e ON e.src = w.nbr
+          WHERE w.depth < 3
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               COUNT(DISTINCT nbr) AS n_within3
+        FROM walk
+        WHERE nbr <> node
+        GROUP BY node
+        """
+    )

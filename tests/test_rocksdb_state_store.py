@@ -194,3 +194,80 @@ def test_rocksdb_dedup_within_watermark(rocksdb, spark, tmp_path):
     got = [r["event_id"] for r in spark.sql("select * from rocks_dedup").collect()]
     assert sorted(got) == list(range(30))  # one per key, redeliveries dropped
     _assert_rocksdb_state(ckpt)
+
+
+def test_rocksdb_session_window_matches_batch(rocksdb, spark, tmp_path):
+    """Gap-session rollup on RocksDB state: every watermark-closed
+    session equals the batch lag+cumsum sessionizer (q34 semantics),
+    same as the default provider — session_window state (merge-on-
+    update per key) is the state-store shape the other tests don't
+    exercise."""
+    from etl_pipeline_candy_store_spark.operators.asof import sessionize
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_session_rollup,
+    )
+
+    day = dt.datetime(2024, 3, 1)
+    rows = []
+    for u in range(8):
+        for s in range(3):  # 3 bursts per user, 2h apart
+            burst = day + dt.timedelta(hours=2 * s, minutes=u)
+            rows += [
+                (u, burst + dt.timedelta(minutes=5 * i), (u + i) % 4 + 1)
+                for i in range(4)
+            ]
+    rows.append((99, day + dt.timedelta(days=5), 0))  # watermark pusher
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, v int")
+    src = str(tmp_path / "sess_rocks_src")
+    for part, flt in [
+        ("a", F.col("ts") < day + dt.timedelta(hours=3)),
+        ("b", (F.col("ts") >= day + dt.timedelta(hours=3)) & (F.col("ts") < day + dt.timedelta(days=1))),
+        ("c", F.col("ts") >= day + dt.timedelta(days=1)),
+    ]:
+        ev.filter(flt).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    ckpt = str(tmp_path / "ckpt_rocks_sess")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_session_rollup(stream, key_col="user_id", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("rocks_sess")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from rocks_sess").collect()
+    }
+    assert got, "watermark closed no sessions"
+
+    ev_id = ev.withColumn("event_id", F.monotonically_increasing_id())
+    batch = (
+        sessionize(
+            ev_id.select("event_id", "user_id", "ts", "v"),
+            key_cols=["user_id"],
+            ts_col="ts",
+            gap="30 minutes",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("tv"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n"], r["tv"])
+        for r in batch.collect()
+    }
+    for key, agg in got.items():
+        assert want.get(key) == agg, (key, agg, want.get(key))
+    # all 24 user sessions are >1 day behind the pusher -> all closed
+    assert len(got) >= 24
+    _assert_rocksdb_state(ckpt)

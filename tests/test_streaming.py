@@ -2264,3 +2264,83 @@ def test_stream_curate_late_small_doc_id_re_elects_keeper(spark, tmp_path):
     assert 1000 not in got and 1001 not in got
     assert 1500 not in got and 2000 not in got
     assert 900 in got
+
+
+def test_stream_session_late_event_dropped(spark, tmp_path):
+    """An event arriving behind the watermark AFTER its session's state
+    has been evicted must be dropped — not re-open the session, not
+    mint a phantom one-event session. (The batch q34 sessionizer would
+    include it; the stream trades that for bounded state, and the drop
+    must be total, not partial.) Nuance pinned here: Spark merges a
+    watermark-late row into a session whose state is still LIVE in the
+    store (eviction runs at batch end, so a late row landing in the
+    same batch that would evict its session still merges); the drop
+    contract applies once eviction has happened — hence the extra
+    c2b batch below, which forces the eviction before the late row."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
+        stream_session_rollup,
+    )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_chunk(rows, name, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, v int"
+        ).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(glob.glob(d + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    write_chunk(
+        [(1, t0, 1), (1, t0 + dt.timedelta(minutes=10), 2)],
+        "c1",
+        1_000_000_000,
+    )
+    # watermark advances to day+3 - 1day = day+2
+    write_chunk([(9, t0 + dt.timedelta(days=3), 0)], "c2", 1_000_000_100)
+    # one more batch runs WITH that watermark and evicts+emits user 1's
+    # session (eviction uses the watermark set by the previous batch)
+    write_chunk(
+        [(9, t0 + dt.timedelta(days=3, minutes=1), 0)], "c2b", 1_000_000_200
+    )
+    # LATE: inside user 1's closed-and-evicted session window, 2 days
+    # behind the watermark — must be dropped entirely
+    write_chunk(
+        [(1, t0 + dt.timedelta(minutes=5), 100)], "c3", 1_000_000_300
+    )
+    # advance the watermark again so any wrongly-accepted late session
+    # would be forced out to the sink
+    write_chunk([(9, t0 + dt.timedelta(days=6), 0)], "c4", 1_000_000_400)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_session_rollup(stream, key_col="user_id", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = [
+        (r["session_start"], r["n_events"], r["value_sum"])
+        for r in spark.sql(
+            "select * from sess_late where user_id = 1"
+        ).collect()
+    ]
+    # exactly the original 2-event session; the late v=100 event appears
+    # nowhere — neither merged (value_sum would be 103) nor as a phantom
+    # 1-event session
+    assert u1 == [(t0, 2, 3)], u1
