@@ -800,3 +800,228 @@ def score_importance(doc_toks: DataFrame, bins: DataFrame) -> DataFrame:
             F.sum("bin").cast("long").alias("log2_weight"),
         )
     )
+
+
+# --- round 12: per-source selection + datasheet rollups ------------------
+
+
+@register(
+    "q222_quality_quantile_gate",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+),
+thr AS (
+  SELECT source, score AS thr
+  FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT))
+)
+SELECT s.doc_id, s.source, CAST(s.score AS BIGINT) AS score
+FROM scored s JOIN thr t ON s.source = t.source
+WHERE s.score >= t.thr
+""",
+    doc="Per-source quantile gating: drop each source's bottom quartile "
+    "by token count (the rejection-sampling shape behind 'keep the top "
+    "p% of each domain by classifier score' — token count stands in "
+    "for the score so the gate is deterministic and oracle-exact). The "
+    "threshold is the DISCRETE quantile — the score at row_number = "
+    "ceil(0.25 n) under a total (score, doc_id) order — so both "
+    "engines cut at the identical element with no float interpolation "
+    "drift. Scale posture: one window partitioned BY SOURCE (parallel "
+    "across domains, never a global sort), a 20-row threshold table "
+    "broadcast back, one stateless filter pass. For sources too big "
+    "for a per-partition sort, swap the window for q99's histogram-"
+    "edge method — same gate, zero sorts.",
+)
+def q222_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "source",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn")
+        == F.greatest(F.lit(1), F.ceil(F.lit(0.25) * F.col("n")).cast("long"))
+    ).select("source", F.col("score").alias("thr"))
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "source", F.col("score").cast("long").alias("score"))
+    )
+
+
+@register(
+    "q223_source_caps",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+""",
+    doc="Hard per-source frequency cap: keep at most 10 docs per source, "
+    "preferring longer documents (n_chars standing in for a quality "
+    "score), deterministic tiebreak on doc_id — the domain-cap gate "
+    "every crawl pipeline runs so no single domain floods the mixture "
+    "(q81 rebalances probabilistically toward target shares; this is "
+    "the complementary hard ceiling). Scale posture: rank is "
+    "partitioned BY SOURCE — Catalyst plans a per-source top-k "
+    "(WindowGroupLimit pushes rk <= 10 below the sort), so per-source "
+    "work is a bounded heap, never a global sort; skewed mega-domains "
+    "are exactly the rows the cap discards.",
+)
+def q223_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _register_dataset_card() -> None:
+    # late import: curation.py imports this module's neighbors; pulling
+    # _H256_SQL at module import would be a cycle risk, and the SQL text
+    # is only needed to build the oracle string once
+    from etl_pipeline_candy_store_spark.operators.curation import (
+        _H256_SQL,
+        _h256,
+    )
+
+    @register(
+        "q224_dataset_card",
+        oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN {_H256_SQL} < 230 THEN 'train'
+              WHEN {_H256_SQL} < 243 THEN 'val'
+              ELSE 'test' END AS split,
+         source, lang, n_chars,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+),
+t AS (SELECT COUNT(*) AS n_tot FROM documents)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(1000000 * COUNT(*) // n_tot AS BIGINT) AS share_ppm
+FROM s CROSS JOIN t
+GROUP BY split, source, n_tot
+""",
+        doc="Dataset card / datasheet rollup: per (split, source) doc "
+        "and token counts, character volume, language coverage, and "
+        "integer-ppm corpus share — the release-documentation table a "
+        "training-data drop ships with (one row per cell of the "
+        "mixture, derived from the SAME content-hash split rule as the "
+        "export, q80). Scale posture: one corpus scan into a "
+        "combinable aggregate; the grand total is a 1-row broadcast; "
+        "distinct-lang is bounded by the lang vocabulary. Integer "
+        "division keeps both engines bit-identical.",
+    )
+    def q224_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        h = _h256()
+        s = d.select(
+            F.when(h < 230, F.lit("train"))
+            .when(h < 243, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("toks"),
+        )
+        t = d.groupBy().agg(F.count(F.lit(1)).alias("n_tot"))
+        return (
+            s.crossJoin(F.broadcast(t))
+            .groupBy("split", "source", "n_tot")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("toks").cast("long").alias("n_tokens"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+            )
+            .select(
+                "split",
+                "source",
+                "n_docs",
+                "n_tokens",
+                "total_chars",
+                "n_langs",
+                F.expr("1000000 * n_docs div n_tot")
+                .cast("long")
+                .alias("share_ppm"),
+            )
+        )
+
+
+_register_dataset_card()
+
+
+@register(
+    "q225_shingle_diversity",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+per_src AS (
+  SELECT d.source, sh.shingle
+  FROM sh JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(1000000 * COUNT(DISTINCT shingle) // COUNT(*) AS BIGINT)
+         AS diversity_ppm
+FROM per_src GROUP BY source
+""",
+    doc="Per-source shingle diversity: distinct 3-gram shingles over "
+    "total shingle instances (integer ppm) — the corpus-health dial "
+    "that catches template farms and generation loops at the SOURCE "
+    "level before any pairwise dedup runs (a source whose diversity "
+    "collapses is where q51/q52 will find their duplicate mass). "
+    "Scale posture: one shingle pass, then a per-source distinct "
+    "aggregate keyed on (source, shingle) — shuffle carries the "
+    "shingle exactly once; at 100 TB swap COUNT(DISTINCT) for the "
+    "mergeable HLL sketch (q37's registers) and keep the same report "
+    "shape.",
+)
+def q225_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d.select("doc_id", "text"))
+    per_src = sh.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        per_src.groupBy("source")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .select(
+            "source",
+            "n_distinct",
+            "n_total",
+            F.expr("1000000 * n_distinct div n_total")
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+    )
