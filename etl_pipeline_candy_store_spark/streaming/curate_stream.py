@@ -27,17 +27,23 @@ flags, near-dup pairs, the split hash) is a function of fp alone —
 computed ONCE when an fp first arrives, whatever doc carried it:
 
 - ``fps``      (fp)                 — digests first seen in this batch
+  (fp is the 16-byte binary unhex(md5(text)) everywhere below)
 - ``texts``    (fp, text)           — one stored copy per digest
 - ``ids``      (fp, doc_id, lang, source, n_chars) — per batch, the
   MIN-doc_id arrival row per digest: the keeper per fp is the min over
   these rows across ALL batches, and min is commutative/associative —
   the read-side election is arrival-order independent by construction
-- ``shingles`` (fp, shingle), ``cards`` (fp, n) — the q51 relations
+- ``shingles`` (fp, sh), ``cards`` (fp, n) — the q51 relations with
+  each shingle stored as its 16-byte digest (the neardup_state v3
+  narrow-state discipline: fixed-width binary keys, md5-grade equality
+  — the contract exact-dedup itself rests on)
 - ``pairs``    (fp_a, fp_b)         — EXACT near-dup pairs between
   digests, append-only: within-batch jaccard over new fps + one probe
   of the accumulated shingle state; a pair is discovered exactly once,
   in the batch where its LATER fp first arrives
-- ``flags``    (fp, q_pass, rep_drop) — content-determined gate flags
+- ``flags``    (fp, q_pass, rep_drop, h) — content-determined gate
+  flags plus the stored split byte, so the plain (doc_id, split) read
+  is state-only (no text rejoin)
 
 ``read_curated`` derives (doc_id, split): elect keepers (min-doc_id
 row per fp), map fp-pairs to keeper doc_ids, connected components,
@@ -74,6 +80,9 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
 )
+from etl_pipeline_candy_store_spark.operators.neardup_state import (
+    _sh_digest,
+)
 from etl_pipeline_candy_store_spark.operators.ledger import (
     read_batch_state as _read_state,
 )
@@ -82,15 +91,22 @@ _REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's documented defaults
 _REP_DUP_TRIGRAM_MAX = 400_000
 _BROADCAST_MAX_SHINGLES = 2_000_000  # neardup_state's guard, same basis
 
-_FPS_SCHEMA = "fp string"
-_TEXTS_SCHEMA = "fp string, text string"
+# fp is the 16-byte binary content digest (unhex(md5(text))) and sh the
+# 16-byte binary shingle digest — the same narrow-state discipline as
+# operators/neardup_state.py: joins and groupBys key on fixed-width
+# binaries, the state never materializes text-derived strings outside
+# the single texts relation, and every scan is ~half the string layout.
+_FPS_SCHEMA = "fp binary"
+_TEXTS_SCHEMA = "fp binary, text string"
 _IDS_SCHEMA = (
-    "fp string, doc_id bigint, lang string, source string, n_chars bigint"
+    "fp binary, doc_id bigint, lang string, source string, n_chars bigint"
 )
-_SH_SCHEMA = "fp string, shingle string"
-_CARD_SCHEMA = "fp string, n bigint"
-_PAIRS_SCHEMA = "fp_a string, fp_b string"
-_FLAGS_SCHEMA = "fp string, q_pass int, rep_drop int"
+_SH_SCHEMA = "fp binary, sh binary"
+_CARD_SCHEMA = "fp binary, n bigint"
+_PAIRS_SCHEMA = "fp_a binary, fp_b binary"
+# h is the content-hash split byte (q80's rule), stored once per digest
+# so the plain (doc_id, split) read never rejoins document text
+_FLAGS_SCHEMA = "fp binary, q_pass int, rep_drop int, h int"
 
 
 def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
@@ -98,7 +114,9 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     stages; every write is scoped to ``batch={batch_id}`` and keyed by
     content digest — see the module contract."""
     spark = batch.sparkSession
-    keyed = batch.withColumn("fp", F.md5(F.col("text").cast("binary")))
+    keyed = batch.withColumn(
+        "fp", F.unhex(F.md5(F.col("text").cast("binary")))
+    )
 
     # -- per-batch keeper CANDIDATES: the min-doc_id arrival row per
     # digest in THIS batch (struct-min orders by the leading doc_id;
@@ -164,12 +182,16 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     ).drop("batch")
     # broadcast gated on the BATCH SHINGLE row count (the relation being
     # shipped), not the doc count — a fat micro-batch falls back to a
-    # shuffle join instead of a multi-hundred-MB broadcast
-    probe = sh_new.select(F.col("doc_id").alias("fp_new"), "shingle")
+    # shuffle join instead of a multi-hundred-MB broadcast. The probe
+    # and the stored state both carry the 16-byte shingle DIGEST, so
+    # the state scan and the join key are fixed-width binaries.
+    probe = sh_new.select(
+        F.col("doc_id").alias("fp_new"), _sh_digest().alias("sh")
+    )
     if sh_new.count() <= _BROADCAST_MAX_SHINGLES:
         probe = F.broadcast(probe)
     inter = (
-        sh_st.join(probe, "shingle")
+        sh_st.join(probe, "sh")
         .groupBy(F.col("fp").alias("fp_seen"), "fp_new")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
@@ -199,9 +221,11 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     within.unionByName(cross).write.mode("overwrite").parquet(
         f"{state_dir}/pairs/batch={batch_id}"
     )
-    sh_new.select(F.col("doc_id").alias("fp"), "shingle").write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/shingles/batch={batch_id}")
+    sh_new.select(
+        F.col("doc_id").alias("fp"), _sh_digest().alias("sh")
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/shingles/batch={batch_id}"
+    )
     card_new.select(F.col("doc_id").alias("fp"), "n").write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/cards/batch={batch_id}")
@@ -223,12 +247,15 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
         .cast("int")
         .alias("rep_drop"),
     )
-    new_rows.select("fp").join(qflag, "fp", "left").join(
-        rep, "fp", "left"
-    ).select(
+    # the split byte is content-determined too — stored here so the
+    # plain (doc_id, split) read never has to rejoin document text
+    new_rows.select(
+        "fp", _h256().cast("int").alias("h")
+    ).join(qflag, "fp", "left").join(rep, "fp", "left").select(
         "fp",
         F.coalesce("q_pass", F.lit(0)).cast("int").alias("q_pass"),
         F.coalesce("rep_drop", F.lit(0)).cast("int").alias("rep_drop"),
+        "h",
     ).write.mode("overwrite").parquet(f"{state_dir}/flags/batch={batch_id}")
 
     # -- decontamination is NOT flagged here: batch curate() scopes the
@@ -327,7 +354,7 @@ def read_curated(
             "fp",
             "left_semi",
         )
-        .select("shingle")
+        .select("sh")
         .distinct()
     )
     contaminated = (
@@ -336,7 +363,7 @@ def read_curated(
             "fp",
             "left_semi",
         )
-        .join(F.broadcast(eval_sh), "shingle")
+        .join(F.broadcast(eval_sh), "sh")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
@@ -345,21 +372,20 @@ def read_curated(
     survivors = d3r.filter(F.col("doc_id") >= _EVAL_MAX_DOC).join(
         contaminated, "fp", "left_anti"
     )
-    # the split hash is content-determined; texts are stored once per
-    # digest, so the join back is survivor-sized
-    texts = _read_state(spark, f"{state_dir}/texts", _TEXTS_SCHEMA).drop(
-        "batch"
-    )
-    survivors = survivors.join(texts, "fp")
-    h = _h256()
+    # the split byte was stored per digest at ingest (content-
+    # determined), so the plain read is state-only; with_docs joins the
+    # once-per-digest texts relation back, survivor-sized
     split = (
-        F.when(h < 230, F.lit("train"))
-        .when(h < 243, F.lit("val"))
+        F.when(F.col("h") < 230, F.lit("train"))
+        .when(F.col("h") < 243, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split")
     )
     if with_docs:
-        return survivors.select(
+        texts = _read_state(spark, f"{state_dir}/texts", _TEXTS_SCHEMA).drop(
+            "batch"
+        )
+        return survivors.join(texts, "fp").select(
             "doc_id", "text", "lang", "source", "n_chars", split
         )
     return survivors.select("doc_id", split)
