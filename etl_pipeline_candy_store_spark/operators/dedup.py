@@ -1951,3 +1951,83 @@ def q169_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 40)
     )
+
+
+_CONTAINMENT_MIN_MICROS = 500_000  # containment >= 0.5, integer-compared
+
+
+@register(
+    "q226_containment_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(LEAST(ca.n, cb.n) AS BIGINT) AS n_small,
+       CAST(1000000 * i.n_common // LEAST(ca.n, cb.n) AS BIGINT)
+         AS containment_micros
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE 1000000 * i.n_common >= {_CONTAINMENT_MIN_MICROS} * LEAST(ca.n, cb.n)
+""",
+    doc="ASYMMETRIC containment near-dup pairs: |A∩B| / min(|A|, |B|) — "
+    "the quote/subset detector Jaccard structurally misses. A short "
+    "document fully quoted inside a long one has tiny Jaccard (the "
+    "union is dominated by the long doc) but containment 1.0; "
+    "deduplicating on symmetric similarity alone leaves every such "
+    "embedded copy in the corpus. Same single shingle-keyed equi-join "
+    "as q51 (the pair space fans out only on shared shingles, never a "
+    "cross product), different verdict arithmetic — integer "
+    "cross-multiplied so both engines cut at the identical pairs with "
+    "no float-division drift.",
+)
+def q226_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load(spark, sf_dir, "documents"))
+
+
+def containment_pairs(
+    d: DataFrame, min_micros: int = _CONTAINMENT_MIN_MICROS
+) -> DataFrame:
+    """Containment pairs (doc_a, doc_b, n_common, n_small,
+    containment_micros) over any (doc_id, text) frame — the asymmetric
+    sibling of :func:`jaccard_pairs` for subset/quote dedup."""
+    sh = _shingles(d)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn("n_small", F.least("n_a", "n_b").cast("long"))
+        .filter(
+            F.lit(1_000_000) * F.col("n_common")
+            >= F.lit(min_micros) * F.col("n_small")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            "n_small",
+            F.expr("1000000 * n_common div n_small")
+            .cast("long")
+            .alias("containment_micros"),
+        )
+    )

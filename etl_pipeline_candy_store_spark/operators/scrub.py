@@ -337,3 +337,44 @@ def license_rollup(marked: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_cleared"),
     )
+
+
+_K_ANON = 3  # minimum group size a quasi-identifier combination may have
+
+
+@register(
+    "q227_k_anonymity_audit",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, n_chars // 200 AS len_band, COUNT(*) AS n
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(len_band AS BIGINT) AS len_band,
+       CAST(n AS BIGINT) AS n
+FROM cells WHERE n < {_K_ANON}
+""",
+    doc="k-anonymity audit over the document metadata (quasi-"
+    "identifiers lang x source x 200-char length band): every "
+    "combination cell with fewer than k=3 members is a re-"
+    "identification risk — releasing per-cell statistics (or the docs "
+    "themselves keyed by these attributes) lets an adversary who "
+    "knows a subject's quasi-identifiers single them out. The "
+    "governance sibling of the RTBF family (q194): forget handles "
+    "deletion obligations, this one measures exposure BEFORE a "
+    "release. Scale posture: one combinable groupBy over three narrow "
+    "columns — no text, no joins; the risk report is cell-count-"
+    "sized. The integer length band (n_chars div 200) keeps both "
+    "engines' bucketing bit-identical.",
+)
+def q227_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.expr("n_chars div 200").cast("long").alias("len_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") < _K_ANON)
+    )
