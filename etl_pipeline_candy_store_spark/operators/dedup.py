@@ -2031,3 +2031,72 @@ def containment_pairs(
             .alias("containment_micros"),
         )
     )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+# Spark regexp_replace is global by default; DuckDB needs the 'g' flag —
+# same normalization semantics, dialect-local spelling
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+
+
+@register(
+    "q228_normalized_dedup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         upper(text) || ' !!  ,,  .. '
+  FROM documents WHERE doc_id % 5 = 0
+),
+n AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS norm_fp FROM corpus
+)
+SELECT norm_fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n GROUP BY norm_fp HAVING COUNT(*) > 1
+""",
+    doc="Normalization-insensitive exact dedup: documents are "
+    "canonicalized (lowercase, strip non-alphanumerics, collapse "
+    "whitespace) before digesting, so copies that differ only in "
+    "case, punctuation or spacing — the html-rerender/re-scrape "
+    "duplicates exact md5 dedup (q50) misses and shingle Jaccard "
+    "(q51) wastes a pair verification on — collapse into one digest "
+    "group with a min-doc_id keeper. The synthetic corpus carries no "
+    "such variants, so (the q78 PII discipline) both engines "
+    "synthesize the same upper-cased, re-punctuated copy for every "
+    "fifth doc — the normalized digests must merge each variant with "
+    "its original (one group per synthesized copy; the pure-punctuation "
+    "trailing suffix exercises the strip+collapse+trim chain, not just "
+    "lowercasing). Scale posture: identical to q50's — per-row "
+    "canonicalization inside codegen, one digest groupBy; the shuffle "
+    "carries (16-byte digest, doc_id), never text. Threshold-free, so "
+    "it composes BEFORE the near-dup gates in a funnel.",
+)
+def q228_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!  ,,  .. ")).alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(variants)
+    n = corpus.select(
+        "doc_id", F.md5(F.expr(_NORM_SPARK).cast("binary")).alias("norm_fp")
+    )
+    return (
+        n.groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
