@@ -1025,3 +1025,351 @@ def q225_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("diversity_ppm"),
         )
     )
+
+
+# --- round 12 (second batch): frequency scrub, sampling, drift, gates ----
+
+_SEG_LEN = 8  # tokens per non-overlapping segment (pseudo-line unit)
+_BOILER_DF = 3  # segment doc-frequency at/above which it is boilerplate
+
+_SEGMENTS_SQL = f"""
+  SELECT doc_id, pos // {_SEG_LEN} AS seg,
+         string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+         CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, pos // {_SEG_LEN}
+"""
+
+
+def _segments(d: DataFrame) -> DataFrame:
+    """Non-overlapping `_SEG_LEN`-token segments per doc.
+
+    The corpus has no newline structure (synthetic token streams), so a
+    fixed token window stands in for the line/sentence unit a CCNet-style
+    boilerplate scrub operates on; with real text, swap `seg` for the
+    line index and nothing else changes.
+    """
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    return (
+        toks.withColumn("seg", F.expr(f"pos div {_SEG_LEN}"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("seg_text"),
+            F.count(F.lit(1)).cast("long").alias("seg_len"),
+        )
+    )
+
+
+@register(
+    "q229_boilerplate_segments",
+    oracle=f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+df AS (
+  SELECT seg_text, COUNT(DISTINCT doc_id) AS df
+  FROM segs GROUP BY seg_text
+),
+boiler AS (SELECT seg_text FROM df WHERE df >= {_BOILER_DF})
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(CASE WHEN b.seg_text IS NOT NULL THEN 1 END) AS BIGINT)
+         AS boiler_segments,
+       CAST(SUM(CASE WHEN b.seg_text IS NULL THEN s.seg_len ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM segs s LEFT JOIN boiler b ON s.seg_text = b.seg_text
+GROUP BY s.doc_id
+""",
+    doc="Frequency-based boilerplate scrub (the CCNet line-dedup shape): "
+    f"split every doc into non-overlapping {_SEG_LEN}-token segments, "
+    f"count each segment's DOCUMENT frequency corpus-wide, and mark "
+    f"segments appearing in >= {_BOILER_DF} distinct docs as "
+    "boilerplate (nav bars, license footers, template headers). "
+    "Reports per doc: total segments, boilerplate segments, tokens "
+    "retained after the scrub. Complementary to q203's pairwise span "
+    "scrub — this one needs NO pair space at all: one explode pass, "
+    "one aggregate keyed on the segment hash (map-side combinable), "
+    "one equi-join back, one per-doc aggregate. Everything is keyed "
+    "on segment content, so the only shuffle carries each segment "
+    "once; at 100 TB the segment key becomes unhex(md5(seg_text)) "
+    "(16 B, the q216 discipline) and the doc-frequency relation "
+    "prunes to df >= 2 before the threshold filter.",
+)
+def q229_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    segs = _segments(d.select("doc_id", "text"))
+    df = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = df.filter(F.col("df") >= _BOILER_DF).select(
+        "seg_text", F.lit(True).alias("is_boiler")
+    )
+    return (
+        segs.join(F.broadcast(boiler), "seg_text", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.count(F.col("is_boiler")).cast("long").alias("boiler_segments"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), F.col("seg_len")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+_SYS_SAMPLES = 40  # systematic-sample target count
+
+
+@register(
+    "q230_systematic_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wt,
+         SUM(wt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM w
+),
+t AS (SELECT SUM(wt) // {_SYS_SAMPLES} AS step FROM w)
+SELECT doc_id, wt,
+       CAST(cum // t.step - (cum - wt) // t.step AS BIGINT) AS picks
+FROM c CROSS JOIN t
+WHERE cum // t.step > (cum - wt) // t.step
+""",
+    doc="Systematic weighted sampling: lay the docs end-to-end on the "
+    "token axis in canonical doc_id order and take one sample every "
+    f"total/{_SYS_SAMPLES} tokens — each doc is selected with "
+    "probability proportional to its token weight (long docs can be "
+    "picked more than once; `picks` is the multiplicity), with ZERO "
+    "randomness: every engine/run/retry selects the identical docs. "
+    "This is the deterministic stand-in for weighted reservoir "
+    "sampling a training-mixture builder uses to draw an "
+    "inspection/eval slice proportional to token mass. Integer-exact "
+    "(cumulative sums and integer division only). Scale posture: the "
+    "running sum is over the doc-count-sized weight relation, not the "
+    "corpus; at 10^10 docs swap the single window for q119's "
+    "two-level prefix sum (bucket subtotals + in-bucket window) — "
+    "same selection, no global window.",
+)
+def q230_systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("wt")
+    )
+    cum = w.select(
+        "doc_id",
+        "wt",
+        F.sum("wt")
+        .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    step = w.agg(
+        F.expr(f"sum(wt) div {_SYS_SAMPLES}").cast("long").alias("step")
+    )
+    return (
+        cum.crossJoin(F.broadcast(step))
+        .filter(F.expr("cum div step > (cum - wt) div step"))
+        .select(
+            "doc_id",
+            "wt",
+            F.expr("cum div step - (cum - wt) div step")
+            .cast("long")
+            .alias("picks"),
+        )
+    )
+
+
+@register(
+    "q231_source_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT d.source, unnest(string_split(d.text, ' ')) AS tok
+  FROM documents d
+),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY source, tok),
+st AS (SELECT source, SUM(c) AS s FROM sc GROUP BY source),
+tt AS (SELECT tok, SUM(c) AS ct FROM sc GROUP BY tok),
+tot AS (SELECT SUM(c) AS t FROM sc),
+grid AS (
+  SELECT st.source, st.s, tt.ct, COALESCE(sc.c, 0) AS c, tot.t
+  FROM st CROSS JOIN tt CROSS JOIN tot
+  LEFT JOIN sc ON sc.source = st.source AND sc.tok = tt.tok
+)
+SELECT source,
+       CAST(SUM(ABS((c * 1000000) // s
+                    - ((ct - c) * 1000000) // (t - s))) // 2 AS BIGINT)
+         AS tvd_ppm
+FROM grid GROUP BY source
+""",
+    doc="Per-source distribution drift: total-variation distance (in "
+    "integer ppm) between each source's unigram token distribution and "
+    "the REST of the corpus — the contamination/drift dial that flags "
+    "a source whose language shifted (spam influx, scraper breakage, "
+    "generated-text flooding) before it pollutes the mixture. TVD "
+    "instead of KL/JS keeps the arithmetic integer-exact across "
+    "engines (no logs): each term is two integer divisions at ppm "
+    "scale. Scale posture: token counts are one corpus pass "
+    "(map-side combinable); the scoring grid is sources x vocab — "
+    "VOCAB-sized, never corpus-sized — with the per-source totals "
+    "broadcast; at web scale restrict the grid to the global top-64k "
+    "tokens (covers the mass; the tail's TVD contribution is bounded "
+    "by its ppm share) and the same plan holds.",
+)
+def q231_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("s"))
+    tt = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("ct"))
+    tot = sc.agg(F.sum("c").cast("long").alias("t"))
+    grid = (
+        st.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tot))
+        .join(sc, ["source", "tok"], "left")
+        .select(
+            "source",
+            "s",
+            "ct",
+            "t",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.expr(
+            "cast(sum(abs((c * 1000000) div s"
+            " - ((ct - c) * 1000000) div (t - s))) div 2 as bigint)"
+        ).alias("tvd_ppm")
+    )
+
+
+_GATE_BINS = 256  # fixed histogram resolution for the zero-sort gate
+_GATE_FRAC_NUM, _GATE_FRAC_DEN = 1, 4  # reject the bottom quartile
+
+
+def histogram_gate(scored: DataFrame) -> DataFrame:
+    """Zero-sort per-source quality gate over ``(doc_id, source, score)``.
+
+    The mega-source variant of q222's discrete-quantile gate: instead of
+    a per-source sort (a window), build a fixed `_GATE_BINS`-bin
+    histogram of the score (map-side combinable, mergeable across
+    batches — the streaming twin accumulates exactly this relation),
+    derive each source's rejection-threshold BIN from the cumulative
+    counts, and keep docs whose bin is at/above it. Bin-granular: docs
+    tied in the threshold bin are all kept, so the gate keeps *at least*
+    1 - num/den of each source. Everything after the one corpus scan is
+    sources x bins sized.
+    """
+    stats = scored.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    binned = scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "source",
+        F.expr(f"(score - mn) * {_GATE_BINS} div (mx - mn + 1)").alias("bin"),
+    )
+    hist = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = hist.select(
+        "source",
+        "bin",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = (
+        cum.filter(
+            F.col("cum") * _GATE_FRAC_DEN >= F.col("n") * _GATE_FRAC_NUM
+        )
+        .groupBy("source")
+        .agg(F.min("bin").alias("thr_bin"))
+    )
+    return (
+        binned.join(F.broadcast(thr), "source")
+        .filter(F.col("bin") >= F.col("thr_bin"))
+        .select("doc_id", "source", F.col("bin").cast("long").alias("bin"))
+    )
+
+
+@register(
+    "q232_quality_histogram_gate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+),
+stats AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM scored),
+binned AS (
+  SELECT doc_id, source,
+         (score - mn) * {_GATE_BINS} // (mx - mn + 1) AS bin
+  FROM scored CROSS JOIN stats
+),
+hist AS (SELECT source, bin, COUNT(*) AS cnt FROM binned GROUP BY source, bin),
+cum AS (
+  SELECT source, bin,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM hist
+),
+thr AS (
+  SELECT source, MIN(bin) AS thr_bin
+  FROM cum
+  WHERE cum * {_GATE_FRAC_DEN} >= n * {_GATE_FRAC_NUM}
+  GROUP BY source
+)
+SELECT b.doc_id, b.source, CAST(b.bin AS BIGINT) AS bin
+FROM binned b JOIN thr t ON b.source = t.source
+WHERE b.bin >= t.thr_bin
+""",
+    doc="The mega-source form of q222's per-source quality gate: reject "
+    "each source's bottom quartile by token count using a fixed "
+    f"{_GATE_BINS}-bin histogram instead of a per-source sort — the "
+    "swap q222's docstring promises for sources too large to sort. "
+    "Bin-granular (threshold-bin ties are kept, so >= 75% of each "
+    "source survives), deterministic, integer-exact. Scale posture: "
+    "ONE corpus scan builds the histogram (map-side combinable, "
+    "mergeable — the streaming twin accumulates the same relation "
+    "batch over batch), thresholds are a sources x bins derivation "
+    "broadcast back, the gate itself is a stateless filter; ZERO "
+    "sorts and zero per-source windows anywhere in the plan.",
+)
+def q232_quality_histogram_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("score"),
+    )
+    return histogram_gate(scored)
