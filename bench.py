@@ -94,6 +94,19 @@ HEADLINE = [
     "q218_blocking_quality_multi",  # per-pass + union blocking audit (r11)
     "q219_unigram_train_trajectory",  # 3-iteration EM training trajectory (r11)
     "q220_fellegi_sunter_em",   # unsupervised EM of the FS m/u weights (r11)
+    "q221_khop_recursive_native",  # Spark 4 native WITH RECURSIVE walk (r12)
+    "q222_quality_quantile_gate",  # per-source discrete-quantile gate (r12)
+    "q223_source_caps",         # per-domain top-k cap (WindowGroupLimit) (r12)
+    "q225_shingle_diversity",   # per-source distinct/total shingle ppm (r12)
+    "q226_containment_pairs",   # asymmetric quote/subset near-dup (r12)
+    "q228_normalized_dedup",    # canonicalize-then-digest dedup (r12)
+    "q229_boilerplate_segments",  # CCNet-shape frequency segment scrub (r12)
+    "q231_source_divergence",   # per-source TVD drift vs rest-of-corpus (r12)
+    "q232_quality_histogram_gate",  # zero-sort histogram quantile gate (r12)
+    "q233_gate_attribution",    # independent gate unique-rejection audit (r12)
+    "q234_simpson_diversity",   # frequency-weighted token diversity (r12)
+    "q235_zipf_fit",            # integer log2 rank-frequency slope (r12)
+    "q236_quality_rate_chi2",   # per-source 2x2 chi-square drift test (r12)
 ]
 
 

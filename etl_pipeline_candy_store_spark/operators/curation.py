@@ -811,3 +811,238 @@ def q199_semantic_decontamination(
         F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
         F.max("cos_micros").cast("long").alias("max_cos_micros"),
     )
+
+
+# --- round 12: independent gate attribution ------------------------------
+
+_REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's funnel defaults
+_REP_DUP_TRIGRAM_MAX = 400_000
+
+_Q233_FLAGS_SQL = f"""
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+keep AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp),
+fe AS (
+  SELECT f.doc_id,
+         CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END AS fe
+  FROM fp f JOIN keep k ON f.fp = k.fp
+),
+qm AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> lower(t) IN ({_STOPWORDS}))) AS BIGINT)
+           AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+           AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+fq AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens BETWEEN 10 AND 1000
+               AND n_alpha * 2 >= n_chars
+               AND n_chars BETWEEN n_tokens * 2 AND n_tokens * 12
+          THEN 0 ELSE 1 END AS fq
+  FROM qm
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         list_extract(t, CAST(u.i AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 1 AS INTEGER)) AS gram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         list_extract(t, CAST(u.i AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 1 AS INTEGER)) || ' ' ||
+         list_extract(t, CAST(u.i + 2 AS INTEGER)) AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+),
+gcounts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+rep AS (
+  SELECT doc_id,
+         COALESCE((MAX(CASE WHEN n = 2 THEN c END) * 1000000)
+           // NULLIF(SUM(CASE WHEN n = 2 THEN c END), 0), 0)
+           AS top_bigram,
+         COALESCE(((SUM(CASE WHEN n = 3 THEN c END)
+                    - COUNT(CASE WHEN n = 3 THEN 1 END)) * 1000000)
+           // NULLIF(SUM(CASE WHEN n = 3 THEN c END), 0), 0)
+           AS dup_trigram
+  FROM gcounts GROUP BY doc_id
+),
+fr AS (
+  SELECT doc_id,
+         CASE WHEN top_bigram > {_REP_TOP_BIGRAM_MAX}
+               OR dup_trigram > {_REP_DUP_TRIGRAM_MAX}
+          THEN 1 ELSE 0 END AS fr
+  FROM rep
+),
+sh AS ({_SHINGLES_SQL}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_EVAL_MAX_DOC}),
+contam AS (
+  SELECT s.doc_id
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id >= {_EVAL_MAX_DOC}
+  GROUP BY s.doc_id
+  HAVING COUNT(*) >= {_CONTAM_MIN_OVERLAP}
+),
+flags AS (
+  SELECT d.doc_id, fe.fe, fq.fq,
+         COALESCE(fr.fr, 0) AS fr,
+         CASE WHEN d.doc_id < {_EVAL_MAX_DOC}
+               OR c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fc
+  FROM documents d
+  JOIN fe ON fe.doc_id = d.doc_id
+  JOIN fq ON fq.doc_id = d.doc_id
+  LEFT JOIN fr ON fr.doc_id = d.doc_id
+  LEFT JOIN contam c ON c.doc_id = d.doc_id
+),
+tot AS (SELECT doc_id, fe, fq, fr, fc, fe + fq + fr + fc AS nf FROM flags)
+"""
+
+
+@register(
+    "q233_gate_attribution",
+    oracle=f"""
+WITH {_Q233_FLAGS_SQL}
+SELECT 'exact_dup' AS gate,
+       CAST(SUM(fe) AS BIGINT) AS n_rejected,
+       CAST(SUM(CASE WHEN fe = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
+FROM tot
+UNION ALL
+SELECT 'quality', CAST(SUM(fq) AS BIGINT),
+       CAST(SUM(CASE WHEN fq = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM tot
+UNION ALL
+SELECT 'repetition', CAST(SUM(fr) AS BIGINT),
+       CAST(SUM(CASE WHEN fr = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM tot
+UNION ALL
+SELECT 'contamination', CAST(SUM(fc) AS BIGINT),
+       CAST(SUM(CASE WHEN fc = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM tot
+UNION ALL
+SELECT 'any', CAST(SUM(CASE WHEN nf >= 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM tot
+""",
+    doc="Independent gate attribution: evaluate every curation gate the "
+    "q150-family funnel applies SEQUENTIALLY (exact-dup keeper loss, "
+    "quality, repetition, contamination incl. the eval panel itself) "
+    "on the FULL corpus instead, and report per gate how many docs it "
+    "rejects and how many it ALONE rejects (n_unique = the docs saved "
+    "if that gate were dropped — the number a data team reads before "
+    "relaxing a threshold; the sequential funnel can't answer it "
+    "because later stages never see earlier rejects). One 'any' row "
+    "gives total loss and single-cause loss. Scale posture: each flag "
+    "relation is the SAME linear plan as its catalog query (q50 digest "
+    "agg, q59 row-local metrics, q122 gram aggs, q58 shingle "
+    "semi-join), composed by doc_id equi-joins, then ONE aggregate "
+    "collapsed to 5 rows — no new shuffle family, no pair space, and "
+    "the whole report is gate-count-sized.",
+)
+def q233_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.text import repetition_signals
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    fe = fp.join(keep, "fp").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0).alias("fe"),
+    )
+    fq = quality_gate(d).select(
+        "doc_id", (1 - F.col("passed")).alias("fq")
+    )
+    fr = repetition_signals(d).select(
+        "doc_id",
+        F.when(
+            (F.col("top_bigram_frac_micros") > _REP_TOP_BIGRAM_MAX)
+            | (F.col("dup_trigram_frac_micros") > _REP_DUP_TRIGRAM_MAX),
+            1,
+        )
+        .otherwise(0)
+        .alias("fr"),
+    )
+    contam = q58_decontamination(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("hit")
+    )
+    flags = (
+        d.select("doc_id")
+        .join(fe, "doc_id")
+        .join(fq, "doc_id")
+        .join(fr, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fe",
+            "fq",
+            F.coalesce(F.col("fr"), F.lit(0)).alias("fr"),
+            F.when(
+                (F.col("doc_id") < _EVAL_MAX_DOC) | F.col("hit").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("fc"),
+        )
+        .withColumn("nf", F.expr("fe + fq + fr + fc"))
+    )
+    row = flags.agg(
+        F.sum("fe").cast("long").alias("re"),
+        F.sum(F.expr("case when fe = 1 and nf = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("ue"),
+        F.sum("fq").cast("long").alias("rq"),
+        F.sum(F.expr("case when fq = 1 and nf = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("uq"),
+        F.sum("fr").cast("long").alias("rr"),
+        F.sum(F.expr("case when fr = 1 and nf = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("ur"),
+        F.sum("fc").cast("long").alias("rc"),
+        F.sum(F.expr("case when fc = 1 and nf = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("uc"),
+        F.sum(F.expr("case when nf >= 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("ra"),
+        F.sum(F.expr("case when nf = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("ua"),
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact_dup").alias("gate"),
+                    F.col("re").alias("n_rejected"),
+                    F.col("ue").alias("n_unique"),
+                ),
+                F.struct(
+                    F.lit("quality").alias("gate"),
+                    F.col("rq").alias("n_rejected"),
+                    F.col("uq").alias("n_unique"),
+                ),
+                F.struct(
+                    F.lit("repetition").alias("gate"),
+                    F.col("rr").alias("n_rejected"),
+                    F.col("ur").alias("n_unique"),
+                ),
+                F.struct(
+                    F.lit("contamination").alias("gate"),
+                    F.col("rc").alias("n_rejected"),
+                    F.col("uc").alias("n_unique"),
+                ),
+                F.struct(
+                    F.lit("any").alias("gate"),
+                    F.col("ra").alias("n_rejected"),
+                    F.col("ua").alias("n_unique"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.gate", "r.n_rejected", "r.n_unique")

@@ -325,3 +325,88 @@ def q211_bootstrap_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "passed"
     )
     return bootstrap_rate_ci(flags)
+
+
+# --- round 12: per-source contingency test -------------------------------
+
+
+@register(
+    "q236_quality_rate_chi2",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+               AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+                   >= length(text)
+               AND length(text)
+                   BETWEEN len(string_split(text, ' ')) * 2
+                       AND len(string_split(text, ' ')) * 12
+          THEN 1 ELSE 0 END AS passed
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CAST(SUM(passed) AS BIGINT) AS a,
+         CAST(COUNT(*) - SUM(passed) AS BIGINT) AS b
+  FROM m GROUP BY source
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM per),
+cells AS (
+  SELECT source, a, b, ta - a AS c, tb - b AS d FROM per CROSS JOIN tot
+)
+SELECT source, a AS n_pass, b AS n_fail,
+       CAST(COALESCE(
+         ((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000)
+            // NULLIF((a + b) * (c + d) * (a + c) * (b + d), 0),
+         0) AS BIGINT) AS chi2_micros
+FROM cells
+""",
+    doc="Per-source quality-rate drift test: the 2x2 chi-square statistic "
+    "(integer micros) of each source's Gopher-gate pass rate against "
+    "the REST of the corpus — the significance companion to q231's "
+    "TVD (effect size) and q211's bootstrap (CI on a single rate): a "
+    "large chi2 flags a source whose quality genuinely moved, small "
+    "sources with noisy rates stay quiet. Closed-form N(ad-bc)^2/"
+    "((a+b)(c+d)(a+c)(b+d)), all integer cross-multiplications — no "
+    "sqrt, no float. Scale posture: one corpus scan to per-source "
+    "(pass, fail) counts (map-side combinable, source-domain-sized), "
+    "a 2-cell broadcast total, a stateless per-row formula; the "
+    "products are staged DECIMAL(38,0)/HUGEINT (exact to ~1e9-count "
+    "cells; beyond that, swap the statistic to the q217-style integer "
+    "log2 ladder — the verdict only needs the ORDER of magnitude). "
+    "Degenerate margins (a corpus with no passes or no fails, or a "
+    "single-source corpus) make the test undefined; both engines "
+    "COALESCE that to 0 — 'no evidence of drift'.",
+)
+def q236_quality_rate_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.curation import quality_gate
+
+    d = load(spark, sf_dir, "documents")
+    flags = quality_gate(d).select("doc_id", "passed").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    per = flags.groupBy("source").agg(
+        F.sum("passed").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("passed")).cast("long").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    cells = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+        (F.col("ta") - F.col("a")).cast("decimal(38,0)").alias("c"),
+        (F.col("tb") - F.col("b")).cast("decimal(38,0)").alias("d"),
+    )
+    return cells.select(
+        "source",
+        F.col("a").cast("long").alias("n_pass"),
+        F.col("b").cast("long").alias("n_fail"),
+        F.expr(
+            "cast(coalesce(((a + b + c + d) * (a * d - b * c)"
+            " * (a * d - b * c) * 1000000)"
+            " div nullif((a + b) * (c + d) * (a + c) * (b + d), 0),"
+            " 0) as bigint)"
+        ).alias("chi2_micros"),
+    )

@@ -1694,3 +1694,136 @@ def q170_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("term_score").cast("long").alias("score_micros"),
     )
+
+
+# --- round 12: frequency-weighted diversity + rank-frequency fit ---------
+
+
+@register(
+    "q234_simpson_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT d.source, unnest(string_split(d.text, ' ')) AS tok FROM documents d
+),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok),
+per AS (
+  SELECT source, SUM(c) AS s, SUM(c * c) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY source
+)
+SELECT source, n_types,
+       CAST(((s * s - sq) * 1000000) // (s * s) AS BIGINT) AS simpson_ppm
+FROM per
+""",
+    doc="Per-source Gini-Simpson token diversity (1 - sum p_i^2, integer "
+    "ppm): the probability two tokens drawn from the source differ — "
+    "the frequency-WEIGHTED complement of q152's type-token ratio and "
+    "q225's distinct-shingle share (those collapse when rare types "
+    "pad a degenerate source; Simpson ignores the tail and catches a "
+    "source dominated by a few tokens even when its type count looks "
+    "healthy). No logs, so it is the entropy-family diagnostic that "
+    "stays integer-exact across engines. Scale posture: one corpus "
+    "pass to (source, tok) counts (map-side combinable), one "
+    "vocab-sized per-source aggregate; sum-of-squares and the squared "
+    "total are staged in DECIMAL(38,0) (the q202 discipline — BIGINT "
+    "c^2 sums wrap near 3e9-token sources; decimals carry to ~1e19).",
+)
+def q234_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = c.groupBy("source").agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    return per.select(
+        "source",
+        "n_types",
+        F.expr("cast(((s * s - sq) * 1000000) div (s * s) as bigint)").alias(
+            "simpson_ppm"
+        ),
+    )
+
+
+@register(
+    "q235_zipf_fit",
+    oracle="""
+WITH toks AS (
+  SELECT d.source, unnest(string_split(d.text, ' ')) AS tok FROM documents d
+),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks GROUP BY source, tok),
+ranked AS (
+  SELECT source, freq,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok) AS rnk
+  FROM c
+),
+pts AS (
+  SELECT source,
+         CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_types,
+       CAST(((n * sxy - sx * sy) * 1000000)
+            // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS slope_micros
+FROM s
+""",
+    doc="Per-source Zipf rank-frequency fit: least-squares slope of "
+    "floor(log2 freq) against floor(log2 rank) in integer micros — "
+    "natural text sits near -1e6 (Zipf's law); generated/templated "
+    "sources flatten toward 0 and token-salad sources steepen. The "
+    "log2s are INTEGER bit lengths (length(bin(x)) - 1 in both "
+    "engines), and the regression is the closed-form integer "
+    "cross-moment formula, so the fit is cross-engine exact — no "
+    "float log anywhere. Scale posture: one corpus pass to (source, "
+    "tok) counts, a per-source rank window over the VOCAB-sized count "
+    "relation (never the corpus; at web scale pre-aggregate to "
+    "(freq, count-of-types) and rank by prefix sums — same points), "
+    "then one combinable moment aggregate per source.",
+)
+def q235_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("tok")
+    )
+    pts = c.select(
+        "source",
+        (F.length(F.bin(F.row_number().over(w))) - 1)
+        .cast("long")
+        .alias("x"),
+        (F.length(F.bin("freq")) - 1).cast("long").alias("y"),
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_types"),
+        F.expr(
+            "cast(((n * sxy - sx * sy) * 1000000)"
+            " div nullif(n * sxx - sx * sx, 0) as bigint)"
+        ).alias("slope_micros"),
+    )

@@ -1,0 +1,143 @@
+"""Structural invariants for the round-12 diagnostics: gate attribution
+(q233), Simpson diversity (q234), Zipf fit (q235), and the quality-rate
+chi-square (q236). The oracle proves value equality; these pin the
+properties a data team actually reads off the reports."""
+
+from __future__ import annotations
+
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    _ensure_loaded()
+    return REGISTRY[name].builder(spark, SF).collect()
+
+
+def test_gate_attribution_consistency(spark):
+    rows = {r["gate"]: r for r in _rows(spark, "q233_gate_attribution")}
+    assert set(rows) == {
+        "exact_dup",
+        "quality",
+        "repetition",
+        "contamination",
+        "any",
+    }
+    gates = [rows[g] for g in ("exact_dup", "quality", "repetition", "contamination")]
+    for r in rows.values():
+        assert 0 <= r["n_unique"] <= r["n_rejected"]
+    # inclusion-exclusion sanity: 'any' is bounded by the per-gate sums
+    any_r = rows["any"]
+    assert any_r["n_rejected"] <= sum(g["n_rejected"] for g in gates)
+    assert any_r["n_rejected"] >= max(g["n_rejected"] for g in gates)
+    # single-cause rejections partition across gates exactly
+    assert any_r["n_unique"] == sum(g["n_unique"] for g in gates)
+    # the eval panel itself (doc_id < 10) is contamination-rejected
+    assert rows["contamination"]["n_rejected"] >= 10
+
+
+def test_gate_attribution_matches_funnel_first_stage(spark):
+    """The exact_dup gate counts the same docs the funnel's first stage
+    drops (later funnel stages see fewer docs, so only stage 1 is
+    directly comparable)."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import dedup_exact
+
+    docs = load(spark, SF, "documents")
+    dropped = docs.count() - dedup_exact(docs).count()
+    rows = {r["gate"]: r for r in _rows(spark, "q233_gate_attribution")}
+    assert rows["exact_dup"]["n_rejected"] == dropped
+
+
+def test_simpson_diversity_bounds_and_degenerate_source(spark):
+    rows = _rows(spark, "q234_simpson_diversity")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["simpson_ppm"] < 1_000_000
+        assert r["n_types"] >= 1
+    # directed: a one-token source has diversity 0; a uniform two-token
+    # source has 1/2
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame(
+        [
+            (1, "mono", "x x x x"),
+            (2, "duo", "x y x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = c.groupBy("source").agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    out = {
+        r["source"]: r["p"]
+        for r in per.select(
+            "source",
+            F.expr("cast(((s * s - sq) * 1000000) div (s * s) as bigint)").alias("p"),
+        ).collect()
+    }
+    assert out["mono"] == 0
+    assert out["duo"] == 500_000
+
+
+def test_zipf_slope_negative_on_real_sources(spark):
+    rows = _rows(spark, "q235_zipf_fit")
+    assert len(rows) == 20
+    # token frequencies are Zipf-ish: no source's slope is positive
+    # (a tiny sf0.001 source whose types are all hapaxes fits exactly
+    # flat — slope 0 — so <= 0, not < 0), none steeper than a
+    # pathological -4, and the corpus isn't degenerate: most sources
+    # show a genuinely falling rank-frequency curve
+    for r in rows:
+        assert -4_000_000 < r["slope_micros"] <= 0, r
+    assert sum(1 for r in rows if r["slope_micros"] < 0) >= 10
+
+
+def test_chi2_zero_for_identical_rates(spark):
+    """Two sources with identical pass layouts give chi2 exactly 0, and
+    a source with inverted rates dominates."""
+    import pyspark.sql.functions as F
+
+    # same = identical rates; diff = all-fail
+    per = spark.createDataFrame(
+        [("s1", 8, 2), ("s2", 8, 2), ("s3", 0, 10)],
+        "source string, a long, b long",
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    cells = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+        (F.col("ta") - F.col("a")).cast("decimal(38,0)").alias("c"),
+        (F.col("tb") - F.col("b")).cast("decimal(38,0)").alias("d"),
+    )
+    out = {
+        r["source"]: r["chi2"]
+        for r in cells.select(
+            "source",
+            F.expr(
+                "cast(((a + b + c + d) * (a * d - b * c) * (a * d - b * c)"
+                " * 1000000)"
+                " div nullif((a + b) * (c + d) * (a + c) * (b + d), 0)"
+                " as bigint)"
+            ).alias("chi2"),
+        ).collect()
+    }
+    assert out["s3"] > out["s1"] >= 0
+    assert out["s1"] == out["s2"]
+
+
+def test_chi2_catalog_shape(spark):
+    rows = _rows(spark, "q236_quality_rate_chi2")
+    assert len(rows) == 20
+    for r in rows:
+        assert r["chi2_micros"] >= 0
+        assert r["n_pass"] + r["n_fail"] >= 1

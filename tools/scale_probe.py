@@ -204,6 +204,38 @@ HEADLINE = [
     # the distinct-word table (vocab grows Kx with the replica token
     # suffixes) + vocab-sized usage aggs - the q212 shape iterated.
     "q219_unigram_train_trajectory",
+    # round-12: q221 rides the checkpointed pair relation like q188
+    # (frontier growth is K×-linear — replica suffixes keep pairs inside
+    # replicas); q222/q223 are per-source windows over the K× corpus
+    # (source domain fixed, per-source data grows K× — q223's rank is a
+    # WindowGroupLimit bounded heap); q224/q227 are keyed-agg collapses
+    # with fixed group domains (tight budget); q225's distinct agg and
+    # q226's containment join are the q51 shingle-keyed family;
+    # q228/q229 are digest/segment-keyed aggs; q230's weight scan is
+    # linear and its window runs over the doc-count relation; q231's
+    # scoring grid is sources × vocab (vocab grows K× with the replica
+    # suffixes — linear); q232 is two linear scans + a bins-sized
+    # derivation.
+    "q221_khop_recursive_native",
+    "q222_quality_quantile_gate",
+    "q223_source_caps",
+    "q224_dataset_card",
+    "q225_shingle_diversity",
+    "q226_containment_pairs",
+    "q227_k_anonymity_audit",
+    "q228_normalized_dedup",
+    "q229_boilerplate_segments",
+    "q230_systematic_weighted_sample",
+    "q231_source_divergence",
+    "q232_quality_histogram_gate",
+    # q233 composes the q50/q59/q122/q58 linear flag relations plus one
+    # gate-count-sized collapse; q234/q235 are vocab-sized per-source
+    # aggs/windows over the K×-vocab count relation; q236 is an
+    # agg-collapse on the fixed source domain (tight budget).
+    "q233_gate_attribution",
+    "q234_simpson_diversity",
+    "q235_zipf_fit",
+    "q236_quality_rate_chi2",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
@@ -353,6 +385,9 @@ TIGHT_BUDGET = {
     "q174_nation_trade_volume": 1.0,
     "q178_promo_share": 1.0,
     "q200_temperature_mixture": 1.0,
+    "q224_dataset_card": 1.0,
+    "q227_k_anonymity_audit": 1.0,
+    "q236_quality_rate_chi2": 1.0,
 }
 
 
