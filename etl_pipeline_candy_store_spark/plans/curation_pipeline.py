@@ -51,6 +51,56 @@ from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, load, registe
 from etl_pipeline_candy_store_spark.sources.writers import write_training_shards
 
 
+def scrub_boilerplate(docs: DataFrame) -> DataFrame:
+    """q229's frequency-based segment scrub as a REWRITE stage: drop
+    every segment whose corpus-wide document frequency reaches the
+    boilerplate threshold, rebuild each doc's text from the surviving
+    segments in original order, and drop docs left empty (pure
+    boilerplate). Runs BEFORE exact dedup when enabled — scrubbing
+    changes content digests, and (as in CCNet) removing nav bars /
+    footers first is exactly what lets doc-level dedup see through
+    per-site templating. ``n_chars`` is refreshed to the rewritten
+    text so downstream metric stages stay consistent.
+
+    Scale posture: the q229 plan (one explode, one segment-keyed agg,
+    one equi-join back) plus one per-doc ordered re-aggregation — the
+    q203 rewrite discipline; nothing pairwise, one shuffle per step,
+    all keys doc- or segment-bounded."""
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        _BOILER_DF,
+        _segments,
+    )
+
+    segs = _segments(docs.select("doc_id", "text"))
+    df = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = df.filter(F.col("df") >= _BOILER_DF).select(
+        "seg_text", F.lit(True).alias("is_boiler")
+    )
+    rebuilt = (
+        segs.join(F.broadcast(boiler), "seg_text", "left")
+        .filter(F.col("is_boiler").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "seg_text"))),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("_scrubbed")
+        )
+    )
+    other = [c for c in docs.columns if c not in ("text", "n_chars")]
+    out = docs.join(rebuilt, "doc_id").select(
+        *other, F.col("_scrubbed").alias("text")
+    )
+    if "n_chars" in docs.columns:
+        out = out.withColumn("n_chars", F.length("text").cast("long"))
+    return out.select(docs.columns)
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Keep the lowest doc_id per exact content digest."""
     keep = (
@@ -226,6 +276,7 @@ def curate(
     n_shards: int = 4,
     stage_seconds: dict | None = None,
     corpus_state_dir: str | None = None,
+    scrub_boilerplate_first: bool = False,
 ) -> dict:
     """Run the full curation funnel and export per-split shards.
 
@@ -266,7 +317,19 @@ def curate(
     report: dict = {"funnel": {"input": docs.count()}}
     lap("load")
 
-    d1 = dedup_exact(docs).cache()
+    if scrub_boilerplate_first:
+        # CCNet-order: template removal BEFORE doc-level dedup, so
+        # per-site boilerplate can't mask otherwise-identical bodies.
+        # Changes content digests, so it is opt-in — the default funnel
+        # stays hash-equal to the stateless/stateful conformance oracle.
+        scrubbed = scrub_boilerplate(docs).cache()
+        report["funnel"]["after_boilerplate_scrub"] = scrubbed.count()
+        lap("boilerplate_scrub")
+        docs_in = scrubbed
+    else:
+        docs_in = docs
+
+    d1 = dedup_exact(docs_in).cache()
     report["funnel"]["after_exact_dedup"] = d1.count()
     lap("exact_dedup")
 
@@ -298,7 +361,10 @@ def curate(
     report["funnel"]["after_decontamination"] = d4.count()
     lap("decontamination")
 
-    report["governance"] = governance_report(docs, d1, cc, d4)
+    # governance folds exact-dedup copies back in via content digests,
+    # so it must see the SAME text generation the dedup stages keyed on
+    # (the scrubbed corpus when the scrub stage ran)
+    report["governance"] = governance_report(docs_in, d1, cc, d4)
     cc.unpersist()
     lap("governance")
 
@@ -318,6 +384,8 @@ def curate(
             "manifest": manifest,
         }
     lap("shard_export")
+    if docs_in is not docs:
+        docs_in.unpersist()
     for df in (docs, d1, d2, d3, d3r, d4):
         df.unpersist()
     return report

@@ -130,3 +130,88 @@ def test_governance_folds_exact_dup_licenses(spark):
     assert lic["src0"]["n_cleared"] == 1  # doc 2
     assert lic["src0"]["n_restricted_own"] == 0
     assert "src2" not in lic  # its only doc never reached the survivor set
+
+
+def test_scrub_boilerplate_rewrite_semantics(spark):
+    """The scrub stage removes corpus-frequent segments, preserves
+    segment order in the rebuilt text, refreshes n_chars, and drops
+    pure-boilerplate docs entirely."""
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        scrub_boilerplate,
+    )
+
+    boiler = "a b c d e f g h"  # shared by 3 docs -> boilerplate
+    rows = [
+        (1, boiler + " u1 u2 u3 u4 u5 u6 u7 u8", "en", "s0", 0),
+        (2, boiler + " v1 v2 v3 v4 v5 v6 v7 v8", "en", "s1", 0),
+        # boiler is this doc's SECOND segment: order must be preserved
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 " + boiler + " x1 x2 x3 x4 x5 x6 x7 x8",
+         "en", "s2", 0),
+        (4, boiler, "en", "s3", 0),  # pure boilerplate -> dropped
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in scrub_boilerplate(d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[3]["text"] == "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4 x5 x6 x7 x8"
+    for r in out.values():
+        assert boiler not in r["text"]
+        assert r["n_chars"] == len(r["text"])
+    # schema is unchanged (column order included)
+    assert scrub_boilerplate(d).columns == d.columns
+
+
+def test_curate_with_boilerplate_scrub(spark, tmp_path):
+    """Opt-in scrub runs before exact dedup: per-site templating can't
+    mask identical bodies. Two docs identical except for distinct
+    boilerplate headers dedup to ONE survivor only when the scrub
+    stage is on."""
+    import pyspark.sql.functions as F
+
+    # the masked pair's shared body must stay BELOW the boilerplate
+    # doc-frequency threshold (df=2 < 3) or the scrub removes the body
+    # itself and drops both docs as pure boilerplate
+    body = " ".join(f"b{i}" for i in range(16))
+    hdr_a = "ha1 ha2 ha3 ha4 ha5 ha6 ha7 ha8"
+    hdr_b = "hb1 hb2 hb3 hb4 hb5 hb6 hb7 hb8"
+    rows = []
+    # headers are boilerplate (each in 3 docs); filler bodies unique
+    for i in range(2):
+        rows.append((100 + i, hdr_a + " " + " ".join(f"fa{i}x{j}" for j in range(16)), "en", "src0", 0))
+        rows.append((200 + i, hdr_b + " " + " ".join(f"fb{i}x{j}" for j in range(16)), "en", "src1", 0))
+    # one masked pair: same body, different boilerplate header
+    rows.append((300, hdr_a + " " + body, "en", "src0", 0))
+    rows.append((301, hdr_b + " " + body, "en", "src1", 0))
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text").cast("long")).coalesce(
+        1
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    r_off = curate(spark, sf_dir, str(tmp_path / "off"), n_shards=1)
+    r_on = curate(
+        spark,
+        sf_dir,
+        str(tmp_path / "on"),
+        n_shards=1,
+        scrub_boilerplate_first=True,
+    )
+    assert "after_boilerplate_scrub" not in r_off["funnel"]
+    assert r_on["funnel"]["after_boilerplate_scrub"] == 6  # none fully boiler
+    # scrub off: 300/301 differ byte-wise -> both survive exact dedup;
+    # scrub on: headers removed -> identical bodies -> one survives
+    assert r_off["funnel"]["after_exact_dedup"] == 6
+    assert r_on["funnel"]["after_exact_dedup"] == 5
+    # exported text carries no boilerplate header tokens
+    for split, info in r_on["splits"].items():
+        if info["n_docs"] == 0:
+            continue  # empty split dir -> nothing exported to read
+        p = str(tmp_path / "on" / f"split={split}")
+        for row in spark.read.parquet(p).collect():
+            assert "ha1" not in row["text"] and "hb1" not in row["text"]
