@@ -107,6 +107,8 @@ HEADLINE = [
     "q234_simpson_diversity",   # frequency-weighted token diversity (r12)
     "q235_zipf_fit",            # integer log2 rank-frequency slope (r12)
     "q236_quality_rate_chi2",   # per-source 2x2 chi-square drift test (r12)
+    "q237_dup_cluster_profile", # near-dup cluster-size distribution (r12)
+    "q238_contamination_by_source",  # eval-overlap attribution by domain (r12)
 ]
 
 

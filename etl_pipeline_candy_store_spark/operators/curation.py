@@ -1046,3 +1046,58 @@ def q233_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.gate", "r.n_rejected", "r.n_unique")
+
+
+@register(
+    "q238_contamination_by_source",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_EVAL_MAX_DOC}),
+contam AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id >= {_EVAL_MAX_DOC}
+  GROUP BY s.doc_id
+  HAVING COUNT(*) >= {_CONTAM_MIN_OVERLAP}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(SUM(c.n_overlap), 0) AS BIGINT) AS total_overlap,
+       CAST((COUNT(c.doc_id) * 1000000) // COUNT(*) AS BIGINT)
+         AS contaminated_ppm
+FROM documents d LEFT JOIN contam c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= {_EVAL_MAX_DOC}
+GROUP BY d.source
+""",
+    doc="Benchmark-contamination attribution by SOURCE: which domains "
+    "carry the eval-set overlap (docs flagged by q58's shingle screen, "
+    "their total overlapping shingles, and the contaminated share in "
+    "ppm per source) — the report that turns a corpus-wide "
+    "decontamination count into an actionable crawl decision "
+    "('this aggregator mirrors the benchmarks; drop the domain, not "
+    "just the docs'). Scale posture: exactly q58's linear "
+    "shingle-semi-join plan plus one left join back to the doc "
+    "relation and a source-domain-sized aggregate — no new shuffle "
+    "family.",
+)
+def q238_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    contam = q58_decontamination(spark, sf_dir)
+    train = d.filter(F.col("doc_id") >= _EVAL_MAX_DOC).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.col("n_overlap")).cast("long").alias("n_contaminated"),
+            F.coalesce(F.sum("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("total_overlap"),
+            F.expr(
+                "cast((count(n_overlap) * 1000000) div count(1) as bigint)"
+            ).alias("contaminated_ppm"),
+        )
+    )

@@ -2100,3 +2100,39 @@ def q228_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "q237_dup_cluster_profile",
+    oracle=f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+sz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size
+""",
+    doc="Near-dup cluster-size profile: how duplicate mass distributes "
+    "across component sizes (n_clusters and member docs per size, "
+    "singletons included) — the datasheet line that distinguishes a "
+    "corpus with a million pairwise twins from one with a handful of "
+    "mega-templates, and the input to choosing between pairwise scrub "
+    "(q203) and cluster-keeper dedup (q55): mega-clusters make "
+    "pairwise verification quadratic in the cluster, keeper-dedup "
+    "linear. Scale posture: rides the memoized q54 component labels "
+    "(one keyed agg per size level on top); the profile itself is "
+    "cluster-count-sized then size-domain-sized — two map-side "
+    "combinable aggregates, nothing touches text.",
+)
+def q237_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = q54_dedup_clusters(spark, sf_dir)
+    sz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )

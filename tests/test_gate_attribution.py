@@ -141,3 +141,30 @@ def test_chi2_catalog_shape(spark):
     for r in rows:
         assert r["chi2_micros"] >= 0
         assert r["n_pass"] + r["n_fail"] >= 1
+
+
+def test_dup_cluster_profile_partitions_corpus(spark):
+    rows = _rows(spark, "q237_dup_cluster_profile")
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+
+    n = load(spark, SF, "documents").count()
+    # every doc is in exactly one cluster; sizes partition the corpus
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    # the synthetic corpus has near-dups: some cluster of size >= 2
+    assert any(r["cluster_size"] >= 2 for r in rows)
+    assert any(r["cluster_size"] == 1 for r in rows)
+
+
+def test_contamination_by_source_consistency(spark):
+    rows = _rows(spark, "q238_contamination_by_source")
+    assert len(rows) == 20
+    q58 = _rows(spark, "q58_decontamination")
+    assert sum(r["n_contaminated"] for r in rows) == len(q58)
+    assert sum(r["total_overlap"] for r in rows) == sum(
+        r["n_overlap"] for r in q58
+    )
+    for r in rows:
+        assert 0 <= r["contaminated_ppm"] <= 1_000_000
+        assert r["n_contaminated"] <= r["n_docs"]

@@ -236,6 +236,11 @@ HEADLINE = [
     "q234_simpson_diversity",
     "q235_zipf_fit",
     "q236_quality_rate_chi2",
+    # q237 rides the memoized q54 component labels (warm-up pays the
+    # build, like q142) plus two tiny aggs; q238 is q58's linear
+    # shingle semi-join plus a source-domain agg.
+    "q237_dup_cluster_profile",
+    "q238_contamination_by_source",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
