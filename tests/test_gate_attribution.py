@@ -168,3 +168,116 @@ def test_contamination_by_source_consistency(spark):
     for r in rows:
         assert 0 <= r["contaminated_ppm"] <= 1_000_000
         assert r["n_contaminated"] <= r["n_docs"]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        wts=st.lists(st.integers(1, 500), min_size=5, max_size=60),
+        k=st.integers(2, 20),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_systematic_sample_property(spark, wts, k):
+        """For ANY weight vector: total picks lands within 1 of the
+        target k, multiplicities are >= 1, and each doc's multiplicity
+        equals the count of step multiples inside its weight span —
+        verified against an independent python sweep."""
+        import pyspark.sql.functions as F
+
+        total = sum(wts)
+        step = total // k
+        if step == 0:
+            return  # degenerate: fewer tokens than samples
+        rows = [(i, w) for i, w in enumerate(wts)]
+        d = spark.createDataFrame(rows, "doc_id long, wt long")
+        from pyspark.sql import Window
+
+        cum = d.select(
+            "doc_id",
+            "wt",
+            F.sum("wt")
+            .over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum"),
+        )
+        got = {
+            r["doc_id"]: r["picks"]
+            for r in cum.withColumn("step", F.lit(step))
+            .filter(F.expr("cum div step > (cum - wt) div step"))
+            .select(
+                "doc_id",
+                F.expr("cum div step - (cum - wt) div step").alias("picks"),
+            )
+            .collect()
+        }
+        # independent python reference
+        want = {}
+        c = 0
+        for i, w in rows:
+            picks = (c + w) // step - c // step
+            c += w
+            if picks:
+                want[i] = picks
+        assert got == want
+        assert sum(got.values()) == total // step  # every multiple lands
+
+    @given(
+        cells=st.lists(
+            st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_chi2_property_nonneg_and_python_exact(spark, cells):
+        """chi2 is non-negative for any contingency layout and equals
+        an independent integer-python evaluation."""
+        import pyspark.sql.functions as F
+
+        per = spark.createDataFrame(
+            [(f"s{i}", a, b) for i, (a, b) in enumerate(cells)],
+            "source string, a long, b long",
+        )
+        tot = per.agg(
+            F.sum("a").cast("long").alias("ta"),
+            F.sum("b").cast("long").alias("tb"),
+        )
+        out = {
+            r["source"]: r["chi2"]
+            for r in per.crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                F.col("a").cast("decimal(38,0)").alias("a"),
+                F.col("b").cast("decimal(38,0)").alias("b"),
+                (F.col("ta") - F.col("a")).cast("decimal(38,0)").alias("c"),
+                (F.col("tb") - F.col("b")).cast("decimal(38,0)").alias("d"),
+            )
+            .select(
+                "source",
+                F.expr(
+                    "cast(coalesce(((a + b + c + d) * (a * d - b * c)"
+                    " * (a * d - b * c) * 1000000)"
+                    " div nullif((a + b) * (c + d) * (a + c) * (b + d), 0),"
+                    " 0) as bigint)"
+                ).alias("chi2"),
+            )
+            .collect()
+        }
+        ta = sum(a for a, _ in cells)
+        tb = sum(b for _, b in cells)
+        for i, (a, b) in enumerate(cells):
+            c, d = ta - a, tb - b
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            want = (
+                ((a + b + c + d) * (a * d - b * c) ** 2 * 1_000_000) // den
+                if den
+                else 0
+            )
+            assert out[f"s{i}"] == want
+            assert out[f"s{i}"] >= 0
+except ImportError:  # pragma: no cover
+    pass
