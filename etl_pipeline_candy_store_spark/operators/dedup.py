@@ -2136,3 +2136,119 @@ def q237_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+_WINNOW_DF_MIN, _WINNOW_DF_MAX = 2, 20  # fingerprint doc-frequency band
+_WINNOW_MIN_SHARED = 5  # shared fingerprints to call a candidate pair
+
+_WINNOW_FPS_SQL = """
+  SELECT DISTINCT doc_id, wmin FROM (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_transform(string_split(shingle, ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007
+             ) AS h
+      FROM (
+        SELECT d.doc_id, u.i AS pos,
+               t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t
+        JOIN documents d USING (doc_id),
+        unnest(range(1, greatest(len(t.toks) - 1, 1))) AS u(i)
+      )
+    )
+  )
+"""
+
+
+@register(
+    "q239_winnow_neardup",
+    oracle=f"""
+WITH fps AS ({_WINNOW_FPS_SQL}),
+dfreq AS (SELECT wmin, COUNT(*) AS df FROM fps GROUP BY wmin),
+kept AS (
+  SELECT f.doc_id, f.wmin
+  FROM fps f JOIN dfreq USING (wmin)
+  WHERE df BETWEEN {_WINNOW_DF_MIN} AND {_WINNOW_DF_MAX}
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared,
+       CAST((p.shared * 1000000) // LEAST(sa.n, sb.n) AS BIGINT)
+         AS overlap_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""",
+    doc="Winnowing-fingerprint near-dup pairs (the MOSS recipe): docs "
+    f"sharing >= {_WINNOW_MIN_SHARED} distinct winnow fingerprints "
+    "(q48's rolling-hash window minima), scored by shared/min(|A|,|B|) "
+    "in ppm — the third independent near-dup family next to "
+    "MinHash-LSH (q52, set-similarity) and SimHash (q68, bit "
+    "proximity): winnowing guarantees any shared run of >= w+k-1 "
+    "tokens yields a shared fingerprint, so it catches LOCAL verbatim "
+    "overlap (plagiarism, quoted blocks) that whole-doc sketches "
+    "dilute. Scale posture: the ONLY shuffle keys are the fingerprint "
+    "(self equi-join) and the pair; fingerprints with doc-frequency "
+    f"outside [{_WINNOW_DF_MIN}, {_WINNOW_DF_MAX}] are dropped before "
+    "the join — df=1 matches nothing, df>cap are boilerplate hubs "
+    "whose fan-out would be quadratic (the standard MOSS cap; q229 "
+    "handles boilerplate explicitly) — so per-fingerprint fan-out is "
+    "bounded and the pair space stays linear in shared content.",
+)
+def q239_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d.select("doc_id", "text")).localCheckpoint()
+    dfreq = fps.groupBy("wmin").agg(F.count(F.lit(1)).alias("df"))
+    kept = fps.join(
+        dfreq.filter(
+            F.col("df").between(_WINNOW_DF_MIN, _WINNOW_DF_MAX)
+        ).select("wmin"),
+        "wmin",
+        "left_semi",
+    )
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "wmin")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "wmin")
+    pairs = (
+        a.join(b, "wmin")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.expr("cast((shared * 1000000) div least(na, nb) as bigint)")
+            .alias("overlap_ppm"),
+        )
+    )

@@ -262,6 +262,39 @@ def q47_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", poly.alias("poly_hash"))
 
 
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Distinct winnowing fingerprints (doc_id, wmin) over any
+    (doc_id, text) frame: rolling polynomial hash per 3-gram shingle,
+    min per trailing 4-shingle window, distinct mins. Shared by q48's
+    per-doc profile and q239's fingerprint-keyed near-dup pairs."""
+    from pyspark.sql.window import Window
+
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+    )
+    poly = F.aggregate(
+        F.transform(F.split("shingle", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    hashed = shingles.select("doc_id", "pos0", poly.alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    return hashed.select("doc_id", F.min("h").over(w).alias("wmin")).distinct()
+
+
+
 @register(
     "q48_winnowing",
     oracle="""
@@ -299,32 +332,8 @@ FROM fps GROUP BY doc_id
     "fingerprinting, pure integer arithmetic in both engines.",
 )
 def q48_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load(spark, sf_dir, "documents")
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.expr(
-            "transform(sequence(0, size(toks) - 3),"
-            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingles = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
-    )
-    poly = F.aggregate(
-        F.transform(F.split("shingle", ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % 1000000007,
-    )
-    hashed = shingles.select("doc_id", "pos0", poly.alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos0")
-        .rowsBetween(Window.currentRow, 3)
-    )
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("wmin")).distinct()
+    fps = winnow_fingerprints(d)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("wmin").alias("min_fp"),

@@ -281,3 +281,37 @@ try:
             assert out[f"s{i}"] >= 0
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_winnow_neardup_pairs(spark):
+    """Winnow pairs point at genuinely overlapping docs: every reported
+    pair shares >= 5 distinct fingerprints, ppm is consistent with the
+    per-doc fingerprint counts, and a directed verbatim-overlap pair is
+    always found (winnowing's guarantee: any shared token run of
+    >= w + k - 1 tokens yields a shared fingerprint)."""
+    rows = _rows(spark, "q239_winnow_neardup")
+    for r in rows:
+        assert r["shared"] >= 5
+        assert 0 < r["overlap_ppm"] <= 1_000_000
+        assert r["doc_a"] < r["doc_b"]
+
+    # directed: two docs sharing a long verbatim block + one unrelated
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    block = " ".join(f"s{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [
+            (1, block + " tail1a tail1b tail1c"),
+            (2, "head2a head2b head2c " + block),
+            (3, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(d)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["wmin"])
+    assert len(by_doc[1] & by_doc[2]) >= 5  # the block dominates
+    assert not (by_doc[1] & by_doc[3])
