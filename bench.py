@@ -109,6 +109,7 @@ HEADLINE = [
     "q236_quality_rate_chi2",   # per-source 2x2 chi-square drift test (r12)
     "q237_dup_cluster_profile", # near-dup cluster-size distribution (r12)
     "q238_contamination_by_source",  # eval-overlap attribution by domain (r12)
+    "q239_winnow_neardup",      # MOSS winnow-fingerprint near-dup pairs (r12)
 ]
 
 

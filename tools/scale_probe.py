@@ -241,6 +241,10 @@ HEADLINE = [
     # shingle semi-join plus a source-domain agg.
     "q237_dup_cluster_profile",
     "q238_contamination_by_source",
+    # q239: fingerprint-keyed self-join with the df-band cap bounding
+    # fan-out; replica token suffixes keep shared fingerprints within
+    # replicas, so pairs grow linearly — the q51/q226 family.
+    "q239_winnow_neardup",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
