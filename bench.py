@@ -110,6 +110,7 @@ HEADLINE = [
     "q237_dup_cluster_profile", # near-dup cluster-size distribution (r12)
     "q238_contamination_by_source",  # eval-overlap attribution by domain (r12)
     "q239_winnow_neardup",      # MOSS winnow-fingerprint near-dup pairs (r12)
+    "q240_boilerplate_by_source",  # per-domain boilerplate token share (r12)
 ]
 
 

@@ -1373,3 +1373,66 @@ def q232_quality_histogram_gate(
         F.size(F.split("text", " ")).cast("long").alias("score"),
     )
     return histogram_gate(scored)
+
+
+@register(
+    "q240_boilerplate_by_source",
+    oracle=f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+df AS (
+  SELECT seg_text, COUNT(DISTINCT doc_id) AS df
+  FROM segs GROUP BY seg_text
+),
+marked AS (
+  SELECT s.doc_id, s.seg_len,
+         CASE WHEN f.df >= {_BOILER_DF} THEN 1 ELSE 0 END AS is_boiler
+  FROM segs s JOIN df f ON f.seg_text = s.seg_text
+)
+SELECT d.source,
+       CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(m.is_boiler) AS BIGINT) AS boiler_segments,
+       CAST(SUM(m.is_boiler * m.seg_len) AS BIGINT) AS boiler_tokens,
+       CAST((SUM(m.is_boiler * m.seg_len) * 1000000) // SUM(m.seg_len)
+            AS BIGINT) AS boiler_ppm
+FROM marked m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source
+""",
+    doc="Boilerplate share by SOURCE: q229's segment scrub rolled up to "
+    "the domain level (boilerplate segments, tokens, and ppm token "
+    "share per source) — the crawl-health dial that tells a data team "
+    "which domains are template farms BEFORE paying the near-dup "
+    "passes, and the sizing input for enabling "
+    "curate(scrub_boilerplate_first=True). Scale posture: exactly "
+    "q229's linear plan (one explode, one segment-keyed agg, one "
+    "equi-join back) plus a source-domain-sized rollup; at 100 TB the "
+    "join key becomes the segment digest (the boilerplate_stream "
+    "twin's 16-byte state key) and nothing else changes.",
+)
+def q240_boilerplate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    segs = _segments(d.select("doc_id", "text"))
+    df = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    marked = segs.join(F.broadcast(df), "seg_text").select(
+        "doc_id",
+        "seg_len",
+        F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0).alias("is_boiler"),
+    )
+    return (
+        marked.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("is_boiler").cast("long").alias("boiler_segments"),
+            F.sum(F.expr("is_boiler * seg_len"))
+            .cast("long")
+            .alias("boiler_tokens"),
+            F.expr(
+                "cast((sum(is_boiler * seg_len) * 1000000)"
+                " div sum(seg_len) as bigint)"
+            ).alias("boiler_ppm"),
+        )
+    )

@@ -202,3 +202,15 @@ def test_histogram_gate_vs_exact_quantile(spark):
     # the histogram gate's threshold bin contains the exact threshold,
     # so every exact-kept doc is histogram-kept
     assert exact <= kept
+
+
+def test_boilerplate_by_source_consistency(spark):
+    rows = _rows(spark, "q240_boilerplate_by_source")
+    assert len(rows) == 20
+    q229 = _rows(spark, "q229_boilerplate_segments")
+    assert sum(r["boiler_segments"] for r in rows) == sum(
+        r["boiler_segments"] for r in q229
+    )
+    for r in rows:
+        assert 0 <= r["boiler_ppm"] <= 1_000_000
+        assert r["boiler_tokens"] <= r["boiler_segments"] * 8

@@ -245,6 +245,8 @@ HEADLINE = [
     # fan-out; replica token suffixes keep shared fingerprints within
     # replicas, so pairs grow linearly — the q51/q226 family.
     "q239_winnow_neardup",
+    # q240: q229's linear segment plan + a source-domain rollup.
+    "q240_boilerplate_by_source",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
