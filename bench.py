@@ -111,6 +111,7 @@ HEADLINE = [
     "q238_contamination_by_source",  # eval-overlap attribution by domain (r12)
     "q239_winnow_neardup",      # MOSS winnow-fingerprint near-dup pairs (r12)
     "q240_boilerplate_by_source",  # per-domain boilerplate token share (r12)
+    "q241_neardup_family_agreement",  # 3-detector agreement matrix (r12)
 ]
 
 

@@ -2252,3 +2252,77 @@ def q239_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_ppm"),
         )
     )
+
+
+@register(
+    "q241_neardup_family_agreement",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_a, doc_b, 1 AS j, 0 AS s, 0 AS w
+  FROM ({_JACCARD_PAIRS_SQL})
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM ({_SIMHASH_PAIRS_SQL})
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 1 FROM (
+    WITH fps AS ({_WINNOW_FPS_SQL}),
+    dfreq AS (SELECT wmin, COUNT(*) AS df FROM fps GROUP BY wmin),
+    kept AS (
+      SELECT f.doc_id, f.wmin
+      FROM fps f JOIN dfreq USING (wmin)
+      WHERE df BETWEEN {_WINNOW_DF_MIN} AND {_WINNOW_DF_MAX}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+  )
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         CAST(MAX(j) AS INTEGER) AS in_jaccard,
+         CAST(MAX(s) AS INTEGER) AS in_simhash,
+         CAST(MAX(w) AS INTEGER) AS in_winnow
+  FROM tagged GROUP BY doc_a, doc_b
+)
+SELECT in_jaccard, in_simhash, in_winnow,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM flags GROUP BY in_jaccard, in_simhash, in_winnow
+""",
+    doc="Detector-agreement matrix across the three independent near-dup "
+    "families — Jaccard shingle pairs (q51, set similarity), banded "
+    "SimHash (q68, bit proximity), winnowing fingerprints (q239, "
+    "local verbatim overlap): pair counts per membership combination. "
+    "The calibration report a dedup pipeline reads before choosing "
+    "its detector (high three-way agreement -> run only the cheapest; "
+    "winnow-only mass -> quoted-block overlap the sketches dilute; "
+    "simhash-only mass -> near-threshold noise). Scale posture: the "
+    "three pair relations are each banded/blocked/capped (never "
+    "all-pairs, q51/q68/q239's own contracts), and the agreement "
+    "collapse is one pair-keyed aggregate plus an 8-row rollup — no "
+    "new shuffle family on top of detectors a pipeline runs anyway.",
+)
+def q241_neardup_family_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("j"), F.lit(0).alias("s"), F.lit(0).alias("w")
+    )
+    s = q68_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("j"), F.lit(1).alias("s"), F.lit(0).alias("w")
+    )
+    w = q239_winnow_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("j"), F.lit(0).alias("s"), F.lit(1).alias("w")
+    )
+    flags = (
+        j.unionByName(s)
+        .unionByName(w)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("j").cast("int").alias("in_jaccard"),
+            F.max("s").cast("int").alias("in_simhash"),
+            F.max("w").cast("int").alias("in_winnow"),
+        )
+    )
+    return flags.groupBy("in_jaccard", "in_simhash", "in_winnow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -315,3 +315,18 @@ def test_winnow_neardup_pairs(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["wmin"])
     assert len(by_doc[1] & by_doc[2]) >= 5  # the block dominates
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_neardup_family_agreement_consistency(spark):
+    rows = _rows(spark, "q241_neardup_family_agreement")
+    # membership flags are 0/1 and never all-zero
+    for r in rows:
+        assert {r["in_jaccard"], r["in_simhash"], r["in_winnow"]} <= {0, 1}
+        assert r["in_jaccard"] + r["in_simhash"] + r["in_winnow"] >= 1
+    # marginals match each family's own pair count
+    def marginal(flag):
+        return sum(r["n_pairs"] for r in rows if r[flag] == 1)
+
+    assert marginal("in_jaccard") == len(_rows(spark, "q51_ngram_jaccard_pairs"))
+    assert marginal("in_simhash") == len(_rows(spark, "q68_simhash_neardup"))
+    assert marginal("in_winnow") == len(_rows(spark, "q239_winnow_neardup"))

@@ -247,6 +247,11 @@ HEADLINE = [
     "q239_winnow_neardup",
     # q240: q229's linear segment plan + a source-domain rollup.
     "q240_boilerplate_by_source",
+    # q241 is NOT probed, like q64/q68: on the template-dense synthetic
+    # corpus the SimHash RESULT SET is quadratic-ish (q68's docstring
+    # documents this), so the union's growth would measure the
+    # generator, not the plan; its Jaccard and winnow legs are probed
+    # via q51/q239.
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
