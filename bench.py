@@ -112,6 +112,7 @@ HEADLINE = [
     "q239_winnow_neardup",      # MOSS winnow-fingerprint near-dup pairs (r12)
     "q240_boilerplate_by_source",  # per-domain boilerplate token share (r12)
     "q241_neardup_family_agreement",  # 3-detector agreement matrix (r12)
+    "q242_split_balance_audit",  # per-source split chi-square audit (r12)
 ]
 
 

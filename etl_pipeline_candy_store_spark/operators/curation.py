@@ -1101,3 +1101,102 @@ def q238_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_ppm"),
         )
     )
+
+
+@register(
+    "q242_split_balance_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_H256_SQL} < 230 THEN 'train'
+              WHEN {_H256_SQL} < 243 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
+         CAST(COUNT(CASE WHEN split = 'val' THEN 1 END) AS BIGINT) AS n_val,
+         CAST(COUNT(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS n_test
+  FROM s GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n, SUM(n_train) AS gt, SUM(n_val) AS gv,
+         SUM(n_test) AS gs
+  FROM per
+)
+SELECT source, n_docs, n_train, n_val, n_test,
+       CAST(
+         ((n_train * n - n_docs * gt) * (n_train * n - n_docs * gt)
+            * 1000000) // NULLIF(n * n_docs * gt, 0)
+       + ((n_val * n - n_docs * gv) * (n_val * n - n_docs * gv)
+            * 1000000) // NULLIF(n * n_docs * gv, 0)
+       + ((n_test * n - n_docs * gs) * (n_test * n - n_docs * gs)
+            * 1000000) // NULLIF(n * n_docs * gs, 0)
+       AS BIGINT) AS chi2_micros
+FROM per CROSS JOIN tot
+""",
+    doc="Split-balance audit: per-source chi-square (integer micros) of "
+    "the q80 content-hash train/val/test assignment against the "
+    "corpus-wide split shares — the pre-release check that the "
+    "deterministic hash split didn't correlate with any source (a "
+    "domain whose val share skews breaks per-domain eval "
+    "comparability). Expected counts are cross-multiplied away "
+    "(chi2 term = (o*N - n_s*g)^2 * 1e6 / (N*n_s*g)), so the whole "
+    "statistic is integer division — cross-engine exact; at 1e10-doc "
+    "sources stage the squares DECIMAL(38,0) (q202 discipline). "
+    "Scale posture: one stateless split projection, one source-keyed "
+    "combinable aggregate, a 4-cell broadcast total, a row-local "
+    "formula — the q236 shape over the split dimension.",
+)
+def q242_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = _h256()
+    split = (
+        F.when(h < 230, F.lit("train"))
+        .when(h < 243, F.lit("val"))
+        .otherwise("test")
+    )
+    per = (
+        d.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("split") == "train", 1))
+            .cast("long")
+            .alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1))
+            .cast("long")
+            .alias("n_val"),
+            F.count(F.when(F.col("split") == "test", 1))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("n_train").cast("long").alias("gt"),
+        F.sum("n_val").cast("long").alias("gv"),
+        F.sum("n_test").cast("long").alias("gs"),
+    )
+    term = (
+        "((n_{c} * n - n_docs * {g}) * (n_{c} * n - n_docs * {g}) * 1000000)"
+        " div nullif(n * n_docs * {g}, 0)"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_train",
+        "n_val",
+        "n_test",
+        F.expr(
+            "cast("
+            + term.format(c="train", g="gt")
+            + " + "
+            + term.format(c="val", g="gv")
+            + " + "
+            + term.format(c="test", g="gs")
+            + " as bigint)"
+        ).alias("chi2_micros"),
+    )

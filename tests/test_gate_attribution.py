@@ -330,3 +330,15 @@ def test_neardup_family_agreement_consistency(spark):
     assert marginal("in_jaccard") == len(_rows(spark, "q51_ngram_jaccard_pairs"))
     assert marginal("in_simhash") == len(_rows(spark, "q68_simhash_neardup"))
     assert marginal("in_winnow") == len(_rows(spark, "q239_winnow_neardup"))
+
+
+def test_split_balance_audit_consistency(spark):
+    rows = _rows(spark, "q242_split_balance_audit")
+    assert len(rows) == 20
+    q80 = {r["split"]: r["n_docs"] for r in _rows(spark, "q80_hash_split")}
+    assert sum(r["n_train"] for r in rows) == q80["train"]
+    assert sum(r["n_val"] for r in rows) == q80.get("val", 0)
+    assert sum(r["n_test"] for r in rows) == q80.get("test", 0)
+    for r in rows:
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_docs"]
+        assert r["chi2_micros"] >= 0

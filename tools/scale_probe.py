@@ -252,6 +252,8 @@ HEADLINE = [
     # documents this), so the union's growth would measure the
     # generator, not the plan; its Jaccard and winnow legs are probed
     # via q51/q239.
+    # q242: one split projection + source-keyed agg-collapse (tight).
+    "q242_split_balance_audit",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
@@ -404,6 +406,7 @@ TIGHT_BUDGET = {
     "q224_dataset_card": 1.0,
     "q227_k_anonymity_audit": 1.0,
     "q236_quality_rate_chi2": 1.0,
+    "q242_split_balance_audit": 1.0,
 }
 
 
