@@ -113,6 +113,8 @@ HEADLINE = [
     "q240_boilerplate_by_source",  # per-domain boilerplate token share (r12)
     "q241_neardup_family_agreement",  # 3-detector agreement matrix (r12)
     "q242_split_balance_audit",  # per-source split chi-square audit (r12)
+    "q243_intra_source_drift",  # early-vs-late cohort TVD per source (r12)
+    "q244_embedding_outliers",  # farthest-from-centroid scrub list (r12)
 ]
 
 

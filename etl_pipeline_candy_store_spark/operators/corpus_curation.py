@@ -1436,3 +1436,96 @@ def q240_boilerplate_by_source(
             ).alias("boiler_ppm"),
         )
     )
+
+
+@register(
+    "q243_intra_source_drift",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+halves AS (
+  SELECT d.source, CASE WHEN r.rn * 2 <= r.n THEN 0 ELSE 1 END AS late,
+         unnest(string_split(d.text, ' ')) AS tok
+  FROM documents d JOIN ranked r ON r.doc_id = d.doc_id
+),
+c AS (SELECT source, late, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM halves GROUP BY source, late, tok),
+st AS (SELECT source, late, SUM(c) AS s FROM c GROUP BY source, late),
+toks AS (SELECT DISTINCT source, tok FROM c),
+grid AS (
+  SELECT t.source, t.tok,
+         COALESCE(e.c, 0) AS ce, se.s AS stot_e,
+         COALESCE(l.c, 0) AS cl, sl.s AS stot_l
+  FROM toks t
+  JOIN st se ON se.source = t.source AND se.late = 0
+  JOIN st sl ON sl.source = t.source AND sl.late = 1
+  LEFT JOIN c e ON e.source = t.source AND e.tok = t.tok AND e.late = 0
+  LEFT JOIN c l ON l.source = t.source AND l.tok = t.tok AND l.late = 1
+)
+SELECT source,
+       CAST(SUM(ABS((ce * 1000000) // stot_e
+                    - (cl * 1000000) // stot_l)) // 2 AS BIGINT)
+         AS drift_ppm
+FROM grid GROUP BY source
+""",
+    doc="Intra-source cohort drift: total-variation distance (ppm) "
+    "between each source's EARLY and LATE halves (doc_id order, "
+    "per-source discrete median split) — q231 measures a source "
+    "against the rest of the corpus at one instant; this measures the "
+    "SAME source against its own past, the signal that a scraper "
+    "broke or a domain's content turned mid-crawl even when the "
+    "source still looks normal cross-sectionally. Integer ppm, no "
+    "logs. Scale posture: one rank window per source over the "
+    "doc-count relation, one corpus token pass to (source, half, tok) "
+    "counts, a per-source-vocab-sized scoring grid — the q231 plan "
+    "with a 2-cohort split; the streaming twin is drift_stream with "
+    "an epoch column folded into the state key.",
+)
+def q243_intra_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    halves = (
+        d.join(ranked, "doc_id")
+        .select(
+            "source",
+            F.when(F.col("rn") * 2 <= F.col("n"), 0).otherwise(1).alias("late"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+    )
+    c = halves.groupBy("source", "late", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = c.groupBy("source", "late").agg(F.sum("c").cast("long").alias("s"))
+    toks = c.select("source", "tok").distinct()
+    se = st.filter(F.col("late") == 0).select("source", F.col("s").alias("stot_e"))
+    sl = st.filter(F.col("late") == 1).select("source", F.col("s").alias("stot_l"))
+    ce = c.filter(F.col("late") == 0).select("source", "tok", F.col("c").alias("ce"))
+    cl = c.filter(F.col("late") == 1).select("source", "tok", F.col("c").alias("cl"))
+    grid = (
+        toks.join(F.broadcast(se), "source")
+        .join(F.broadcast(sl), "source")
+        .join(ce, ["source", "tok"], "left")
+        .join(cl, ["source", "tok"], "left")
+        .select(
+            "source",
+            "stot_e",
+            "stot_l",
+            F.coalesce(F.col("ce"), F.lit(0)).alias("ce"),
+            F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.expr(
+            "cast(sum(abs((ce * 1000000) div stot_e"
+            " - (cl * 1000000) div stot_l)) div 2 as bigint)"
+        ).alias("drift_ppm")
+    )

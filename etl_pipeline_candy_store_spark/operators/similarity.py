@@ -1329,3 +1329,47 @@ def q148_sq8_reconstruction_error(
             F.max("sse_fp").cast("long").alias("max_sse_fp"),
         )
     )
+
+
+
+_OUTLIER_K = 5  # bottom-k per centroid
+
+
+@register(
+    "q244_embedding_outliers",
+    oracle=f"""
+WITH assign AS ({_ASSIGN_SQL}),
+ranked AS (
+  SELECT centroid_id, vec_id, cos_micros,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY cos_micros, vec_id) AS rk
+  FROM assign
+)
+SELECT centroid_id, vec_id, cos_micros, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_OUTLIER_K}
+""",
+    doc=f"Embedding outlier audit: the {_OUTLIER_K} vectors FARTHEST "
+    "from their own IVF centroid per cell (lowest assigned cosine, "
+    "q62's assignment reused) — the scrub list a vector-quality pass "
+    "reads: mis-embedded rows, corrupted inputs, and out-of-"
+    "distribution content all land here first, and a cell whose "
+    "outliers' cosines collapse flags a centroid that no longer "
+    "covers its region (retrain trigger). Bottom-k instead of a "
+    "fixed threshold so the report is non-degenerate at any "
+    "distribution. Scale posture: q62's broadcast-centroid scan plus "
+    "one per-centroid WindowGroupLimit (bounded heap, never a global "
+    "sort) — no new shuffle family.",
+)
+def q244_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = q62_ivf_assign(spark, sf_dir)
+    w = Window.partitionBy("centroid_id").orderBy("cos_micros", "vec_id")
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OUTLIER_K)
+        .select(
+            "centroid_id",
+            "vec_id",
+            "cos_micros",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -342,3 +342,92 @@ def test_split_balance_audit_consistency(spark):
     for r in rows:
         assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_docs"]
         assert r["chi2_micros"] >= 0
+
+
+def test_intra_source_drift_bounds(spark):
+    rows = _rows(spark, "q243_intra_source_drift")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["drift_ppm"] <= 1_000_000
+
+
+def test_intra_source_drift_detects_cohort_shift(spark):
+    """A source whose late half switches vocabulary shows near-total
+    drift; a stationary source stays low."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(20):  # stationary: same unigram mix throughout
+        rows.append((i, "stat", "a b c a b c"))
+    for i in range(10):  # shifted: first half a/b/c, second half x/y/z
+        rows.append((100 + i, "shift", "a b c a b c"))
+    for i in range(10):
+        rows.append((200 + i, "shift", "x y z x y z"))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    halves = d.join(ranked, "doc_id").select(
+        "source",
+        F.when(F.col("rn") * 2 <= F.col("n"), 0).otherwise(1).alias("late"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    c = halves.groupBy("source", "late", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = c.groupBy("source", "late").agg(F.sum("c").cast("long").alias("s"))
+    toks = c.select("source", "tok").distinct()
+    se = st.filter(F.col("late") == 0).select("source", F.col("s").alias("stot_e"))
+    sl = st.filter(F.col("late") == 1).select("source", F.col("s").alias("stot_l"))
+    ce = c.filter(F.col("late") == 0).select("source", "tok", F.col("c").alias("ce"))
+    cl = c.filter(F.col("late") == 1).select("source", "tok", F.col("c").alias("cl"))
+    grid = (
+        toks.join(F.broadcast(se), "source")
+        .join(F.broadcast(sl), "source")
+        .join(ce, ["source", "tok"], "left")
+        .join(cl, ["source", "tok"], "left")
+        .select(
+            "source",
+            "stot_e",
+            "stot_l",
+            F.coalesce(F.col("ce"), F.lit(0)).alias("ce"),
+            F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
+        )
+    )
+    out = {
+        r["source"]: r["p"]
+        for r in grid.groupBy("source")
+        .agg(
+            F.expr(
+                "cast(sum(abs((ce * 1000000) div stot_e"
+                " - (cl * 1000000) div stot_l)) div 2 as bigint)"
+            ).alias("p")
+        )
+        .collect()
+    }
+    assert out["shift"] >= 999_000
+    assert out["stat"] <= 2  # integer-division crumbs only
+
+
+def test_embedding_outliers_shape(spark):
+    rows = _rows(spark, "q244_embedding_outliers")
+    # bottom-5 per centroid: ranks are 1..k per cell, cosines
+    # non-decreasing within a cell's ranks
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    q62 = _rows(spark, "q62_ivf_assign")
+    worst = {}
+    for r in q62:
+        worst.setdefault(r["centroid_id"], []).append(r["cos_micros"])
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["cos_micros"] for r in rs]
+        assert cos == sorted(cos)
+        # they really are the cell's minima
+        assert cos[0] == min(worst[cell])

@@ -254,6 +254,11 @@ HEADLINE = [
     # via q51/q239.
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
+    # q243: the q231 grid with a 2-cohort split — per-source-vocab
+    # sized, linear in the token scan; q244: q62's broadcast-centroid
+    # scan + a bounded per-centroid WindowGroupLimit over the K× corpus.
+    "q243_intra_source_drift",
+    "q244_embedding_outliers",
 ]
 
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
