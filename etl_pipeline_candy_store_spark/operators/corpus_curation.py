@@ -1404,7 +1404,9 @@ GROUP BY d.source
     "passes, and the sizing input for enabling "
     "curate(scrub_boilerplate_first=True). Scale posture: exactly "
     "q229's linear plan (one explode, one segment-keyed agg, one "
-    "equi-join back) plus a source-domain-sized rollup; at 100 TB the "
+    "LEFT equi-join back against ONLY the df>=threshold boiler set — "
+    "broadcastable because true boilerplate is a tiny fraction of "
+    "distinct segments) plus a source-domain-sized rollup; at 100 TB the "
     "join key becomes the segment digest (the boilerplate_stream "
     "twin's 16-byte state key) and nothing else changes.",
 )
@@ -1416,10 +1418,13 @@ def q240_boilerplate_by_source(
     df = segs.groupBy("seg_text").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    marked = segs.join(F.broadcast(df), "seg_text").select(
+    boiler = df.filter(F.col("df") >= _BOILER_DF).select(
+        "seg_text", F.lit(True).alias("hit")
+    )
+    marked = segs.join(F.broadcast(boiler), "seg_text", "left").select(
         "doc_id",
         "seg_len",
-        F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0).alias("is_boiler"),
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("is_boiler"),
     )
     return (
         marked.join(d.select("doc_id", "source"), "doc_id")

@@ -815,8 +815,14 @@ def q199_semantic_decontamination(
 
 # --- round 12: independent gate attribution ------------------------------
 
-_REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's funnel defaults
-_REP_DUP_TRIGRAM_MAX = 400_000
+# Imported, not redeclared: the one source of truth shared with
+# drop_repetitive's defaults (plans/curation_pipeline.py) lives in
+# operators/text.py next to repetition_signals, so a future threshold
+# change cannot desynchronize this audit from the funnel it measures.
+from etl_pipeline_candy_store_spark.operators.text import (  # noqa: E402
+    REP_DUP_TRIGRAM_MAX_MICROS as _REP_DUP_TRIGRAM_MAX,
+    REP_TOP_BIGRAM_MAX_MICROS as _REP_TOP_BIGRAM_MAX,
+)
 
 _Q233_FLAGS_SQL = f"""
 fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -1144,8 +1150,12 @@ FROM per CROSS JOIN tot
     "domain whose val share skews breaks per-domain eval "
     "comparability). Expected counts are cross-multiplied away "
     "(chi2 term = (o*N - n_s*g)^2 * 1e6 / (N*n_s*g)), so the whole "
-    "statistic is integer division — cross-engine exact; at 1e10-doc "
-    "sources stage the squares DECIMAL(38,0) (q202 discipline). "
+    "statistic is integer division — cross-engine exact. All eight "
+    "counts are staged DECIMAL(38,0) on the Spark side (the q202/"
+    "q236 discipline) so the squared deviation term matches DuckDB's "
+    "HUGEINT promotion instead of wrapping in 64-bit; exact while "
+    "(o*N - n_s*g)^2 * 1e6 < 1e38, i.e. deviations to ~3e15 doc-"
+    "counts — beyond any real corpus. "
     "Scale posture: one stateless split projection, one source-keyed "
     "combinable aggregate, a 4-cell broadcast total, a row-local "
     "formula — the q236 shape over the split dimension.",
@@ -1181,10 +1191,25 @@ def q242_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_test").cast("long").alias("gs"),
     )
     term = (
-        "((n_{c} * n - n_docs * {g}) * (n_{c} * n - n_docs * {g}) * 1000000)"
-        " div nullif(n * n_docs * {g}, 0)"
+        "((d_{c} * d_n - d_docs * d_{g}) * (d_{c} * d_n - d_docs * d_{g})"
+        " * 1000000) div nullif(d_n * d_docs * d_{g}, 0)"
     )
-    return per.crossJoin(F.broadcast(tot)).select(
+    staged = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_train",
+        "n_val",
+        "n_test",
+        F.col("n_docs").cast("decimal(38,0)").alias("d_docs"),
+        F.col("n_train").cast("decimal(38,0)").alias("d_train"),
+        F.col("n_val").cast("decimal(38,0)").alias("d_val"),
+        F.col("n_test").cast("decimal(38,0)").alias("d_test"),
+        F.col("n").cast("decimal(38,0)").alias("d_n"),
+        F.col("gt").cast("decimal(38,0)").alias("d_gt"),
+        F.col("gv").cast("decimal(38,0)").alias("d_gv"),
+        F.col("gs").cast("decimal(38,0)").alias("d_gs"),
+    )
+    return staged.select(
         "source",
         "n_docs",
         "n_train",

@@ -1032,6 +1032,14 @@ def q122_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load(spark, sf_dir, "documents"))
 
 
+# Canonical repetition-gate thresholds (micros). Single source of truth
+# consumed by plans/curation_pipeline.drop_repetitive's defaults AND the
+# q233 gate-attribution audit, so the audit can never desynchronize from
+# the funnel it measures.
+REP_TOP_BIGRAM_MAX_MICROS = 600_000
+REP_DUP_TRIGRAM_MAX_MICROS = 400_000
+
+
 def repetition_signals(d: DataFrame) -> DataFrame:
     """q122's signals over any (doc_id, text) frame — reusable as a
     curation-pipeline gate. Documents shorter than a gram size

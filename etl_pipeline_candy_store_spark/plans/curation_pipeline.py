@@ -42,6 +42,10 @@ from etl_pipeline_candy_store_spark.operators.curation import (
     _h256,
     quality_gate,
 )
+from etl_pipeline_candy_store_spark.operators.text import (
+    REP_DUP_TRIGRAM_MAX_MICROS,
+    REP_TOP_BIGRAM_MAX_MICROS,
+)
 from etl_pipeline_candy_store_spark.operators.dedup import (
     _shingles,
     connected_components,
@@ -136,8 +140,8 @@ def dedup_near(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
 def drop_repetitive(
     docs: DataFrame,
     *,
-    top_bigram_max_micros: int = 600_000,
-    dup_trigram_max_micros: int = 400_000,
+    top_bigram_max_micros: int = REP_TOP_BIGRAM_MAX_MICROS,
+    dup_trigram_max_micros: int = REP_DUP_TRIGRAM_MAX_MICROS,
 ) -> DataFrame:
     """q122's repetition gate as a pipeline stage: drop documents whose
     most-frequent-bigram share or duplicated-trigram share exceeds the
@@ -440,8 +444,8 @@ def q160_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = repetition_signals(d).select(
         "doc_id",
         (
-            (F.col("top_bigram_frac_micros") > 600_000)
-            | (F.col("dup_trigram_frac_micros") > 400_000)
+            (F.col("top_bigram_frac_micros") > REP_TOP_BIGRAM_MAX_MICROS)
+            | (F.col("dup_trigram_frac_micros") > REP_DUP_TRIGRAM_MAX_MICROS)
         ).alias("rep_hit"),
     )
     contam = q58_decontamination(spark, sf_dir).select(
@@ -546,8 +550,8 @@ led AS (
          ex.is_exact_dup,
          cl.cluster_id <> d.doc_id AS is_near_dup,
          q59.passed = 0 AS fails_quality,
-         COALESCE(q122.top_bigram_frac_micros > 600000
-                  OR q122.dup_trigram_frac_micros > 400000, FALSE)
+         COALESCE(q122.top_bigram_frac_micros > {REP_TOP_BIGRAM_MAX_MICROS}
+                  OR q122.dup_trigram_frac_micros > {REP_DUP_TRIGRAM_MAX_MICROS}, FALSE)
            AS is_repetitive,
          contam.doc_id IS NOT NULL AS is_contaminated,
          sem.vec_id IS NOT NULL AS is_semantic_contaminated,
