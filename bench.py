@@ -111,10 +111,15 @@ HEADLINE = [
     "q238_contamination_by_source",  # eval-overlap attribution by domain (r12)
     "q239_winnow_neardup",      # MOSS winnow-fingerprint near-dup pairs (r12)
     "q240_boilerplate_by_source",  # per-domain boilerplate token share (r12)
-    "q241_neardup_family_agreement",  # 3-detector agreement matrix (r12)
     "q242_split_balance_audit",  # per-source split chi-square audit (r12)
     "q243_intra_source_drift",  # early-vs-late cohort TVD per source (r12)
     "q244_embedding_outliers",  # farthest-from-centroid scrub list (r12)
+    # r13: q241 (unbounded agreement matrix) left the headline when it
+    # was demoted to a guarded baseline (quadratic-ish SimHash leg on
+    # template-dense data, like q61/q96); q246 is its bounded
+    # replacement and carries the agreement-matrix cost here instead.
+    "q245_simhash_neardup_bounded",  # band-bucket-capped simhash pairs (r13)
+    "q246_neardup_family_agreement_bounded",  # probed 3-detector matrix (r13)
 ]
 
 

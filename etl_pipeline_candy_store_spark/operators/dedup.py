@@ -2295,19 +2295,207 @@ FROM flags GROUP BY in_jaccard, in_simhash, in_winnow
     "The calibration report a dedup pipeline reads before choosing "
     "its detector (high three-way agreement -> run only the cheapest; "
     "winnow-only mass -> quoted-block overlap the sketches dilute; "
-    "simhash-only mass -> near-threshold noise). Scale posture: the "
-    "three pair relations are each banded/blocked/capped (never "
-    "all-pairs, q51/q68/q239's own contracts), and the agreement "
-    "collapse is one pair-keyed aggregate plus an 8-row rollup — no "
-    "new shuffle family on top of detectors a pipeline runs anyway.",
+    "simhash-only mass -> near-threshold noise). GUARDED BASELINE "
+    "(round 13): the Jaccard and winnow legs are fan-out-bounded by "
+    "their own contracts, but the q68 SimHash leg's RESULT SET is "
+    "quadratic-ish on template-dense corpora (q68's docstring "
+    "documents 26% of all pairs within hamming 3 on this synthetic "
+    "data), so the union inherits that blow-up — data-shaped, not "
+    "plan-shaped. Like the q61/q96 recall baselines this form is "
+    "input-guarded and excluded from scale probes; "
+    "q246_neardup_family_agreement_bounded is the production path "
+    "(identical matrix semantics, SimHash leg capped per band "
+    "bucket), and IS probed.",
 )
 def q241_neardup_family_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.guards import guard_all_pairs
+
+    guard_all_pairs(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        "q241_neardup_family_agreement",
+        "q246_neardup_family_agreement_bounded",
+    )
+    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("j"), F.lit(0).alias("s"), F.lit(0).alias("w")
+    )
+    s = q68_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("j"), F.lit(1).alias("s"), F.lit(0).alias("w")
+    )
+    w = q239_winnow_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("j"), F.lit(0).alias("s"), F.lit(1).alias("w")
+    )
+    flags = (
+        j.unionByName(s)
+        .unionByName(w)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("j").cast("int").alias("in_jaccard"),
+            F.max("s").cast("int").alias("in_simhash"),
+            F.max("w").cast("int").alias("in_winnow"),
+        )
+    )
+    return flags.groupBy("in_jaccard", "in_simhash", "in_winnow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+# --- round 13: bounded SimHash leg + probed agreement matrix -------------
+
+_SIMHASH_BAND_CAP = 16  # per-(band, value) bucket membership cap
+
+#: q245's oracle — q68's banded plan with a deterministic per-bucket
+#: membership cap, composed unchanged by q246.
+_SIMHASH_PAIRS_BOUNDED_SQL = f"""
+WITH sims AS ({_simhash_sql(32)}),
+bands AS (
+  SELECT doc_id, simhash, u.band_idx,
+         (simhash >> (u.band_idx * 8)) & 255 AS band_val
+  FROM sims, unnest(range(0, {_SIMHASH_BANDS})) AS u(band_idx)
+),
+capped AS (
+  SELECT doc_id, simhash, band_idx, band_val
+  FROM (
+    SELECT doc_id, simhash, band_idx, band_val,
+           ROW_NUMBER() OVER (PARTITION BY band_idx, band_val
+                              ORDER BY doc_id) AS rn
+    FROM bands
+  )
+  WHERE rn <= {_SIMHASH_BAND_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM capped a
+  JOIN capped b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
+"""
+
+
+@register(
+    "q245_simhash_neardup_bounded",
+    oracle=_SIMHASH_PAIRS_BOUNDED_SQL,
+    doc="SimHash banded near-dup, BOUNDED: q68's 4 x 8-bit banding with "
+    f"a per-(band, value) bucket cap of {_SIMHASH_BAND_CAP} members — "
+    "each bucket keeps only its cap-smallest doc_ids (deterministic "
+    "truncation = the per-family pair sampling), so candidate output "
+    f"is <= buckets x {_SIMHASH_BAND_CAP}^2/2 pairs REGARDLESS of how "
+    "template-dense the corpus is. This is the production simhash "
+    "path: on a sparse real-web corpus buckets sit far under the cap "
+    "and the result equals q68's exact radius; on a template farm the "
+    "cap binds exactly on the hub buckets (the giant near-identical "
+    "clusters whose pair lists nobody enumerates — q54/q125 cluster "
+    "them instead) while sparse buckets are untouched. Recall loss is "
+    "therefore confined to pairs BOTH of whose members were truncated "
+    "in EVERY shared band. Scale posture: the cap is one "
+    "WindowGroupLimit bounded heap on the band key (q223's shape — "
+    "no full sort), the join fan-out per bucket is <= cap, and the "
+    "distinct runs over the already-bounded candidate set; probed at "
+    "K=10 (SCALE_r13) where the unbounded q68 cannot be.",
+)
+def q245_simhash_neardup_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sims = _simhash_df(load(spark, sf_dir, "documents"), 32)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias(
+            "band_idx"
+        ),
+    ).withColumn("band_val", F.expr("(simhash >> (band_idx * 8)) & 255"))
+    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SIMHASH_BAND_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band_idx", "band_val",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band_idx", "band_val",
+    )
+    # q68's first-agreeing-band dedup trick is NOT valid here: a pair's
+    # first agreeing band may have truncated one member, while a later
+    # shared band kept both. Dedup with a distinct over the bounded
+    # candidate set instead — the shuffle carries at most
+    # buckets x cap^2/2 rows by construction, so it is capped the same
+    # way the join is. The hamming filter still runs per-row BEFORE the
+    # distinct to shrink it further.
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+@register(
+    "q246_neardup_family_agreement_bounded",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_a, doc_b, 1 AS j, 0 AS s, 0 AS w
+  FROM ({_JACCARD_PAIRS_SQL})
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM ({_SIMHASH_PAIRS_BOUNDED_SQL})
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 1 FROM (
+    WITH fps AS ({_WINNOW_FPS_SQL}),
+    dfreq AS (SELECT wmin, COUNT(*) AS df FROM fps GROUP BY wmin),
+    kept AS (
+      SELECT f.doc_id, f.wmin
+      FROM fps f JOIN dfreq USING (wmin)
+      WHERE df BETWEEN {_WINNOW_DF_MIN} AND {_WINNOW_DF_MAX}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+  )
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         CAST(MAX(j) AS INTEGER) AS in_jaccard,
+         CAST(MAX(s) AS INTEGER) AS in_simhash,
+         CAST(MAX(w) AS INTEGER) AS in_winnow
+  FROM tagged GROUP BY doc_a, doc_b
+)
+SELECT in_jaccard, in_simhash, in_winnow,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM flags GROUP BY in_jaccard, in_simhash, in_winnow
+""",
+    doc="q241's detector-agreement matrix with the SimHash leg replaced "
+    "by the BOUNDED q245 variant — the form a pipeline actually runs "
+    "at scale: every leg is fan-out-capped (Jaccard by shingle "
+    "df-band, winnow by fingerprint df-band, simhash by bucket "
+    "membership cap), so the union, the pair-keyed collapse, and the "
+    "8-row rollup are all output-bounded and the K=10 probe measures "
+    "the PLAN rather than a template-dense generator artifact. "
+    "Interpretation shifts accordingly: simhash-column membership now "
+    "means 'found by capped simhash sampling', so hub-cluster mass "
+    "migrates from the in_simhash cells to the jaccard/winnow-only "
+    "cells — by design (the calibration question 'which detector do I "
+    "pay for' is asked about the BOUNDED detectors one would deploy).",
+)
+def q246_neardup_family_agreement_bounded(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("j"), F.lit(0).alias("s"), F.lit(0).alias("w")
     )
-    s = q68_simhash_neardup(spark, sf_dir).select(
+    s = q245_simhash_neardup_bounded(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(0).alias("j"), F.lit(1).alias("s"), F.lit(0).alias("w")
     )
     w = q239_winnow_neardup(spark, sf_dir).select(

@@ -431,3 +431,85 @@ def test_embedding_outliers_shape(spark):
         assert cos == sorted(cos)
         # they really are the cell's minima
         assert cos[0] == min(worst[cell])
+
+
+def test_simhash_bounded_is_subset_of_unbounded(spark):
+    """q245's capped result is a subset of q68's exact-radius result
+    (capping can only remove pairs, never invent them), every kept pair
+    still satisfies the hamming radius, and on a template-dense corpus
+    the cap genuinely binds (strictly fewer pairs than q68)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _rows(spark, "q68_simhash_neardup")
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _rows(spark, "q245_simhash_neardup_bounded")
+    }
+    assert set(capped) <= set(full)
+    assert all(h <= 3 for h in capped.values())
+    assert all(capped[p] == full[p] for p in capped)
+    assert 0 < len(capped) < len(full)  # the synthetic corpus is template-dense
+
+
+def test_simhash_bounded_bucket_cap_binds_deterministically(spark):
+    """Directed: a band bucket keeps exactly its cap-smallest doc_ids.
+    With every doc sharing one text (identical simhash -> every bucket
+    is the same doc set), the capped pair count is C(cap, 2) and only
+    the cap lowest doc_ids appear."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        _SIMHASH_BAND_CAP,
+        q245_simhash_neardup_bounded,
+    )
+    import tempfile, os
+
+    n = _SIMHASH_BAND_CAP + 9
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta", "s") for i in range(1, n + 1)],
+            "doc_id long, text string, source string",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = q245_simhash_neardup_bounded(spark, tmp).collect()
+    cap = _SIMHASH_BAND_CAP
+    assert len(rows) == cap * (cap - 1) // 2
+    seen = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert seen == set(range(1, cap + 1))  # cap-smallest ids, nothing else
+    assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_neardup_family_agreement_bounded_consistency(spark):
+    """q246 mirrors q241's matrix invariants with the bounded simhash
+    leg: flags are 0/1, never all-zero, and each column's marginal
+    equals its own family's pair count (in_simhash now counts q245)."""
+    rows = _rows(spark, "q246_neardup_family_agreement_bounded")
+    for r in rows:
+        assert {r["in_jaccard"], r["in_simhash"], r["in_winnow"]} <= {0, 1}
+        assert r["in_jaccard"] + r["in_simhash"] + r["in_winnow"] >= 1
+
+    def marginal(flag):
+        return sum(r["n_pairs"] for r in rows if r[flag] == 1)
+
+    assert marginal("in_jaccard") == len(_rows(spark, "q51_ngram_jaccard_pairs"))
+    assert marginal("in_simhash") == len(_rows(spark, "q245_simhash_neardup_bounded"))
+    assert marginal("in_winnow") == len(_rows(spark, "q239_winnow_neardup"))
+
+
+def test_unbounded_agreement_matrix_is_guarded(spark):
+    """q241 is a guarded baseline (r13): production-scale input must be
+    refused with an error naming the bounded alternative."""
+    import pytest
+    from etl_pipeline_candy_store_spark.operators import dedup
+    from etl_pipeline_candy_store_spark.operators.guards import (
+        ALL_PAIRS_MAX_ROWS,
+        AllPairsGuardError,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.range(ALL_PAIRS_MAX_ROWS + 1).selectExpr(
+            "id as doc_id", "'x' as text", "'s' as source"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        with pytest.raises(
+            AllPairsGuardError, match="q246_neardup_family_agreement_bounded"
+        ):
+            dedup.q241_neardup_family_agreement(spark, tmp)

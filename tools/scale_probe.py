@@ -247,11 +247,19 @@ HEADLINE = [
     "q239_winnow_neardup",
     # q240: q229's linear segment plan + a source-domain rollup.
     "q240_boilerplate_by_source",
-    # q241 is NOT probed, like q64/q68: on the template-dense synthetic
-    # corpus the SimHash RESULT SET is quadratic-ish (q68's docstring
-    # documents this), so the union's growth would measure the
-    # generator, not the plan; its Jaccard and winnow legs are probed
-    # via q51/q239.
+    # q241 is NOT probed and (r13) now guarded, like q61/q96: on the
+    # template-dense synthetic corpus the unbounded SimHash leg's
+    # RESULT SET is quadratic-ish (q68's docstring documents this), so
+    # the union's growth would measure the generator, not the plan.
+    # Its bounded replacements ARE probed: q245 caps every band bucket
+    # at 16 members (WindowGroupLimit), so candidate output is
+    # bucket-bounded and growth must track the simhash build (the
+    # linear distinct-token scan + doc-keyed agg); q246 composes the
+    # three capped legs (q51 shingle df-band, q245 bucket cap, q239
+    # fingerprint df-band) + a pair-keyed collapse — the whole matrix
+    # is output-bounded, closing the one r12 scale-story gap.
+    "q245_simhash_neardup_bounded",
+    "q246_neardup_family_agreement_bounded",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
