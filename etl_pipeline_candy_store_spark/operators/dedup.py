@@ -393,15 +393,23 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_THRES
     "materializes; only band collisions are verified).",
 )
 def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE aggregation over the shingle table produces everything the
-    # per-doc side needs — minhash signature, shingle cardinality, AND
-    # the shingle set itself (collect_set, bounded by document length).
-    # Candidate pairs are then verified with array_intersect on the two
-    # docs' sets instead of re-joining the exploded shingle table twice:
-    # 5 shuffles of the wide shingle relation collapse to 1 aggregation
-    # + 1 band self-join + 2 key-joins on the (small) candidate set.
-    # Measured at sf0.1: 2.4s → 1.6s warm, identical output.
-    per_doc = minhash_per_doc(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """q52's MinHash+LSH pairs over any (doc_id, text) frame — the
+    reusable stage behind q52 and the :func:`~etl_pipeline_candy_store_spark.operators.neardup.neardup`
+    dispatcher (identical hashes by construction).
+
+    ONE aggregation over the shingle table produces everything the
+    per-doc side needs — minhash signature, shingle cardinality, AND
+    the shingle set itself (collect_set, bounded by document length).
+    Candidate pairs are then verified with array_intersect on the two
+    docs' sets instead of re-joining the exploded shingle table twice:
+    5 shuffles of the wide shingle relation collapse to 1 aggregation
+    + 1 band self-join + 2 key-joins on the (small) candidate set.
+    Measured at sf0.1: 2.4s → 1.6s warm, identical output."""
+    per_doc = minhash_per_doc(docs)
     bands = minhash_band_table(per_doc)
     cand = (
         bands.alias("a")
@@ -1932,7 +1940,14 @@ WHERE levenshtein(a.text, b.text) <= 40
     "length bucket x rare shingle); the gate stage is unchanged.",
 )
 def q169_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    return edit_distance_pairs(load(spark, sf_dir, "documents"))
+
+
+def edit_distance_pairs(docs: DataFrame, max_dist: int = 40) -> DataFrame:
+    """q169's prefix-blocked Levenshtein pairs over any (doc_id, text)
+    frame — the char-noise leg of the neardup() dispatcher (identical
+    hashes at the default radius)."""
+    d = docs.select(
         "doc_id", "text", F.substring("text", 1, 16).alias("blk")
     )
     a = d.select(
@@ -1949,7 +1964,7 @@ def q169_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.levenshtein("ta", "tb").cast("long").alias("dist"),
         )
-        .where(F.col("dist") <= 40)
+        .where(F.col("dist") <= max_dist)
     )
 
 
@@ -2209,12 +2224,18 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
     "bounded and the pair space stays linear in shared content.",
 )
 def q239_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs(load(spark, sf_dir, "documents"))
+
+
+def winnow_pairs(docs: DataFrame) -> DataFrame:
+    """q239's winnowing-fingerprint pairs over any (doc_id, text)
+    frame — the local-verbatim-overlap leg of the neardup() dispatcher
+    (identical hashes by construction)."""
     from etl_pipeline_candy_store_spark.operators.text import (
         winnow_fingerprints,
     )
 
-    d = load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d.select("doc_id", "text")).localCheckpoint()
+    fps = winnow_fingerprints(docs.select("doc_id", "text")).localCheckpoint()
     dfreq = fps.groupBy("wmin").agg(F.count(F.lit(1)).alias("df"))
     kept = fps.join(
         dfreq.filter(
@@ -2401,9 +2422,18 @@ WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
 def q245_simhash_neardup_bounded(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return simhash_pairs_bounded(load(spark, sf_dir, "documents"))
+
+
+def simhash_pairs_bounded(
+    docs: DataFrame, cap: int = _SIMHASH_BAND_CAP
+) -> DataFrame:
+    """q245's bucket-capped SimHash pairs over any (doc_id, text)
+    frame — the bit-proximity leg of the neardup() dispatcher
+    (identical hashes at the default cap)."""
     from pyspark.sql.window import Window
 
-    sims = _simhash_df(load(spark, sf_dir, "documents"), 32)
+    sims = _simhash_df(docs, 32)
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -2414,7 +2444,7 @@ def q245_simhash_neardup_bounded(
     w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
     capped = (
         bands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SIMHASH_BAND_CAP)
+        .filter(F.col("rn") <= cap)
         .drop("rn")
     )
     a = capped.select(

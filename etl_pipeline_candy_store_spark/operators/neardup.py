@@ -1,0 +1,182 @@
+"""Unified near-duplicate detection entry point.
+
+Five oracle-verified detector families coexist in this engine, each
+built for a different duplication *mechanism*:
+
+===========  ===============================  =========================
+strategy     catalog query (hash-identical)   catches
+===========  ===============================  =========================
+minhash      q52_minhash_lsh_pairs            global set similarity
+                                              (rewrites, resampled text)
+simhash      q245_simhash_neardup_bounded     bit-signature proximity
+                                              (template variants), with
+                                              bounded band buckets
+winnow       q239_winnow_neardup              LOCAL verbatim overlap
+                                              (quotes, plagiarism)
+containment  q226_containment_pairs           asymmetric subset/quote
+                                              (short doc inside long)
+edit         q169_edit_distance_neardup       character noise (OCR,
+                                              mojibake, truncation)
+===========  ===============================  =========================
+
+:func:`neardup` is the one front door: callers either force a family
+(``strategy="minhash"`` … — the result is hash-identical to the catalog
+query, tested) or pass ``strategy="auto"`` and let the dispatcher pick
+from two DOCUMENTED signal sources, mirroring the ``allocate()``
+probe-then-pick pattern (operators/allocation.py):
+
+1. **Caller-declared overlap locality** (``overlap=``). Whether the
+   expected duplication is whole-document or a shared span is knowledge
+   about the *workload*, not the data — no probe can measure it before
+   pairs exist, so it is an input, not a measurement:
+   ``overlap="local"`` -> winnow, ``overlap="subset"`` -> containment,
+   ``overlap="global"`` (default) -> continue to the measured signals.
+
+2. **One probe aggregate over the corpus** (optionally sampled via
+   ``sample_fraction``, same contract as ``allocate()``) measuring
+   median token count and character noise:
+
+   - char-noise regime (``noise_ppm >= NOISE_PPM_MIN`` and median doc
+     short enough that O(len^2) verify is affordable,
+     ``median_tokens <= EDIT_MAX_MEDIAN_TOKENS``) -> **edit**:
+     tokenization smears OCR/mojibake variants across shingles, so the
+     set-similarity families under-merge exactly when noise is high.
+   - short docs (``median_tokens < SHORT_DOC_TOKENS``) -> **simhash**:
+     3-token shingles are too sparse below ~a dozen tokens for
+     MinHash signatures to be stable (a 5-token doc has 3 shingles;
+     one differing shingle swings Jaccard by 1/3), while the
+     per-token simhash votes still fill 32 bits.
+   - otherwise -> **minhash**: the default global-scale path
+     (shingle -> signature -> band join; pair space never
+     materializes).
+
+The probe is ONE map-side-combinable aggregate (a median sketch + two
+long sums) over a projection of the corpus — the same order of work as
+the tokenize pass every family is about to do anyway. Thresholds are
+module constants, re-measurable like ``tools/hotkey_probe.py``'s.
+
+Each forced family keeps its native, oracle-verified output schema
+(scores mean different things per family — flattening them into one
+column would erase exactly the information the agreement matrix q241/
+q246 exists to compare), so ``neardup(docs, strategy=s)`` is
+substitutable anywhere the catalog query was.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.operators.dedup import (
+    containment_pairs,
+    edit_distance_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs_bounded,
+    winnow_pairs,
+)
+
+STRATEGIES = ("minhash", "simhash", "winnow", "containment", "edit")
+
+#: >= 2% of lowercase characters outside [a-z0-9 ] reads as a noisy
+#: extraction (clean English prose measures ~0.2-1% — punctuation only;
+#: OCR/mojibake corpora measure 5%+).
+NOISE_PPM_MIN = 20_000
+
+#: Levenshtein verify is O(len_a * len_b) per blocked candidate; above
+#: ~64 median tokens the verify dominates the join and the token-level
+#: families win even on noisy text.
+EDIT_MAX_MEDIAN_TOKENS = 64
+
+#: Below ~12 tokens a doc has <= 10 3-token shingles; MinHash signature
+#: variance on so few shingles makes band collisions noise-driven.
+SHORT_DOC_TOKENS = 12
+
+
+def neardup_signals(
+    docs: DataFrame, *, sample_fraction: Optional[float] = None
+) -> dict:
+    """The probe: median token count and char-noise ppm over ``docs``
+    (one aggregate; Bernoulli-sampled when ``sample_fraction`` is set —
+    both signals are distribution shape, not totals, so sampling needs
+    no scale correction). Returns plain Python values so the dispatch
+    decision is driver-side and testable."""
+    probe = docs
+    if sample_fraction is not None:
+        probe = docs.sample(fraction=sample_fraction, seed=7)
+    row = probe.select(
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length(F.lower("text")).alias("n_chars"),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+        ).alias("n_noise"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("n_tok", 0.5).alias("median_tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_noise").alias("noise_chars"),
+    ).collect()
+    r = row[0] if row else None
+    if r is None or not r["n_docs"]:
+        return {"n_docs": 0, "median_tokens": 0, "noise_ppm": 0}
+    return {
+        "n_docs": int(r["n_docs"]),
+        "median_tokens": int(r["median_tokens"] or 0),
+        "noise_ppm": int((r["noise_chars"] or 0) * 1_000_000 // (r["chars"] or 1)),
+    }
+
+
+def pick_strategy(signals: dict, overlap: str = "global") -> str:
+    """Pure dispatch rule (no Spark) — documented in the module
+    docstring, unit-testable without building any pair relation."""
+    if overlap == "local":
+        return "winnow"
+    if overlap == "subset":
+        return "containment"
+    if overlap != "global":
+        raise ValueError(
+            f"overlap must be 'global', 'local' or 'subset', got {overlap!r}"
+        )
+    if (
+        signals["noise_ppm"] >= NOISE_PPM_MIN
+        and signals["median_tokens"] <= EDIT_MAX_MEDIAN_TOKENS
+    ):
+        return "edit"
+    if signals["median_tokens"] < SHORT_DOC_TOKENS:
+        return "simhash"
+    return "minhash"
+
+
+def neardup(
+    docs: DataFrame,
+    *,
+    strategy: str = "auto",
+    overlap: str = "global",
+    sample_fraction: Optional[float] = None,
+) -> DataFrame:
+    """Near-duplicate pairs over a (doc_id, text) frame.
+
+    ``strategy`` forces a family (``"minhash"``, ``"simhash"``,
+    ``"winnow"``, ``"containment"``, ``"edit"`` — each hash-identical
+    to its catalog query) or ``"auto"`` dispatches on the documented
+    signals; ``overlap`` declares the expected duplication locality
+    for the auto path; ``sample_fraction`` probes a Bernoulli sample
+    at extreme corpus scale (the decision needs shape, not totals)."""
+    if strategy == "auto":
+        strategy = pick_strategy(
+            neardup_signals(docs, sample_fraction=sample_fraction), overlap
+        )
+    if strategy == "minhash":
+        return minhash_lsh_pairs(docs)
+    if strategy == "simhash":
+        return simhash_pairs_bounded(docs)
+    if strategy == "winnow":
+        return winnow_pairs(docs)
+    if strategy == "containment":
+        return containment_pairs(docs)
+    if strategy == "edit":
+        return edit_distance_pairs(docs)
+    raise ValueError(
+        f"unknown strategy {strategy!r}; expected 'auto' or one of {STRATEGIES}"
+    )

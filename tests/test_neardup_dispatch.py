@@ -1,0 +1,147 @@
+"""neardup() dispatcher: forced families are hash-identical to their
+catalog queries, the auto rule picks the documented family per signal
+regime, and the dispatcher outputs compose into q246's agreement matrix
+unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_candy_store_spark.operators.neardup import (
+    EDIT_MAX_MEDIAN_TOKENS,
+    NOISE_PPM_MIN,
+    SHORT_DOC_TOKENS,
+    neardup,
+    neardup_signals,
+    pick_strategy,
+)
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+FAMILY_QUERY = {
+    "minhash": "q52_minhash_lsh_pairs",
+    "simhash": "q245_simhash_neardup_bounded",
+    "winnow": "q239_winnow_neardup",
+    "containment": "q226_containment_pairs",
+    "edit": "q169_edit_distance_neardup",
+}
+
+
+def _docs(spark):
+    _ensure_loaded()
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+
+    return load(spark, SF, "documents")
+
+
+@pytest.mark.parametrize("strategy", sorted(FAMILY_QUERY))
+def test_forced_family_hash_identical_to_catalog_query(spark, strategy):
+    _ensure_loaded()
+    got = neardup(_docs(spark), strategy=strategy)
+    want = REGISTRY[FAMILY_QUERY[strategy]].builder(spark, SF)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_agreement_matrix_from_dispatcher_legs(spark):
+    """Reuses q246's matrix over dispatcher outputs: each column's
+    marginal equals the forced family's own pair count — the dispatcher
+    legs ARE the matrix legs."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark)
+    legs = {
+        "in_jaccard": neardup(d, strategy="minhash"),
+        "in_simhash": neardup(d, strategy="simhash"),
+        "in_winnow": neardup(d, strategy="winnow"),
+    }
+    tagged = None
+    for col, df in legs.items():
+        t = df.select(
+            "doc_a",
+            "doc_b",
+            *[F.lit(1 if c == col else 0).alias(c) for c in legs],
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[F.max(c).alias(c) for c in legs]
+    )
+    rows = flags.collect()
+    for col, df in legs.items():
+        assert sum(1 for r in rows if r[col] == 1) == df.count()
+
+
+def test_pick_strategy_rules():
+    clean_long = {"n_docs": 100, "median_tokens": 200, "noise_ppm": 800}
+    noisy_short = {"n_docs": 100, "median_tokens": 30, "noise_ppm": 60_000}
+    noisy_long = {
+        "n_docs": 100,
+        "median_tokens": EDIT_MAX_MEDIAN_TOKENS + 1,
+        "noise_ppm": 60_000,
+    }
+    clean_tiny = {
+        "n_docs": 100,
+        "median_tokens": SHORT_DOC_TOKENS - 1,
+        "noise_ppm": 800,
+    }
+    assert pick_strategy(clean_long) == "minhash"
+    assert pick_strategy(noisy_short) == "edit"
+    # too long for O(len^2) verify even when noisy -> token families
+    assert pick_strategy(noisy_long) == "minhash"
+    assert pick_strategy(clean_tiny) == "simhash"
+    # declared locality wins over every measured signal
+    assert pick_strategy(noisy_short, overlap="local") == "winnow"
+    assert pick_strategy(clean_long, overlap="subset") == "containment"
+    with pytest.raises(ValueError, match="overlap"):
+        pick_strategy(clean_long, overlap="typo")
+    with pytest.raises(ValueError, match="strategy"):
+        neardup(None, strategy="typo")
+
+
+def test_signals_measure_engineered_fixtures(spark):
+    noisy = spark.createDataFrame(
+        [(i, "wörd$ 0cr' n0i$e## t3xt§ he%re @@") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    s = neardup_signals(noisy)
+    assert s["noise_ppm"] >= NOISE_PPM_MIN
+    assert s["median_tokens"] <= EDIT_MAX_MEDIAN_TOKENS
+    assert pick_strategy(s) == "edit"
+
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(50))) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    s = neardup_signals(clean)
+    assert s["noise_ppm"] < NOISE_PPM_MIN
+    assert pick_strategy(s) == "minhash"
+
+    tiny = spark.createDataFrame(
+        [(i, "just five tiny clean tokens") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    assert pick_strategy(neardup_signals(tiny)) == "simhash"
+
+
+def test_auto_dispatch_runs_end_to_end(spark):
+    """auto on the synthetic corpus lands on minhash (long-ish clean
+    docs) and returns that family's frame; the sampled probe reaches
+    the same decision."""
+    d = _docs(spark)
+    s = neardup_signals(d)
+    assert pick_strategy(s) == "minhash"
+    out = neardup(d, strategy="auto")
+    assert out.columns == ["doc_a", "doc_b", "n_common", "n_union"]
+    assert out.count() == neardup(d, strategy="minhash").count()
+    s_sampled = neardup_signals(d, sample_fraction=0.5)
+    assert pick_strategy(s_sampled) == "minhash"
+
+
+def test_empty_corpus_probe(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    s = neardup_signals(empty)
+    assert s["n_docs"] == 0
+    # empty corpus: any family returns an empty pair frame; auto must
+    # not crash on degenerate signals
+    assert neardup(empty, strategy="auto").count() == 0
