@@ -1,0 +1,160 @@
+"""Streaming winnowing-fingerprint state: a ``foreachBatch`` sink that
+keeps the q239 fingerprint document-frequency state current, plus a
+read-side pair derivation that reproduces the batch
+``q239_winnow_neardup`` pairs against it — the streaming twin the
+other round-12 dedup/gate families (boilerplate, quality, drift)
+already have.
+
+State design: (wmin fingerprint, doc-frequency count). The fingerprint
+IS the digest key — winnowing's rolling-hash window minimum is already
+a 64-bit integer derived from content (no text is ever stored), so the
+state rows are two longs. The count is mergeable by plain addition
+because a document is an atomic row: ALL its distinct fingerprints
+arrive in one micro-batch, and the per-batch contribution is the
+distinct-doc count per fingerprint — so per-batch partials sum to
+exactly the global document frequency for ANY arrival order or batch
+split (replays are excluded by the shared max-applied ledger, which is
+what makes the sum safe).
+
+The pair verdict is derived on read (:func:`read_winnow_pairs`), the
+"mergeable state + verdict derived on read" philosophy shared by the
+quality-gate/drift/boilerplate twins: a fingerprint's df-band status
+[2, 20] can flip in BOTH directions as later batches raise its count
+(df 1 -> 2 enters the band, df 20 -> 21 leaves it as the fingerprint
+turns out to be boilerplate), so no stored pair list could be
+maintained monotonically — only the count state is stored, and the
+self-join runs against the docs being read. After the stream has
+covered a corpus, ``read_winnow_pairs(spark, state, docs)`` equals the
+batch ``q239_winnow_neardup`` exactly, for every arrival order.
+
+At 100 TB the state stays fingerprint-vocabulary-sized (winnowing keeps
+~1/(window size) of shingle hashes, deduplicated corpus-wide here), and
+the read-side join shuffles only (wmin, doc_id) pairs inside the df
+band — q239's own scale contract, unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+    _fs_recover,
+    _fs_swap,
+    _hadoop_fs,
+)
+
+_LEDGER = "_applied"
+
+
+def _batch_fpcounts(batch: DataFrame) -> DataFrame:
+    """Per-fingerprint distinct-doc counts for one micro-batch."""
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(batch.select("doc_id", "text"))
+    return fps.groupBy("wmin").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+
+
+def stream_fingerprint_counts(
+    doc_stream: DataFrame, *, target_path: str, checkpoint_path: str
+):
+    """Attach the fingerprint-frequency foreachBatch sink; returns the
+    (unstarted) ``DataStreamWriter``. After every applied batch the
+    target parquet holds exactly the per-fingerprint document
+    frequencies a from-scratch scan of all rows seen so far would
+    produce."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from etl_pipeline_candy_store_spark.operators.ledger import (
+            read_max_applied,
+            write_applied_into,
+        )
+
+        spark = batch.sparkSession
+        _fs_recover(spark, target_path)
+        jvm, fs = _hadoop_fs(spark, target_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        target = target_path.rstrip("/")
+        applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+        if fs.exists(P(target)):
+            if batch_id <= applied_max:
+                return  # replayed delivery — already merged, skip
+            merged = (
+                spark.read.parquet(target)
+                .unionByName(_batch_fpcounts(batch))
+                .groupBy("wmin")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+        else:
+            merged = _batch_fpcounts(batch)
+        tmp = target + f"._tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        write_applied_into(spark, tmp, batch_id, _LEDGER)
+        _fs_swap(spark, tmp, target)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
+def read_winnow_pairs(
+    spark: SparkSession, target_path: str, docs: DataFrame
+) -> DataFrame:
+    """Derive q239's near-dup pairs for ``docs`` against the maintained
+    fingerprint-frequency state: recompute the docs' fingerprints, keep
+    those whose ACCUMULATED document frequency sits in the df band,
+    self-join on the fingerprint, and score shared/min(|A|,|B|) in ppm
+    — identical semantics to the batch ``q239_winnow_neardup``, with
+    the df relation read from state instead of recomputed. When the
+    stream has covered exactly ``docs``, the result is hash-equal to
+    the batch query for every arrival order."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        _WINNOW_DF_MAX,
+        _WINNOW_DF_MIN,
+        _WINNOW_MIN_SHARED,
+    )
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    state = spark.read.parquet(target_path.rstrip("/"))
+    band = state.filter(
+        F.col("df").between(_WINNOW_DF_MIN, _WINNOW_DF_MAX)
+    ).select("wmin")
+    fps = winnow_fingerprints(docs.select("doc_id", "text")).localCheckpoint()
+    kept = fps.join(band, "wmin", "left_semi")
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "wmin")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "wmin")
+    pairs = (
+        a.join(b, "wmin")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.expr("cast((shared * 1000000) div least(na, nb) as bigint)")
+            .alias("overlap_ppm"),
+        )
+    )

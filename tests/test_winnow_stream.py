@@ -1,0 +1,119 @@
+"""foreachBatch winnow-fingerprint sink: micro-batches of documents
+merge per-fingerprint document frequencies into a parquet state; the
+pair relation derived from the state equals batch q239 exactly — for
+EVERY arrival order — and replays don't double-count."""
+
+from __future__ import annotations
+
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
+from etl_pipeline_candy_store_spark.streaming.winnow_stream import (
+    read_winnow_pairs,
+    stream_fingerprint_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, src: str, target: str, ckpt: str) -> None:
+    schema = load(spark, SF, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_fingerprint_counts(
+            stream, target_path=target, checkpoint_path=ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _batch_pairs(spark) -> set[tuple]:
+    _ensure_loaded()
+    return {
+        tuple(r)
+        for r in REGISTRY["q239_winnow_neardup"].builder(spark, SF).collect()
+    }
+
+
+def _stream_pairs(spark, target: str) -> set[tuple]:
+    docs = load(spark, SF, "documents")
+    return {tuple(r) for r in read_winnow_pairs(spark, target, docs).collect()}
+
+
+def test_stream_pairs_match_batch_q239(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    load(spark, SF, "documents").repartition(4).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+    want = _batch_pairs(spark)
+    assert want  # non-vacuous: the corpus HAS winnow pairs at sf0.001
+    assert _stream_pairs(spark, target) == want
+
+
+def test_stream_state_arrival_order_independent(spark, tmp_path):
+    """Adversarial arrival permutation: ascending-doc_id batches vs
+    descending-doc_id batches vs a single batch — identical final
+    state, identical derived pairs. The df counts are plain sums of
+    atomic per-doc contributions, so no order can matter."""
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents")
+    states = []
+    for tag, frame in (
+        ("asc", docs.repartitionByRange(5, F.col("doc_id"))),
+        ("desc", docs.repartitionByRange(5, F.col("doc_id").desc())),
+        ("one", docs.coalesce(1)),
+    ):
+        src = str(tmp_path / f"src_{tag}")
+        target = str(tmp_path / f"target_{tag}")
+        frame.write.parquet(src)
+        _run(spark, src, target, str(tmp_path / f"ckpt_{tag}"))
+        states.append(sorted(map(tuple, spark.read.parquet(target).collect())))
+    assert states[0] == states[1] == states[2]
+    assert _stream_pairs(spark, str(tmp_path / "target_desc")) == _batch_pairs(
+        spark
+    )
+
+
+def test_stream_state_is_exact_df(spark, tmp_path):
+    """State equals the from-scratch per-fingerprint distinct-doc
+    frequency (the relation q239 builds as `dfreq`) — safe to SUM
+    per-batch partials because a doc's fingerprints all arrive in one
+    batch."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    docs = load(spark, SF, "documents")
+    docs.repartition(4).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+    want = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(docs.select("doc_id", "text"))
+            .groupBy("wmin")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == want
+
+
+def test_stream_replay_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    load(spark, SF, "documents").repartition(3).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt1"))
+    state1 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    pairs1 = _stream_pairs(spark, target)
+    _run(spark, src, target, str(tmp_path / "ckpt2"))
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == state1
+    assert _stream_pairs(spark, target) == pairs1
