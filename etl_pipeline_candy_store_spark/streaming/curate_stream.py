@@ -87,8 +87,11 @@ from etl_pipeline_candy_store_spark.operators.ledger import (
     read_batch_state as _read_state,
 )
 
-_REP_TOP_BIGRAM_MAX = 600_000  # drop_repetitive's documented defaults
-_REP_DUP_TRIGRAM_MAX = 400_000
+from etl_pipeline_candy_store_spark.operators.text import (
+    REP_DUP_TRIGRAM_MAX_MICROS as _REP_DUP_TRIGRAM_MAX,
+    REP_TOP_BIGRAM_MAX_MICROS as _REP_TOP_BIGRAM_MAX,
+)
+
 _BROADCAST_MAX_SHINGLES = 2_000_000  # neardup_state's guard, same basis
 
 # fp is the 16-byte binary content digest (unhex(md5(text))) and sh the
@@ -109,14 +112,94 @@ _PAIRS_SCHEMA = "fp_a binary, fp_b binary"
 _FLAGS_SCHEMA = "fp binary, q_pass int, rep_drop int, h int"
 
 
-def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
+# scrub-first mode only: per-batch segment-frequency partials (segment
+# digest, distinct-doc count) — the boilerplate_stream state carried in
+# THIS module's batch-scoped ledger layout so one protocol covers all
+# relations; partials SUM to the corpus df (docs are atomic per batch)
+_SEGDF_SCHEMA = "sh binary, df bigint"
+
+
+def _seg_digest():
+    return F.unhex(F.md5(F.col("seg_text").cast("binary")))
+
+
+def apply_curate_batch(
+    batch: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    *,
+    scrub_boilerplate_first: bool = False,
+) -> None:
     """Run one micro-batch through the composed funnel's stateful
     stages; every write is scoped to ``batch={batch_id}`` and keyed by
-    content digest — see the module contract."""
+    content digest — see the module contract.
+
+    With ``scrub_boilerplate_first`` the funnel mirrors batch
+    ``curate(scrub_boilerplate_first=True)`` (the CCNet order: template
+    removal BEFORE doc-level dedup). The scrub verdict is a function of
+    CORPUS-WIDE segment frequencies that later batches keep raising, so
+    a segment's boilerplate status — and with it every scrubbed text,
+    digest, shingle set, and gate flag — can flip after arrival:
+    nothing content-derived is stable enough to precompute at ingest.
+    The arrival-order-independent composition is therefore the
+    boilerplate-stream twin's exactly: ingest stores only the raw rows
+    (ids/texts per raw digest) plus MERGEABLE per-batch segment-
+    frequency partials (``segdf`` — the stream_segment_counts state in
+    this module's ledger layout), and the ENTIRE funnel is derived on
+    read against the accumulated counts (:func:`read_curated` with the
+    same flag). Ingest gets cheaper (one segment aggregate per batch,
+    no shingle/pair work); reads pay the funnel once per state
+    generation — amortized by :func:`read_curated_materialized`."""
     spark = batch.sparkSession
     keyed = batch.withColumn(
         "fp", F.unhex(F.md5(F.col("text").cast("binary")))
     )
+    if scrub_boilerplate_first:
+        from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+            _segments,
+        )
+
+        batch_min = (
+            keyed.groupBy("fp")
+            .agg(
+                F.min(
+                    F.struct("doc_id", "lang", "source", "n_chars", "text")
+                ).alias("s")
+            )
+            .select(
+                "fp",
+                F.col("s.doc_id").alias("doc_id"),
+                F.col("s.lang").alias("lang"),
+                F.col("s.source").alias("source"),
+                F.col("s.n_chars").alias("n_chars"),
+                F.col("s.text").alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch_min.select(
+            "fp", "doc_id", "lang", "source", "n_chars"
+        ).write.mode("overwrite").parquet(f"{state_dir}/ids/batch={batch_id}")
+        seen_fp = _read_state(
+            spark, f"{state_dir}/fps", _FPS_SCHEMA, before_batch=batch_id
+        ).drop("batch")
+        new_rows = batch_min.join(seen_fp, "fp", "left_anti")
+        new_rows.select("fp").write.mode("overwrite").parquet(
+            f"{state_dir}/fps/batch={batch_id}"
+        )
+        new_rows.select("fp", "text").write.mode("overwrite").parquet(
+            f"{state_dir}/texts/batch={batch_id}"
+        )
+        # segment-frequency partials over the FULL batch (not the
+        # per-digest minima): batch curate() scrubs the raw corpus
+        # including exact copies, so every doc_id must count
+        _segments(batch.select("doc_id", "text")).select(
+            "doc_id", _seg_digest().alias("sh")
+        ).groupBy("sh").agg(
+            F.countDistinct("doc_id").cast("long").alias("df")
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/segdf/batch={batch_id}"
+        )
+        return
 
     # -- per-batch keeper CANDIDATES: the min-doc_id arrival row per
     # digest in THIS batch (struct-min orders by the leading doc_id;
@@ -265,13 +348,25 @@ def apply_curate_batch(batch: DataFrame, state_dir: str, batch_id: int) -> None:
     # shingle/card state this batch just appended.
 
 
-def stream_curate(doc_stream: DataFrame, state_dir: str):
+def stream_curate(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    scrub_boilerplate_first: bool = False,
+):
     """Wire a documents stream (doc_id, text, lang, source, n_chars)
     through the composed curation funnel. Returns a
-    ``DataStreamWriter``; the caller adds checkpoint/trigger."""
+    ``DataStreamWriter``; the caller adds checkpoint/trigger.
+    ``scrub_boilerplate_first`` selects the CCNet-order funnel — see
+    :func:`apply_curate_batch`; read back with the SAME flag."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        apply_curate_batch(batch, state_dir, batch_id)
+        apply_curate_batch(
+            batch,
+            state_dir,
+            batch_id,
+            scrub_boilerplate_first=scrub_boilerplate_first,
+        )
 
     return doc_stream.writeStream.foreachBatch(_apply).outputMode("update")
 
@@ -296,14 +391,103 @@ def _keepers(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def _read_curated_scrub_first(
+    spark: SparkSession, state_dir: str, *, with_docs: bool
+) -> DataFrame:
+    """The scrub-first read path: rebuild the raw corpus from the
+    ids/texts state (keeper rows carry the texts — exact raw copies
+    share a digest and scrub identically, so the min-per-raw-digest
+    rows preserve every scrubbed-digest minimum), scrub it against the
+    ACCUMULATED segment-frequency state, then run the batch funnel's
+    own stage functions on the scrubbed frame. Reusing
+    plans/curation_pipeline's stages verbatim is what makes
+    stream ≡ batch structural rather than re-implemented: the only
+    difference from ``curate(scrub_boilerplate_first=True)`` is where
+    the docs and the segment frequencies come from."""
+    from etl_pipeline_candy_store_spark.operators.corpus_curation import (
+        _BOILER_DF,
+        _segments,
+    )
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        assign_split,
+        dedup_exact,
+        dedup_near,
+        drop_contaminated,
+        drop_repetitive,
+    )
+
+    texts = _read_state(spark, f"{state_dir}/texts", _TEXTS_SCHEMA).drop(
+        "batch"
+    )
+    raw = (
+        _keepers(spark, state_dir)
+        .join(texts, "fp")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    segdf = (
+        _read_state(spark, f"{state_dir}/segdf", _SEGDF_SCHEMA)
+        .drop("batch")
+        .groupBy("sh")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    boiler = segdf.filter(F.col("df") >= _BOILER_DF).select("sh")
+    segs = _segments(raw.select("doc_id", "text")).withColumn(
+        "sh", _seg_digest()
+    )
+    rebuilt = (
+        segs.join(F.broadcast(boiler), "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "seg_text"))),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("_scrubbed")
+        )
+    )
+    scrubbed = raw.join(rebuilt, "doc_id").select(
+        "doc_id",
+        F.col("_scrubbed").alias("text"),
+        "lang",
+        "source",
+        F.length("_scrubbed").cast("long").alias("n_chars"),
+    ).localCheckpoint(eager=True)
+    d1 = dedup_exact(scrubbed)
+    d2 = dedup_near(d1).localCheckpoint(eager=True)
+    from etl_pipeline_candy_store_spark.operators.curation import quality_gate
+
+    gated = quality_gate(d2).filter(F.col("passed") == 1).select("doc_id")
+    d3 = d2.join(gated, "doc_id", "left_semi")
+    d4 = drop_contaminated(drop_repetitive(d3)).localCheckpoint(eager=True)
+    d5 = assign_split(d4)
+    if with_docs:
+        return d5.select(
+            "doc_id", "text", "lang", "source", "n_chars", "split"
+        )
+    return d5.select("doc_id", "split")
+
+
 def read_curated(
-    spark: SparkSession, state_dir: str, *, with_docs: bool = False
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    with_docs: bool = False,
+    scrub_boilerplate_first: bool = False,
 ) -> DataFrame:
     """(doc_id, split) survivors over everything ingested so far —
     equal to batch ``curate()``'s export over the same docs under ANY
     arrival order. Keepers, near-dup drops, and decontamination are all
     derived here from the digest-keyed state; ``with_docs`` keeps the
-    full document columns (the export shape)."""
+    full document columns (the export shape).
+    ``scrub_boilerplate_first`` must match the flag the stream was run
+    with — it selects the scrub-first state layout and derivation."""
+    if scrub_boilerplate_first:
+        return _read_curated_scrub_first(
+            spark, state_dir, with_docs=with_docs
+        )
     keep = _keepers(spark, state_dir).localCheckpoint(eager=True)
     flags = _read_state(spark, f"{state_dir}/flags", _FLAGS_SCHEMA).drop(
         "batch"
@@ -427,26 +611,39 @@ def read_curated_materialized(
     store_dir: str | None = None,
     *,
     with_docs: bool = False,
+    scrub_boilerplate_first: bool = False,
 ) -> DataFrame:
     """``read_curated`` memoized per STATE GENERATION through the
     durable store (the ER twin's ``read_resolved_entities_materialized``
     pattern): the read-side derivation (keeper election + connected
-    components over the pair state + the decontamination join) runs
-    once per generation; repeat reads between micro-batches are a
-    parquet scan, a new batch changes the fingerprint and the next read
-    rebuilds once, and ``prune_materialized("stream_curated*",
-    store_dir=...)`` is the retention knob with the store's
-    pinned-reader guarantee."""
+    components over the pair state + the decontamination join — or, in
+    scrub-first mode, the whole derived funnel) runs once per
+    generation; repeat reads between micro-batches are a parquet scan,
+    a new batch changes the fingerprint and the next read rebuilds
+    once, and ``prune_materialized("stream_curated*", store_dir=...)``
+    is the retention knob with the store's pinned-reader guarantee.
+    Memoization is what amortizes the scrub-first mode's heavier read
+    path (its ingest stores no derived state at all)."""
     from etl_pipeline_candy_store_spark.operators.materialize import (
         materialized_relation,
     )
 
-    name = "stream_curated_docs" if with_docs else "stream_curated"
+    if scrub_boilerplate_first:
+        name = "stream_curated_scrub" + ("_docs" if with_docs else "")
+        tables = ("ids", "fps", "texts", "segdf")
+    else:
+        name = "stream_curated" + ("_docs" if with_docs else "")
+        tables = ("ids", "fps", "pairs", "flags", "shingles", "texts")
     return materialized_relation(
         spark,
         name,
         state_dir,
-        build=lambda: read_curated(spark, state_dir, with_docs=with_docs),
-        tables=("ids", "fps", "pairs", "flags", "shingles", "texts"),
+        build=lambda: read_curated(
+            spark,
+            state_dir,
+            with_docs=with_docs,
+            scrub_boilerplate_first=scrub_boilerplate_first,
+        ),
+        tables=tables,
         store_dir=store_dir,
     )

@@ -2344,3 +2344,118 @@ def test_stream_session_late_event_dropped(spark, tmp_path):
     # nowhere — neither merged (value_sum would be 103) nor as a phantom
     # 1-event session
     assert u1 == [(t0, 2, 3)], u1
+
+
+def test_stream_curate_scrub_first_matches_batch(spark, tmp_path):
+    """stream_curate(scrub_boilerplate_first=True) — the CCNet-order
+    composed funnel fed by the boilerplate-stream segment state — must
+    reproduce batch curate(scrub_boilerplate_first=True)'s exported
+    (doc_id, split) set exactly, for an ADVERSARIAL arrival order
+    (descending doc_id batches: keepers re-elected, segment counts
+    accumulated out of corpus order), and replay must be idempotent."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    state = str(tmp_path / "scrub_state")
+    # adversarial: high doc_ids first, eval panel (doc_id < 10) last
+    chunks = [
+        docs.filter(F.col("doc_id") >= 2 * n_max // 3),
+        docs.filter(
+            (F.col("doc_id") >= n_max // 3) & (F.col("doc_id") < 2 * n_max // 3)
+        ),
+        docs.filter(F.col("doc_id") < n_max // 3),
+    ]
+    for i, chunk in enumerate(chunks):
+        apply_curate_batch(chunk, state, i, scrub_boilerplate_first=True)
+
+    got = {
+        (r["doc_id"], r["split"])
+        for r in read_curated(
+            spark, state, scrub_boilerplate_first=True
+        ).collect()
+    }
+
+    out = str(tmp_path / "batch_out")
+    report = curate(spark, sf, out, n_shards=2, scrub_boilerplate_first=True)
+    want = set()
+    for split in ("train", "val", "test"):
+        for r in (
+            spark.read.parquet(f"{out}/split={split}")
+            .select("doc_id")
+            .collect()
+        ):
+            want.add((r["doc_id"], split))
+    assert want, "batch curate exported nothing"
+    assert got == want
+    assert len(got) == report["funnel"]["after_decontamination"]
+    # the scrub stage did real work or the equality is vacuous
+    assert report["funnel"]["after_boilerplate_scrub"] <= report["funnel"]["input"]
+    plain = curate(
+        spark, sf, str(tmp_path / "plain_out"), n_shards=2
+    )
+    assert want != {
+        (r["doc_id"], s)
+        for s in ("train", "val", "test")
+        for r in spark.read.parquet(
+            str(tmp_path / "plain_out") + f"/split={s}"
+        ).select("doc_id").collect()
+    } or plain["funnel"]["input"] == 0
+
+    # crash replay of the last batch: state and survivors unchanged
+    apply_curate_batch(chunks[-1], state, 2, scrub_boilerplate_first=True)
+    again = {
+        (r["doc_id"], r["split"])
+        for r in read_curated(
+            spark, state, scrub_boilerplate_first=True
+        ).collect()
+    }
+    assert again == got
+
+
+def test_stream_curate_scrub_first_with_docs_texts_are_scrubbed(
+    spark, tmp_path
+):
+    """with_docs returns the SCRUBBED text generation (the one the
+    dedup digests keyed on), not the raw arrivals."""
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+    from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+        curate,
+    )
+    from etl_pipeline_candy_store_spark.streaming.curate_stream import (
+        apply_curate_batch,
+        read_curated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    state = str(tmp_path / "state")
+    apply_curate_batch(
+        docs.filter(F.col("doc_id") >= n_max // 2),
+        state,
+        0,
+        scrub_boilerplate_first=True,
+    )
+    apply_curate_batch(
+        docs.filter(F.col("doc_id") < n_max // 2),
+        state,
+        1,
+        scrub_boilerplate_first=True,
+    )
+    out = read_curated(
+        spark, state, with_docs=True, scrub_boilerplate_first=True
+    )
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: (r["text"], r["n_chars"]) for r in out.collect()}
+    assert got
+    # every returned n_chars matches its (possibly rewritten) text, and
+    # at least one survivor was actually rewritten by the scrub
+    assert all(len(t) == n for t, n in got.values())
+    assert any(raw[d] != t for d, (t, _) in got.items())
