@@ -20,6 +20,12 @@ cd "$(dirname "$0")/.."
 
 round="${1:?usage: tools/round_gates.sh <round>}"
 
+# regenerate the mechanical catalog index FIRST (it must reflect the
+# round's final registry and be committed with the round's code, so the
+# clean-tree release check below sees it in place)
+echo "== pre-gate: regenerate CATALOG.md =="
+python tools/catalog_index.py
+
 echo "== gate 1/4: pytest =="
 python -m pytest tests/ -q
 
