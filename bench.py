@@ -138,6 +138,7 @@ ROTATING = [
     # replacement and carries the agreement-matrix cost here instead.
     "q245_simhash_neardup_bounded",  # band-bucket-capped simhash pairs (r13)
     "q246_neardup_family_agreement_bounded",  # probed 3-detector matrix (r13)
+    "q247_neardup_dispatch_signals",  # oracle-verified dispatch probe (r13)
 ]
 
 # The full headline sweep (tools consume this name: scale_probe budgets,

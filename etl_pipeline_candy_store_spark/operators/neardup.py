@@ -66,7 +66,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.dedup import (
@@ -76,6 +76,7 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     simhash_pairs_bounded,
     winnow_pairs,
 )
+from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
 STRATEGIES = ("minhash", "simhash", "winnow", "containment", "edit")
 
@@ -94,36 +95,147 @@ EDIT_MAX_MEDIAN_TOKENS = 64
 SHORT_DOC_TOKENS = 12
 
 
+def signals_frame(docs: DataFrame) -> DataFrame:
+    """The probe as a 1-row frame (n_docs, median_tokens, noise_ppm,
+    strategy) — EXACT arithmetic (the k-th order statistic for the
+    median, integer ppm for the noise share), so the dispatch decision
+    is cross-engine verifiable: q247 registers exactly this over the
+    documents table with a DuckDB oracle. The k-th order statistic's
+    VALUE is deterministic whatever tie order the sort picks, which is
+    what makes the median hash-exact where percentile sketches are
+    not. The single-partition window is probe-sized (one integer per
+    doc; sample first at extreme scale — :func:`neardup_signals`'s
+    ``sample_fraction``)."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.length(F.lower("text")).cast("long").alias("n_chars"),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+        ).cast("long").alias("n_noise"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("n_noise").cast("long").alias("noise"),
+    )
+    med = (
+        base.select(
+            "n_tok",
+            F.row_number().over(Window.orderBy("n_tok")).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("n_tok").alias("median_tokens"))
+    )
+    return stats.join(med, F.lit(True), "left").select(
+        "n_docs",
+        F.coalesce("median_tokens", F.lit(0)).cast("long").alias(
+            "median_tokens"
+        ),
+        F.expr(
+            "cast(coalesce((noise * 1000000) div nullif(chars, 0), 0)"
+            " as bigint)"
+        ).alias("noise_ppm"),
+    ).select(
+        "n_docs",
+        "median_tokens",
+        "noise_ppm",
+        F.expr(
+            f"case when noise_ppm >= {NOISE_PPM_MIN}"
+            f" and median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} then 'edit'"
+            f" when median_tokens < {SHORT_DOC_TOKENS} then 'simhash'"
+            f" else 'minhash' end"
+        ).alias("strategy"),
+    )
+
+
+@register(
+    "q247_neardup_dispatch_signals",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(lower(text)) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_noise
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(SUM(n_noise) AS BIGINT) AS noise
+  FROM base
+),
+med AS (
+  SELECT CAST(n_tok AS BIGINT) AS median_tokens FROM (
+    SELECT n_tok,
+           ROW_NUMBER() OVER (ORDER BY n_tok) AS rn,
+           COUNT(*) OVER () AS n
+    FROM base
+  )
+  WHERE rn = (n + 1) // 2
+),
+sig AS (
+  SELECT s.n_docs,
+         COALESCE(m.median_tokens, 0) AS median_tokens,
+         CAST(COALESCE((noise * 1000000) // NULLIF(chars, 0), 0) AS BIGINT)
+           AS noise_ppm
+  FROM stats s LEFT JOIN med m ON TRUE
+)
+SELECT n_docs, median_tokens, noise_ppm,
+       CASE WHEN noise_ppm >= {NOISE_PPM_MIN}
+             AND median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} THEN 'edit'
+            WHEN median_tokens < {SHORT_DOC_TOKENS} THEN 'simhash'
+            ELSE 'minhash' END AS strategy
+FROM sig
+""",
+    doc="The neardup() dispatcher's measured signals as an auditable "
+    "1-row report: corpus size, EXACT median token count (the k-th "
+    "order statistic — deterministic whatever tie order the sort "
+    "picks, unlike a percentile sketch), char-noise ppm (non-[a-z0-9 ] "
+    "share of lowercased chars, integer division), and the family the "
+    "auto rule would pick for overlap='global'. This is the probe "
+    "operators/neardup.py dispatches on, registered so the dispatch "
+    "decision itself is cross-engine hash-verified, not just "
+    "unit-tested. Scale posture: one stateless projection to three "
+    "integers per doc, one combinable aggregate, plus one single-"
+    "partition window over the doc-count-sized n_tok relation — "
+    "probe-sized by construction; at extreme corpus scale the "
+    "dispatcher samples first (sample_fraction) and this report runs "
+    "on the sample.",
+)
+def q247_neardup_dispatch_signals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return signals_frame(load(spark, sf_dir, "documents"))
+
+
 def neardup_signals(
     docs: DataFrame, *, sample_fraction: Optional[float] = None
 ) -> dict:
     """The probe: median token count and char-noise ppm over ``docs``
-    (one aggregate; Bernoulli-sampled when ``sample_fraction`` is set —
-    both signals are distribution shape, not totals, so sampling needs
-    no scale correction). Returns plain Python values so the dispatch
-    decision is driver-side and testable."""
+    (one aggregate + one order statistic; Bernoulli-sampled when
+    ``sample_fraction`` is set — both signals are distribution shape,
+    not totals, so sampling needs no scale correction). Returns plain
+    Python values so the dispatch decision is driver-side and
+    testable; :func:`signals_frame` is the same computation as an
+    auditable, oracle-verified frame (q247)."""
     probe = docs
     if sample_fraction is not None:
         probe = docs.sample(fraction=sample_fraction, seed=7)
-    row = probe.select(
-        F.size(F.split("text", " ")).alias("n_tok"),
-        F.length(F.lower("text")).alias("n_chars"),
-        F.length(
-            F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
-        ).alias("n_noise"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.percentile_approx("n_tok", 0.5).alias("median_tokens"),
-        F.sum("n_chars").alias("chars"),
-        F.sum("n_noise").alias("noise_chars"),
-    ).collect()
+    row = signals_frame(probe).collect()
     r = row[0] if row else None
     if r is None or not r["n_docs"]:
         return {"n_docs": 0, "median_tokens": 0, "noise_ppm": 0}
     return {
         "n_docs": int(r["n_docs"]),
-        "median_tokens": int(r["median_tokens"] or 0),
-        "noise_ppm": int((r["noise_chars"] or 0) * 1_000_000 // (r["chars"] or 1)),
+        "median_tokens": int(r["median_tokens"]),
+        "noise_ppm": int(r["noise_ppm"]),
     }
 
 

@@ -118,6 +118,7 @@ def _ensure_loaded() -> None:
         layout,
         merge_query,
         multimodal,
+        neardup,
         neardup_state,
         retrieval,
         scrub,

@@ -260,6 +260,10 @@ HEADLINE = [
     # is output-bounded, closing the one r12 scale-story gap.
     "q245_simhash_neardup_bounded",
     "q246_neardup_family_agreement_bounded",
+    # q247: three-integer projection + combinable agg + ONE
+    # single-partition window over the doc-count-sized n_tok relation
+    # (the probe the neardup() dispatcher reads) — must track the scan.
+    "q247_neardup_dispatch_signals",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
