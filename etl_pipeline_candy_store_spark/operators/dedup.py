@@ -2338,7 +2338,13 @@ def q241_neardup_family_agreement(
         "q241_neardup_family_agreement",
         "q246_neardup_family_agreement_bounded",
     )
-    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+    # the Jaccard leg rides the session-memoized pair relation (the
+    # q54/q125/q136/q142/q153/q160 discipline): hash-identical to a
+    # direct q51 call, but a session that already built the pairs — a
+    # pipeline that just deduped, or the matrix re-read after any of
+    # the six other consumers — reads the checkpointed blocks instead
+    # of re-deriving the shingle self-join.
+    j = jaccard_pairs_checkpointed(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("j"), F.lit(0).alias("s"), F.lit(0).alias("w")
     )
     s = q68_simhash_neardup(spark, sf_dir).select(
@@ -2522,7 +2528,13 @@ FROM flags GROUP BY in_jaccard, in_simhash, in_winnow
 def q246_neardup_family_agreement_bounded(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    j = q51_ngram_jaccard_pairs(spark, sf_dir).select(
+    # the Jaccard leg rides the session-memoized pair relation (the
+    # q54/q125/q136/q142/q153/q160 discipline): hash-identical to a
+    # direct q51 call, but a session that already built the pairs — a
+    # pipeline that just deduped, or the matrix re-read after any of
+    # the six other consumers — reads the checkpointed blocks instead
+    # of re-deriving the shingle self-join.
+    j = jaccard_pairs_checkpointed(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("j"), F.lit(0).alias("s"), F.lit(0).alias("w")
     )
     s = q245_simhash_neardup_bounded(spark, sf_dir).select(

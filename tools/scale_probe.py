@@ -257,7 +257,9 @@ HEADLINE = [
     # linear distinct-token scan + doc-keyed agg); q246 composes the
     # three capped legs (q51 shingle df-band, q245 bucket cap, q239
     # fingerprint df-band) + a pair-keyed collapse — the whole matrix
-    # is output-bounded, closing the one r12 scale-story gap.
+    # is output-bounded, closing the one r12 scale-story gap. q246's
+    # Jaccard leg rides the memoized pair relation like q237/q142
+    # (warm-up pays the build; measured reps read checkpointed blocks).
     "q245_simhash_neardup_bounded",
     "q246_neardup_family_agreement_bounded",
     # q247: three-integer projection + combinable agg + ONE
