@@ -2437,9 +2437,19 @@ def simhash_pairs_bounded(
     """q245's bucket-capped SimHash pairs over any (doc_id, text)
     frame — the bit-proximity leg of the neardup() dispatcher
     (identical hashes at the default cap)."""
+    return banded_capped_pairs(_simhash_df(docs, 32), cap)
+
+
+def banded_capped_pairs(
+    sims: DataFrame, cap: int = _SIMHASH_BAND_CAP
+) -> DataFrame:
+    """q245's band/cap/verify stage over any (doc_id, simhash) frame —
+    the single copy shared by the batch builder and the streaming
+    twin's read-side derivation (stream ≡ batch is structural: both
+    run THIS plan, they differ only in where the signatures come
+    from)."""
     from pyspark.sql.window import Window
 
-    sims = _simhash_df(docs, 32)
     bands = sims.select(
         "doc_id",
         "simhash",
