@@ -94,6 +94,12 @@ EDIT_MAX_MEDIAN_TOKENS = 64
 #: variance on so few shingles makes band collisions noise-driven.
 SHORT_DOC_TOKENS = 12
 
+#: token-count bucket width for the median's two-level prefix sum
+#: (q119/q137 discipline). n_tok is an integer, so a bucket holds at
+#: most this many DISTINCT values — every in-bucket window partition is
+#: <= 1024 rows by construction, whatever the corpus size.
+_MEDIAN_BUCKET = 1024
+
 
 def signals_frame(docs: DataFrame) -> DataFrame:
     """The probe as a 1-row frame (n_docs, median_tokens, noise_ppm,
@@ -103,9 +109,24 @@ def signals_frame(docs: DataFrame) -> DataFrame:
     documents table with a DuckDB oracle. The k-th order statistic's
     VALUE is deterministic whatever tie order the sort picks, which is
     what makes the median hash-exact where percentile sketches are
-    not. The single-partition window is probe-sized (one integer per
-    doc; sample first at extreme scale — :func:`neardup_signals`'s
-    ``sample_fraction``)."""
+    not.
+
+    Scale shape (round 14 — the r13 version funnelled one integer per
+    DOC through a single-partition ``row_number`` window): the corpus
+    first collapses to a map-side-combinable (n_tok, count) relation —
+    value-cardinality-sized, not doc-count-sized — and the k-th order
+    statistic is then a q119-style two-level prefix sum over it: an
+    in-bucket cumulative count PARTITIONED by ``n_tok div 1024``
+    (<= 1024 rows per partition, because a width-1024 integer bucket
+    holds at most 1024 distinct values) plus one unpartitioned window
+    over per-bucket totals, a relation 1024x smaller (the q88/q119
+    tiny-relation exemption). The median is the unique n_tok whose
+    inclusive cumulative count first reaches k = (n+1) div 2 —
+    identical to the old row_number pick for every input, so q247's
+    oracle hash is unchanged. No window on the default dispatch path
+    ever sees more than max(1024, max_tokens/1024) rows in one task;
+    ``sample_fraction`` remains available but is no longer load-bearing
+    for the probe's own scalability."""
     from pyspark.sql.window import Window
 
     base = docs.select(
@@ -120,17 +141,34 @@ def signals_frame(docs: DataFrame) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars"),
         F.sum("n_noise").cast("long").alias("noise"),
     )
+    # (n_tok, count) feeds the in-bucket window, the bucket totals, AND
+    # the k threshold — checkpoint so the corpus aggregation runs once
+    counts = (
+        base.groupBy("n_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("bkt", F.expr(f"n_tok div {_MEDIAN_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.withColumn("cum_loc", F.sum("c").over(w_local))
+    btot = counts.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_bkt), F.lit(0)).alias("boff")
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
     med = (
-        base.select(
-            "n_tok",
-            F.row_number().over(Window.orderBy("n_tok")).alias("rn"),
-            F.count(F.lit(1)).over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("n"),
+        local.join(F.broadcast(boff), "bkt")
+        .withColumn("cum", F.col("boff") + F.col("cum_loc"))
+        .join(F.broadcast(tot), F.lit(True), "left")
+        .filter(
+            (F.col("cum") >= F.expr("(n + 1) div 2"))
+            & (F.col("cum") - F.col("c") < F.expr("(n + 1) div 2"))
         )
-        .filter(F.expr("rn = (n + 1) div 2"))
         .select(F.col("n_tok").alias("median_tokens"))
     )
     return stats.join(med, F.lit(True), "left").select(
@@ -203,11 +241,14 @@ FROM sig
     "operators/neardup.py dispatches on, registered so the dispatch "
     "decision itself is cross-engine hash-verified, not just "
     "unit-tested. Scale posture: one stateless projection to three "
-    "integers per doc, one combinable aggregate, plus one single-"
-    "partition window over the doc-count-sized n_tok relation — "
-    "probe-sized by construction; at extreme corpus scale the "
-    "dispatcher samples first (sample_fraction) and this report runs "
-    "on the sample.",
+    "integers per doc, one combinable aggregate, and the median as a "
+    "two-level bucketed prefix sum over the value-cardinality-sized "
+    "(n_tok, count) relation — in-bucket windows capped at 1024 rows "
+    "by integer-bucket construction, the only unpartitioned window "
+    "over the 1024x-smaller bucket totals (q119 discipline; "
+    "plan-locked in tests/test_neardup_dispatch.py). sample_fraction "
+    "remains for callers who want a cheaper scan, not for the probe's "
+    "own survival.",
 )
 def q247_neardup_dispatch_signals(
     spark: SparkSession, sf_dir: str

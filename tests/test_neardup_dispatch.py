@@ -145,3 +145,59 @@ def test_empty_corpus_probe(spark):
     # empty corpus: any family returns an empty pair frame; auto must
     # not crash on degenerate signals
     assert neardup(empty, strategy="auto").count() == 0
+
+
+def test_probe_median_plan_is_bucketed(spark):
+    """Plan lock (round 14): the probe's exact median must run as the
+    q119-style two-level prefix sum — the in-bucket cumulative window
+    partitioned by the token-count bucket, and NO doc-count-sized
+    relation through a single-partition row_number sort (the r13 shape
+    this replaces). The only remaining unpartitioned window is over the
+    per-bucket totals, a relation 1024x smaller than the distinct
+    token counts (the q88/q119 tiny-relation exemption)."""
+    import contextlib
+    import io
+
+    from etl_pipeline_candy_store_spark.operators.neardup import (
+        signals_frame,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import load
+
+    df = signals_frame(load(spark, SF, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the doc-level order-statistic window is gone
+    assert "row_number" not in plan, plan
+    # exactly two windows: in-bucket cumulative (partitioned by bkt)
+    # and the bucket-totals offset (tiny); tree rows render as
+    # ":- Window (n)" / "+- Window (n)" depending on branch side
+    import re
+
+    assert len(re.findall(r"[:+]- Window \(", plan)) == 2, plan
+    assert "hashpartitioning(bkt" in plan, plan
+
+
+def test_probe_dispatches_on_large_corpus_unsampled(spark):
+    """The default (unsampled) dispatch path on a corpus large enough
+    that the r13 single-partition sort would dominate: 1.1M docs, token
+    counts uniform over 5..15 (100k each), so the k-th order statistic
+    k = 550_000 falls in the value-10 run (cum 500k at 9, 600k at 10).
+    Exact expected signals, computed by hand — and the probe completes
+    through the bucketed plan without ever materializing the doc-level
+    relation in one task."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(1_100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 11 + 5).cast("int"))
+        ).alias("text"),
+    )
+    s = neardup_signals(docs)
+    assert s["n_docs"] == 1_100_000
+    assert s["median_tokens"] == 10
+    assert s["noise_ppm"] == 0
+    # clean + short docs -> the documented simhash regime
+    assert pick_strategy(s) == "simhash"
