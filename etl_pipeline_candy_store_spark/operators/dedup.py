@@ -2006,16 +2006,16 @@ def q226_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load(spark, sf_dir, "documents"))
 
 
-def containment_pairs(
-    d: DataFrame, min_micros: int = _CONTAINMENT_MIN_MICROS
+def _containment_scored(
+    sh_join: DataFrame, card: DataFrame, min_micros: int
 ) -> DataFrame:
-    """Containment pairs (doc_a, doc_b, n_common, n_small,
-    containment_micros) over any (doc_id, text) frame — the asymmetric
-    sibling of :func:`jaccard_pairs` for subset/quote dedup."""
-    sh = _shingles(d)
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    """Shared intersect/score stage: self-join ``sh_join`` on the
+    shingle, score |A∩B| / min(|A|, |B|) against the FULL cardinalities
+    in ``card`` (the denominator stays exact even when the join side
+    was df-banded — the bounded variant's score is then a lower bound
+    on true containment, never an overestimate)."""
+    a = sh_join.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_join.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -2046,6 +2046,96 @@ def containment_pairs(
             .alias("containment_micros"),
         )
     )
+
+
+def containment_pairs(
+    d: DataFrame, min_micros: int = _CONTAINMENT_MIN_MICROS
+) -> DataFrame:
+    """Containment pairs (doc_a, doc_b, n_common, n_small,
+    containment_micros) over any (doc_id, text) frame — the asymmetric
+    sibling of :func:`jaccard_pairs` for subset/quote dedup. EXACT form
+    (every shared shingle joins): fan-out grows with the square of the
+    highest shingle document frequency, so at scale prefer
+    :func:`containment_pairs_bounded` — the neardup() dispatcher's
+    subset route does."""
+    sh = _shingles(d)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return _containment_scored(sh, card, min_micros)
+
+
+#: shingle document-frequency cap for the bounded containment join: a
+#: shingle in more docs than this is template/boilerplate-frequency and
+#: is dropped from the JOIN side (never from the denominator). 64 caps
+#: per-shingle pair fan-out at 64^2/2 = 2048.
+_CONTAINMENT_DF_MAX = 64
+
+
+def containment_pairs_bounded(
+    d: DataFrame,
+    min_micros: int = _CONTAINMENT_MIN_MICROS,
+    df_max: int = _CONTAINMENT_DF_MAX,
+) -> DataFrame:
+    """q248's df-banded containment pairs over any (doc_id, text)
+    frame — the subset/quote leg the neardup() dispatcher routes to
+    (identical hashes at the default band)."""
+    sh = _shingles(d)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        dfreq.filter(F.col("df").between(2, df_max)).select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    return _containment_scored(kept, card, min_micros)
+
+
+@register(
+    "q248_containment_pairs_bounded",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN dfreq USING (shingle)
+  WHERE df BETWEEN 2 AND {_CONTAINMENT_DF_MAX}
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(LEAST(ca.n, cb.n) AS BIGINT) AS n_small,
+       CAST(1000000 * i.n_common // LEAST(ca.n, cb.n) AS BIGINT)
+         AS containment_micros
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE 1000000 * i.n_common >= {_CONTAINMENT_MIN_MICROS} * LEAST(ca.n, cb.n)
+""",
+    doc="Containment near-dup pairs, BOUNDED: q226's asymmetric "
+    "|A∩B|/min(|A|,|B|) detector with the self-join restricted to "
+    f"shingles whose document frequency is in [2, {_CONTAINMENT_DF_MAX}] "
+    "— the df-band discipline q239's winnow fingerprints already use. "
+    "The lower bound is exact-neutral (a df-1 shingle can never join "
+    "two docs), so only the cap loses anything: per-shingle join "
+    f"fan-out is <= {_CONTAINMENT_DF_MAX}^2/2 pairs REGARDLESS of how "
+    "template-dense the corpus is, where q226's exact join fans out "
+    "quadratically on the hottest shingle. Denominators stay the FULL "
+    "shingle cardinalities, so the score is a lower bound on true "
+    "containment — a pair is lost only when the boilerplate-frequency "
+    "shingles it shares (df > cap) were carrying it over the "
+    "threshold, i.e. exactly the quotes made of text that appears "
+    "everywhere. This is the production subset/quote path the "
+    "neardup() dispatcher routes overlap='subset' to; q226 remains "
+    "the exact baseline a caller can force.",
+)
+def q248_containment_pairs_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return containment_pairs_bounded(load(spark, sf_dir, "documents"))
 
 
 _NORM_SQL = (

@@ -3,21 +3,33 @@
 Five oracle-verified detector families coexist in this engine, each
 built for a different duplication *mechanism*:
 
-===========  ===============================  =========================
-strategy     catalog query (hash-identical)   catches
-===========  ===============================  =========================
-minhash      q52_minhash_lsh_pairs            global set similarity
-                                              (rewrites, resampled text)
-simhash      q245_simhash_neardup_bounded     bit-signature proximity
-                                              (template variants), with
-                                              bounded band buckets
-winnow       q239_winnow_neardup              LOCAL verbatim overlap
-                                              (quotes, plagiarism)
-containment  q226_containment_pairs           asymmetric subset/quote
-                                              (short doc inside long)
-edit         q169_edit_distance_neardup       character noise (OCR,
-                                              mojibake, truncation)
-===========  ===============================  =========================
+===================  ================================  ====================
+strategy             catalog query (hash-identical)    catches
+===================  ================================  ====================
+minhash              q52_minhash_lsh_pairs             global set similarity
+                                                       (rewrites, resampled
+                                                       text)
+simhash              q245_simhash_neardup_bounded      bit-signature
+                                                       proximity (template
+                                                       variants), bounded
+                                                       band buckets
+winnow               q239_winnow_neardup               LOCAL verbatim
+                                                       overlap (quotes,
+                                                       plagiarism)
+containment_bounded  q248_containment_pairs_bounded    asymmetric subset/
+                                                       quote (short doc
+                                                       inside long), df-
+                                                       banded join
+containment          q226_containment_pairs            exact containment
+                                                       baseline (unbanded
+                                                       join — force only
+                                                       when the shingle df
+                                                       profile is known
+                                                       benign)
+edit                 q169_edit_distance_neardup        character noise
+                                                       (OCR, mojibake,
+                                                       truncation)
+===================  ================================  ====================
 
 :func:`neardup` is the one front door: callers either force a family
 (``strategy="minhash"`` … — the result is hash-identical to the catalog
@@ -29,8 +41,10 @@ probe-then-pick pattern (operators/allocation.py):
    expected duplication is whole-document or a shared span is knowledge
    about the *workload*, not the data — no probe can measure it before
    pairs exist, so it is an input, not a measurement:
-   ``overlap="local"`` -> winnow, ``overlap="subset"`` -> containment,
-   ``overlap="global"`` (default) -> continue to the measured signals.
+   ``overlap="local"`` -> winnow, ``overlap="subset"`` ->
+   containment_bounded (every auto-dispatched leg is fan-out-bounded;
+   the exact q226 join is force-only), ``overlap="global"`` (default)
+   -> continue to the measured signals.
 
 2. **One probe aggregate over the corpus** (optionally sampled via
    ``sample_fraction``, same contract as ``allocate()``) measuring
@@ -71,6 +85,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.dedup import (
     containment_pairs,
+    containment_pairs_bounded,
     edit_distance_pairs,
     minhash_lsh_pairs,
     simhash_pairs_bounded,
@@ -78,7 +93,14 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
 )
 from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
-STRATEGIES = ("minhash", "simhash", "winnow", "containment", "edit")
+STRATEGIES = (
+    "minhash",
+    "simhash",
+    "winnow",
+    "containment",
+    "containment_bounded",
+    "edit",
+)
 
 #: >= 2% of lowercase characters outside [a-z0-9 ] reads as a noisy
 #: extraction (clean English prose measures ~0.2-1% — punctuation only;
@@ -286,7 +308,9 @@ def pick_strategy(signals: dict, overlap: str = "global") -> str:
     if overlap == "local":
         return "winnow"
     if overlap == "subset":
-        return "containment"
+        # the df-banded q248 join — the exact q226 fan-out is unbounded
+        # on high-df shingles, so auto never dispatches to it
+        return "containment_bounded"
     if overlap != "global":
         raise ValueError(
             f"overlap must be 'global', 'local' or 'subset', got {overlap!r}"
@@ -328,6 +352,8 @@ def neardup(
         return winnow_pairs(docs)
     if strategy == "containment":
         return containment_pairs(docs)
+    if strategy == "containment_bounded":
+        return containment_pairs_bounded(docs)
     if strategy == "edit":
         return edit_distance_pairs(docs)
     raise ValueError(

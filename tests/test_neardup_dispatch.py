@@ -24,6 +24,7 @@ FAMILY_QUERY = {
     "simhash": "q245_simhash_neardup_bounded",
     "winnow": "q239_winnow_neardup",
     "containment": "q226_containment_pairs",
+    "containment_bounded": "q248_containment_pairs_bounded",
     "edit": "q169_edit_distance_neardup",
 }
 
@@ -90,9 +91,11 @@ def test_pick_strategy_rules():
     # too long for O(len^2) verify even when noisy -> token families
     assert pick_strategy(noisy_long) == "minhash"
     assert pick_strategy(clean_tiny) == "simhash"
-    # declared locality wins over every measured signal
+    # declared locality wins over every measured signal; subset routes
+    # to the df-BANDED containment join — auto never dispatches to the
+    # unbounded q226 fan-out (force strategy="containment" for it)
     assert pick_strategy(noisy_short, overlap="local") == "winnow"
-    assert pick_strategy(clean_long, overlap="subset") == "containment"
+    assert pick_strategy(clean_long, overlap="subset") == "containment_bounded"
     with pytest.raises(ValueError, match="overlap"):
         pick_strategy(clean_long, overlap="typo")
     with pytest.raises(ValueError, match="strategy"):
@@ -145,6 +148,42 @@ def test_empty_corpus_probe(spark):
     # empty corpus: any family returns an empty pair frame; auto must
     # not crash on degenerate signals
     assert neardup(empty, strategy="auto").count() == 0
+
+
+def test_bounded_containment_recall_contract(spark):
+    """The df band's two halves, each on an engineered corpus:
+    (a) where no shingle exceeds the cap, bounded == exact (the lower
+    bound df>=2 is exact-neutral: df-1 shingles can never join a pair);
+    (b) a quote carried ONLY by boilerplate-frequency shingles (df >
+    cap) is found by exact containment but dropped by the bounded
+    join — the documented recall loss, pinned so it stays a contract
+    rather than drifting silently."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_bounded,
+    )
+
+    # (a) small distinct corpus with one real subset pair, all dfs <= 2
+    uniq = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely different words in this one here"),
+    ]
+    d = spark.createDataFrame(uniq, "doc_id long, text string")
+    exact = sorted(map(tuple, containment_pairs(d).collect()))
+    bounded = sorted(map(tuple, containment_pairs_bounded(d).collect()))
+    assert exact == bounded and len(exact) == 1
+
+    # (b) the same subset pair, but the shared text now appears in 80
+    # other docs (df > 64 on every shared shingle): exact still pairs
+    # doc 1 with doc 2; the bounded join drops those shingles
+    boiler = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10, 90)]
+    d2 = spark.createDataFrame(uniq + boiler, "doc_id long, text string")
+    exact2 = containment_pairs(d2)
+    bounded2 = containment_pairs_bounded(d2)
+    assert exact2.filter("doc_a = 1 AND doc_b = 2").count() == 1
+    assert bounded2.count() == 0
+    assert exact2.count() > 0
 
 
 def test_probe_median_plan_is_bucketed(spark):

@@ -262,10 +262,16 @@ HEADLINE = [
     # (warm-up pays the build; measured reps read checkpointed blocks).
     "q245_simhash_neardup_bounded",
     "q246_neardup_family_agreement_bounded",
-    # q247: three-integer projection + combinable agg + ONE
-    # single-partition window over the doc-count-sized n_tok relation
-    # (the probe the neardup() dispatcher reads) — must track the scan.
+    # q247: three-integer projection + combinable agg + a two-level
+    # bucketed prefix sum over the value-cardinality-sized (n_tok,
+    # count) relation (the probe the neardup() dispatcher reads) —
+    # must track the scan.
     "q247_neardup_dispatch_signals",
+    # q248 (r14): q226's containment join with the self-join side
+    # df-banded [2, 64] — per-shingle fan-out capped at 64^2/2, so the
+    # bounded variant must track the shingle scan where exact q226's
+    # pair output can grow with the hottest shingle's df.
+    "q248_containment_pairs_bounded",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
