@@ -2508,8 +2508,10 @@ WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
     "cap binds exactly on the hub buckets (the giant near-identical "
     "clusters whose pair lists nobody enumerates — q54/q125 cluster "
     "them instead) while sparse buckets are untouched. Recall loss is "
-    "therefore confined to pairs BOTH of whose members were truncated "
-    "in EVERY shared band. Scale posture: the cap is one "
+    "therefore confined to pairs for which EVERY shared band truncated "
+    "AT LEAST ONE member (a pair survives via any one band that kept "
+    "both; losing one member in each shared band is enough to lose the "
+    "pair). Scale posture: the cap is one "
     "WindowGroupLimit bounded heap on the band key (q223's shape — "
     "no full sort), the join fan-out per bucket is <= cap, and the "
     "distinct runs over the already-bounded candidate set; probed at "
@@ -2614,11 +2616,17 @@ FROM flags GROUP BY in_jaccard, in_simhash, in_winnow
 """,
     doc="q241's detector-agreement matrix with the SimHash leg replaced "
     "by the BOUNDED q245 variant — the form a pipeline actually runs "
-    "at scale: every leg is fan-out-capped (Jaccard by shingle "
-    "df-band, winnow by fingerprint df-band, simhash by bucket "
-    "membership cap), so the union, the pair-keyed collapse, and the "
-    "8-row rollup are all output-bounded and the K=10 probe measures "
-    "the PLAN rather than a template-dense generator artifact. "
+    "at scale. Per-leg bounds, stated precisely: the simhash leg is "
+    "bucket-membership-capped (output-bounded by construction), the "
+    "winnow leg is fingerprint-df-banded, and the JACCARD leg is the "
+    "UNBANDED q51 shingle equi-join — it fans out on shared shingles "
+    "with no df cap, its growth is measured directly (q51 is probed "
+    "standalone in every scale run) rather than bounded by "
+    "construction, and on a corpus whose shingle df profile breaks it "
+    "the df-banded discipline (q248's containment band) is the "
+    "documented swap. Replacing the one quadratic-RESULT leg (q68) "
+    "is what lets the K=10 probe measure the PLAN rather than a "
+    "template-dense generator artifact. "
     "Interpretation shifts accordingly: simhash-column membership now "
     "means 'found by capped simhash sampling', so hub-cluster mass "
     "migrates from the in_simhash cells to the jaccard/winnow-only "

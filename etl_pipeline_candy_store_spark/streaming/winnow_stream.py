@@ -5,16 +5,27 @@ read-side pair derivation that reproduces the batch
 other round-12 dedup/gate families (boilerplate, quality, drift)
 already have.
 
-State design: (wmin fingerprint, doc-frequency count). The fingerprint
-IS the digest key — winnowing's rolling-hash window minimum is already
-a 64-bit integer derived from content (no text is ever stored), so the
-state rows are two longs. The count is mergeable by plain addition
-because a document is an atomic row: ALL its distinct fingerprints
-arrive in one micro-batch, and the per-batch contribution is the
-distinct-doc count per fingerprint — so per-batch partials sum to
-exactly the global document frequency for ANY arrival order or batch
-split (replays are excluded by the shared max-applied ledger, which is
-what makes the sum safe).
+State design: (wmin fingerprint, doc-frequency count) plus a seen-doc
+set. The fingerprint IS the digest key — winnowing's rolling-hash
+window minimum is already a 64-bit integer derived from content (no
+text is ever stored), so the count rows are two longs. The count is
+mergeable by plain addition because a document is an atomic row: ALL
+its distinct fingerprints arrive in one micro-batch, and the per-batch
+contribution is the distinct-doc count per fingerprint — so per-batch
+partials sum to exactly the global document frequency for ANY arrival
+order or batch split. Two redelivery shapes are excluded separately
+(round 14 — the r13 version handled only the first): a WHOLE-BATCH
+replay is skipped by the shared max-applied ledger, and a doc_id
+redelivered inside a DIFFERENT batch (at-least-once delivery that is
+not a batch replay) is filtered by the ``_seen_docs`` relation — only
+first-seen doc_ids contribute fingerprint partials, making the merge
+idempotent PER DOC, the same guarantee the simhash twin gets from its
+min-merge. First-seen also fixes which content counts when a doc_id is
+redelivered with different text; doc_ids are unique keys in the batch
+contract, so that case is feed corruption surfaced deterministically
+rather than double-counted. The seen set adds one long per document
+(stored under ``_seen_docs``, underscore-invisible to parquet readers
+of the count state, swapped atomically with it).
 
 The pair verdict is derived on read (:func:`read_winnow_pairs`), the
 "mergeable state + verdict derived on read" philosophy shared by the
@@ -45,6 +56,9 @@ from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
 )
 
 _LEDGER = "_applied"
+#: seen-doc set subdir — underscore-prefixed so parquet readers of the
+#: count state never see it; swaps atomically with the counts
+_SEEN = "_seen_docs"
 
 
 def _batch_fpcounts(batch: DataFrame) -> DataFrame:
@@ -83,16 +97,32 @@ def stream_fingerprint_counts(
         if fs.exists(P(target)):
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
+            # per-doc idempotence: only doc_ids no earlier batch has
+            # contributed may add fingerprint partials — an at-least-
+            # once redelivery in a NEW batch_id (not a whole-batch
+            # replay, which the ledger guard above already skipped)
+            # must not double-count its fingerprints' df
+            seen = spark.read.parquet(target + "/" + _SEEN)
+            new_docs = (
+                batch.select("doc_id")
+                .distinct()
+                .join(seen, "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            fresh = batch.join(new_docs, "doc_id", "left_semi")
             merged = (
                 spark.read.parquet(target)
-                .unionByName(_batch_fpcounts(batch))
+                .unionByName(_batch_fpcounts(fresh))
                 .groupBy("wmin")
                 .agg(F.sum("df").cast("long").alias("df"))
             )
+            merged_docs = seen.unionByName(new_docs)
         else:
             merged = _batch_fpcounts(batch)
+            merged_docs = batch.select("doc_id").distinct()
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        merged_docs.write.mode("overwrite").parquet(tmp + "/" + _SEEN)
         write_applied_into(spark, tmp, batch_id, _LEDGER)
         _fs_swap(spark, tmp, target)
 

@@ -107,6 +107,41 @@ def test_stream_state_is_exact_df(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == want
 
 
+def test_cross_batch_doc_redelivery_idempotent(spark, tmp_path):
+    """At-least-once delivery that is NOT a whole-batch replay: half
+    the corpus is delivered AGAIN in later batches under new batch_ids,
+    so the max-applied ledger cannot catch it. The first-seen doc
+    filter must keep the df state — and the derived pairs — equal to
+    the exactly-once run (the r13 sum-merge double-counted here)."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    src = str(tmp_path / "src")
+    docs = load(spark, SF, "documents")
+    docs.coalesce(2).write.parquet(src)
+    # redeliver ~half the docs as additional source files — they arrive
+    # as separate micro-batches with fresh batch_ids
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    target = str(tmp_path / "target")
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+    want = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(docs.select("doc_id", "text"))
+            .groupBy("wmin")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == want
+    assert _stream_pairs(spark, target) == _batch_pairs(spark)
+
+
 def test_stream_replay_idempotent(spark, tmp_path):
     src = str(tmp_path / "src")
     target = str(tmp_path / "target")
