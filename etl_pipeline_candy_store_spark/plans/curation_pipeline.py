@@ -116,21 +116,47 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def near_dup_labels(docs: DataFrame) -> DataFrame:
-    """Near-dup component labels (node, label): Jaccard pairs ->
+def near_dup_labels(
+    docs: DataFrame, strategy: str | None = None
+) -> DataFrame:
+    """Near-dup component labels (node, label): detector pairs ->
     connected components. Nodes absent are singletons (their own
     keeper). The single copy both :func:`dedup_near` and the pipeline's
-    governance report consume."""
-    pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
+    governance report consume.
+
+    ``strategy=None`` (default) is the funnel's historical exact
+    Jaccard path (q51 — hash-equal to every prior round's funnel and
+    to the stateful/stateless conformance oracle). Any other value is
+    handed to the :func:`~..operators.neardup.neardup` dispatcher:
+    a forced family (``"minhash"``/``"simhash"``/``"winnow"``/
+    ``"containment_bounded"``/``"containment"``/``"edit"``) or
+    ``"auto"`` (probe-dispatched). Every family emits (doc_a, doc_b)
+    pair columns, so the component/keeper mechanics downstream are
+    family-agnostic."""
+    if strategy is None:
+        pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
+    else:
+        from etl_pipeline_candy_store_spark.operators.neardup import (
+            neardup,
+        )
+
+        pairs = neardup(
+            docs.select("doc_id", "text"), strategy=strategy
+        ).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b")
 
 
-def dedup_near(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
+def dedup_near(
+    docs: DataFrame,
+    cc: DataFrame | None = None,
+    strategy: str | None = None,
+) -> DataFrame:
     """Keep one doc per near-duplicate cluster (min doc_id per
     component). Pass precomputed :func:`near_dup_labels` to reuse them
-    across stages."""
+    across stages; ``strategy`` selects the detector family when labels
+    are computed here (see :func:`near_dup_labels`)."""
     if cc is None:
-        cc = near_dup_labels(docs)
+        cc = near_dup_labels(docs, strategy=strategy)
     drop = cc.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
@@ -281,8 +307,21 @@ def curate(
     stage_seconds: dict | None = None,
     corpus_state_dir: str | None = None,
     scrub_boilerplate_first: bool = False,
+    neardup_strategy: str | None = None,
 ) -> dict:
     """Run the full curation funnel and export per-split shards.
+
+    ``neardup_strategy`` routes the near-dedup stage through the
+    :func:`~..operators.neardup.neardup` dispatcher: a forced family or
+    ``"auto"`` (one probe aggregate over the post-exact-dedup keepers
+    picks the family; the decision is resolved HERE and recorded in
+    the report as ``near_dup_family``, so a run is auditable and the
+    probe pays once). The default ``None`` keeps the funnel's
+    historical exact-Jaccard pairs — hash-equal to every prior round
+    and to the stateful conformance oracle. Incompatible with
+    ``corpus_state_dir``: the incremental pair state implements the
+    Jaccard family only (its q216 oracle locks it to plain q51), so
+    combining them raises rather than silently switching semantics.
 
     With ``corpus_state_dir`` the near-dedup stage runs STATEFULLY
     (:mod:`..operators.neardup_state`): pairs among docs already in
@@ -308,6 +347,13 @@ def curate(
     this hook makes the COMPOSITION measurable).
     """
     import time as _time
+
+    if corpus_state_dir is not None and neardup_strategy is not None:
+        raise ValueError(
+            "corpus_state_dir implements the exact-Jaccard family only "
+            "(q216 oracle); pass neardup_strategy=None with it, or drop "
+            "the state dir to choose a detector family"
+        )
 
     _last = [_time.time()]
 
@@ -340,8 +386,18 @@ def curate(
     # near-dup labels are computed ONCE and reused twice: the dedup drop
     # here, and the license-clearance governance report below (survivors
     # inherit the strictest license of cluster-mates the funnel dropped)
+    if neardup_strategy == "auto":
+        # resolve the dispatch OUTSIDE neardup() so the decision lands
+        # in the report and the probe runs once, not per consumer
+        from etl_pipeline_candy_store_spark.operators.neardup import (
+            neardup_signals,
+            pick_strategy,
+        )
+
+        neardup_strategy = pick_strategy(neardup_signals(d1))
+    report["near_dup_family"] = neardup_strategy or "jaccard"
     if corpus_state_dir is None:
-        cc = near_dup_labels(d1).cache()
+        cc = near_dup_labels(d1, strategy=neardup_strategy).cache()
     else:
         from etl_pipeline_candy_store_spark.operators.neardup_state import (
             neardup_labels_incremental,

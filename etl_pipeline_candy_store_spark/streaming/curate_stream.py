@@ -392,7 +392,11 @@ def _keepers(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def _read_curated_scrub_first(
-    spark: SparkSession, state_dir: str, *, with_docs: bool
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    with_docs: bool,
+    neardup_strategy: str | None = None,
 ) -> DataFrame:
     """The scrub-first read path: rebuild the raw corpus from the
     ids/texts state (keeper rows carry the texts — exact raw copies
@@ -456,7 +460,9 @@ def _read_curated_scrub_first(
         F.length("_scrubbed").cast("long").alias("n_chars"),
     ).localCheckpoint(eager=True)
     d1 = dedup_exact(scrubbed)
-    d2 = dedup_near(d1).localCheckpoint(eager=True)
+    d2 = dedup_near(d1, strategy=neardup_strategy).localCheckpoint(
+        eager=True
+    )
     from etl_pipeline_candy_store_spark.operators.curation import quality_gate
 
     gated = quality_gate(d2).filter(F.col("passed") == 1).select("doc_id")
@@ -476,6 +482,7 @@ def read_curated(
     *,
     with_docs: bool = False,
     scrub_boilerplate_first: bool = False,
+    neardup_strategy: str | None = None,
 ) -> DataFrame:
     """(doc_id, split) survivors over everything ingested so far —
     equal to batch ``curate()``'s export over the same docs under ANY
@@ -483,22 +490,62 @@ def read_curated(
     derived here from the digest-keyed state; ``with_docs`` keeps the
     full document columns (the export shape).
     ``scrub_boilerplate_first`` must match the flag the stream was run
-    with — it selects the scrub-first state layout and derivation."""
+    with — it selects the scrub-first state layout and derivation.
+
+    ``neardup_strategy`` mirrors batch ``curate(neardup_strategy=...)``:
+    ``None`` (default) consumes the incrementally maintained exact-
+    Jaccard pair state (no text rescan — the amortized path); a family
+    name or ``"auto"`` derives that detector's pairs ON READ over the
+    elected keeper texts via the neardup() dispatcher. Ingest is
+    family-agnostic (it stores one text copy per digest regardless), so
+    the SAME accumulated state can be re-read under any detector —
+    choosing a family is a read-time decision, not a re-ingest. The
+    derive-on-read arrival-order independence argument is the
+    scrub-first mode's: pairs are a pure function of the keeper set,
+    which is itself order-independent (min-election over per-batch
+    minima). Cost: one keeper-text scan per read, amortized by
+    :func:`read_curated_materialized`."""
     if scrub_boilerplate_first:
         return _read_curated_scrub_first(
-            spark, state_dir, with_docs=with_docs
+            spark,
+            state_dir,
+            with_docs=with_docs,
+            neardup_strategy=neardup_strategy,
         )
     keep = _keepers(spark, state_dir).localCheckpoint(eager=True)
     flags = _read_state(spark, f"{state_dir}/flags", _FLAGS_SCHEMA).drop(
         "batch"
     )
-    pairs = _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop(
-        "batch"
-    )
-    # near-dup drop: map digest pairs to elected keeper doc_ids, then
-    # min-label components — exactly batch curate()'s q51-over-keepers
-    d2 = keep
-    if not pairs.isEmpty():
+    if neardup_strategy is not None:
+        # family pairs derived on read over keeper texts (batch
+        # curate() runs the dispatcher over d1 = post-exact-dedup
+        # keepers — the same relation)
+        from etl_pipeline_candy_store_spark.operators.neardup import (
+            neardup,
+        )
+
+        texts = _read_state(spark, f"{state_dir}/texts", _TEXTS_SCHEMA).drop(
+            "batch"
+        )
+        keeper_docs = keep.join(texts, "fp").select("doc_id", "text")
+        id_pairs = neardup(keeper_docs, strategy=neardup_strategy).select(
+            "doc_a", "doc_b"
+        )
+        drop = connected_components(id_pairs, "doc_a", "doc_b").filter(
+            F.col("node") != F.col("label")
+        )
+        d2 = keep.join(
+            drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        )
+        pairs = None
+    else:
+        pairs = _read_state(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA).drop(
+            "batch"
+        )
+        # near-dup drop: map digest pairs to elected keeper doc_ids, then
+        # min-label components — exactly batch curate()'s q51-over-keepers
+        d2 = keep
+    if pairs is not None and not pairs.isEmpty():
         kid = keep.select("fp", "doc_id")
         id_pairs = (
             pairs.join(
@@ -612,6 +659,7 @@ def read_curated_materialized(
     *,
     with_docs: bool = False,
     scrub_boilerplate_first: bool = False,
+    neardup_strategy: str | None = None,
 ) -> DataFrame:
     """``read_curated`` memoized per STATE GENERATION through the
     durable store (the ER twin's ``read_resolved_entities_materialized``
@@ -634,6 +682,10 @@ def read_curated_materialized(
     else:
         name = "stream_curated" + ("_docs" if with_docs else "")
         tables = ("ids", "fps", "pairs", "flags", "shingles", "texts")
+    if neardup_strategy is not None:
+        # each detector family is its own derived relation — a minhash
+        # read must never serve a cached winnow read (and vice versa)
+        name += f"_{neardup_strategy}"
     return materialized_relation(
         spark,
         name,
@@ -643,6 +695,7 @@ def read_curated_materialized(
             state_dir,
             with_docs=with_docs,
             scrub_boilerplate_first=scrub_boilerplate_first,
+            neardup_strategy=neardup_strategy,
         ),
         tables=tables,
         store_dir=store_dir,
