@@ -407,6 +407,25 @@ def main() -> None:
                 )
         except Exception:
             pass
+    # The driver's BENCH_r* artifact keeps only a TAIL of the stdout
+    # line (the r13 verdict could recover just ~25 of 95 per-query
+    # medians, so a cross-round headline swing could not be attributed
+    # from artifacts). Persist the COMPLETE result — every per-query
+    # median, the frozen CORE / per-round ROTATING split, calibration —
+    # to a file the round ritual commits as BENCH_FULL_r<N>.json;
+    # tools/bench_diff.py renders the per-query diff between two such
+    # artifacts.
+    out["core_queries"] = CORE
+    out["rotating_queries"] = ROTATING
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+        ),
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
     spark.stop()
 
