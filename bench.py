@@ -140,6 +140,7 @@ ROTATING = [
     "q246_neardup_family_agreement_bounded",  # probed 3-detector matrix (r13)
     "q247_neardup_dispatch_signals",  # oracle-verified dispatch probe (r13)
     "q248_containment_pairs_bounded",  # df-banded containment join (r14)
+    "q249_edit_distance_bounded",  # block-capped edit-distance pairs (r14)
 ]
 
 # The full headline sweep (tools consume this name: scale_probe budgets,

@@ -26,9 +26,13 @@ containment          q226_containment_pairs            exact containment
                                                        when the shingle df
                                                        profile is known
                                                        benign)
-edit                 q169_edit_distance_neardup        character noise
+edit_bounded         q249_edit_distance_bounded        character noise
                                                        (OCR, mojibake,
-                                                       truncation)
+                                                       truncation),
+                                                       block-capped join
+edit                 q169_edit_distance_neardup        exact edit baseline
+                                                       (uncapped blocks —
+                                                       force-only)
 ===================  ================================  ====================
 
 :func:`neardup` is the one front door: callers either force a family
@@ -52,7 +56,7 @@ probe-then-pick pattern (operators/allocation.py):
 
    - char-noise regime (``noise_ppm >= NOISE_PPM_MIN`` and median doc
      short enough that O(len^2) verify is affordable,
-     ``median_tokens <= EDIT_MAX_MEDIAN_TOKENS``) -> **edit**:
+     ``median_tokens <= EDIT_MAX_MEDIAN_TOKENS``) -> **edit_bounded**:
      tokenization smears OCR/mojibake variants across shingles, so the
      set-similarity families under-merge exactly when noise is high.
    - short docs (``median_tokens < SHORT_DOC_TOKENS``) -> **simhash**:
@@ -87,6 +91,7 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     containment_pairs,
     containment_pairs_bounded,
     edit_distance_pairs,
+    edit_distance_pairs_bounded,
     minhash_lsh_pairs,
     simhash_pairs_bounded,
     winnow_pairs,
@@ -100,6 +105,7 @@ STRATEGIES = (
     "containment",
     "containment_bounded",
     "edit",
+    "edit_bounded",
 )
 
 #: >= 2% of lowercase characters outside [a-z0-9 ] reads as a noisy
@@ -208,7 +214,7 @@ def signals_frame(docs: DataFrame) -> DataFrame:
         "noise_ppm",
         F.expr(
             f"case when noise_ppm >= {NOISE_PPM_MIN}"
-            f" and median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} then 'edit'"
+            f" and median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} then 'edit_bounded'"
             f" when median_tokens < {SHORT_DOC_TOKENS} then 'simhash'"
             f" else 'minhash' end"
         ).alias("strategy"),
@@ -249,7 +255,7 @@ sig AS (
 )
 SELECT n_docs, median_tokens, noise_ppm,
        CASE WHEN noise_ppm >= {NOISE_PPM_MIN}
-             AND median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} THEN 'edit'
+             AND median_tokens <= {EDIT_MAX_MEDIAN_TOKENS} THEN 'edit_bounded'
             WHEN median_tokens < {SHORT_DOC_TOKENS} THEN 'simhash'
             ELSE 'minhash' END AS strategy
 FROM sig
@@ -319,7 +325,9 @@ def pick_strategy(signals: dict, overlap: str = "global") -> str:
         signals["noise_ppm"] >= NOISE_PPM_MIN
         and signals["median_tokens"] <= EDIT_MAX_MEDIAN_TOKENS
     ):
-        return "edit"
+        # the block-capped q249 join — exact q169's per-block fan-out
+        # is unbounded, so auto never dispatches to it
+        return "edit_bounded"
     if signals["median_tokens"] < SHORT_DOC_TOKENS:
         return "simhash"
     return "minhash"
@@ -356,6 +364,8 @@ def neardup(
         return containment_pairs_bounded(docs)
     if strategy == "edit":
         return edit_distance_pairs(docs)
+    if strategy == "edit_bounded":
+        return edit_distance_pairs_bounded(docs)
     raise ValueError(
         f"unknown strategy {strategy!r}; expected 'auto' or one of {STRATEGIES}"
     )

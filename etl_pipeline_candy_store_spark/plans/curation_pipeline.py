@@ -129,7 +129,8 @@ def near_dup_labels(
     to the stateful/stateless conformance oracle). Any other value is
     handed to the :func:`~..operators.neardup.neardup` dispatcher:
     a forced family (``"minhash"``/``"simhash"``/``"winnow"``/
-    ``"containment_bounded"``/``"containment"``/``"edit"``) or
+    ``"containment_bounded"``/``"containment"``/``"edit_bounded"``/
+    ``"edit"``) or
     ``"auto"`` (probe-dispatched). Every family emits (doc_a, doc_b)
     pair columns, so the component/keeper mechanics downstream are
     family-agnostic."""

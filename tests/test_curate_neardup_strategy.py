@@ -31,6 +31,7 @@ FAMILIES = [
     "containment_bounded",
     "containment",
     "edit",
+    "edit_bounded",
 ]
 
 

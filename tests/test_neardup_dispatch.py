@@ -26,6 +26,7 @@ FAMILY_QUERY = {
     "containment": "q226_containment_pairs",
     "containment_bounded": "q248_containment_pairs_bounded",
     "edit": "q169_edit_distance_neardup",
+    "edit_bounded": "q249_edit_distance_bounded",
 }
 
 
@@ -87,7 +88,7 @@ def test_pick_strategy_rules():
         "noise_ppm": 800,
     }
     assert pick_strategy(clean_long) == "minhash"
-    assert pick_strategy(noisy_short) == "edit"
+    assert pick_strategy(noisy_short) == "edit_bounded"
     # too long for O(len^2) verify even when noisy -> token families
     assert pick_strategy(noisy_long) == "minhash"
     assert pick_strategy(clean_tiny) == "simhash"
@@ -110,7 +111,7 @@ def test_signals_measure_engineered_fixtures(spark):
     s = neardup_signals(noisy)
     assert s["noise_ppm"] >= NOISE_PPM_MIN
     assert s["median_tokens"] <= EDIT_MAX_MEDIAN_TOKENS
-    assert pick_strategy(s) == "edit"
+    assert pick_strategy(s) == "edit_bounded"
 
     clean = spark.createDataFrame(
         [(i, " ".join(f"tok{j}" for j in range(50))) for i in range(1, 9)],
@@ -184,6 +185,47 @@ def test_bounded_containment_recall_contract(spark):
     assert exact2.filter("doc_a = 1 AND doc_b = 2").count() == 1
     assert bounded2.count() == 0
     assert exact2.count() > 0
+
+
+def test_bounded_edit_recall_contract(spark):
+    """The block cap's two halves: (a) blocks under the cap -> bounded
+    == exact (the length pre-filter is exact-neutral: |len_a - len_b|
+    <= radius is necessary for dist <= radius); (b) a 40-member block
+    (cap 32) loses the pairs whose member the cap truncated, exact
+    keeps them — the documented recall loss."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_bounded,
+    )
+
+    # (a) two noisy variants sharing a 16-char prefix + one unrelated
+    small = [
+        (1, "the quick brown f0x jumps over the lazy dog"),
+        (2, "the quick brown fox jumps 0ver the lazy dog!"),
+        (3, "completely unrelated text body here with words"),
+    ]
+    d = spark.createDataFrame(small, "doc_id long, text string")
+    exact = sorted(map(tuple, edit_distance_pairs(d).collect()))
+    bounded = sorted(map(tuple, edit_distance_pairs_bounded(d).collect()))
+    assert exact == bounded and len(exact) == 1
+
+    # (b) 40 docs in ONE prefix block (a shared boilerplate header):
+    # the cap keeps doc_ids 0..31, so any pair involving 32..39 is
+    # bounded-lost; candidate count is capped at 32*31/2 where exact
+    # pays 40*39/2
+    hub = [
+        (i, f"BOILERPLATE HDR variant number {i:02d} trailing text")
+        for i in range(40)
+    ]
+    d2 = spark.createDataFrame(hub, "doc_id long, text string")
+    exact2 = edit_distance_pairs(d2)
+    bounded2 = edit_distance_pairs_bounded(d2)
+    assert exact2.filter("doc_b >= 32").count() > 0
+    assert bounded2.filter("doc_b >= 32").count() == 0
+    # within the kept members the pairs agree exactly
+    assert sorted(map(tuple, exact2.filter("doc_b < 32").collect())) == sorted(
+        map(tuple, bounded2.collect())
+    )
 
 
 def test_probe_median_plan_is_bucketed(spark):

@@ -272,6 +272,13 @@ HEADLINE = [
     # bounded variant must track the shingle scan where exact q226's
     # pair output can grow with the hottest shingle's df.
     "q248_containment_pairs_bounded",
+    # q249 (r14): q169's prefix blocking with a per-block cap of 32
+    # (WindowGroupLimit) + exact-neutral length pre-filter — replica
+    # texts share prefixes with their originals, so the UNCAPPED q169
+    # would grow its block joins ~K^2 (it is excluded for that reason);
+    # the capped variant's candidates are blocks x 32^2/2 and must
+    # track the scan + bounded heap.
+    "q249_edit_distance_bounded",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
