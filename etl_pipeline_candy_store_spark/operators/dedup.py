@@ -2771,3 +2771,114 @@ def q246_neardup_family_agreement_bounded(
     return flags.groupBy("in_jaccard", "in_simhash", "in_winnow").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+# --- round 14: exact-vs-bounded recall audit ------------------------------
+
+def _q250_oracle() -> str:
+    """Composed from the six registered pair oracles (the q160
+    composition pattern) so the audit can never desync from the
+    detectors it audits."""
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    legs = {
+        "containment": ("q226_containment_pairs",
+                        "q248_containment_pairs_bounded"),
+        "edit": ("q169_edit_distance_neardup",
+                 "q249_edit_distance_bounded"),
+        "simhash": ("q68_simhash_neardup",
+                    "q245_simhash_neardup_bounded"),
+    }
+    unions = "\n  UNION ALL\n".join(
+        f"""  SELECT '{fam}' AS family,
+         (SELECT COUNT(*) FROM ({REGISTRY[e].oracle})) AS n_exact,
+         (SELECT COUNT(*) FROM ({REGISTRY[b].oracle})) AS n_bounded"""
+        for fam, (e, b) in sorted(legs.items())
+    )
+    return f"""
+WITH stats AS (
+{unions}
+)
+SELECT family,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_bounded AS BIGINT) AS n_bounded,
+       CAST(n_exact - n_bounded AS BIGINT) AS n_lost,
+       CAST(COALESCE((n_exact - n_bounded) * 1000000
+                     // NULLIF(n_exact, 0), 0) AS BIGINT) AS lost_ppm
+FROM stats
+"""
+
+
+@register(
+    "q250_bounded_detector_recall",
+    oracle=None,  # composed below once all six leg oracles are registered
+    doc="Exact-vs-bounded recall audit across the three detector "
+    "families that gained fan-out caps (simhash r13, containment and "
+    "edit r14): per family, the exact baseline's pair count, the "
+    "bounded production path's, pairs lost, and loss in ppm — the "
+    "report that answers 'what did the caps cost me on THIS corpus' "
+    "with a number instead of a docstring contract. n_lost is a plain "
+    "count difference because every bounded variant's pair set is a "
+    "SUBSET of its exact baseline's by construction (caps and df-bands "
+    "only remove candidates; the recall-contract tests pin this), so "
+    "no anti-join is needed. GUARDED BASELINE (the q241 pattern): the "
+    "exact legs are the quadratic-ish baselines themselves — q68 is "
+    "output-quadratic on template-dense corpora, q226/q169 are "
+    "hub-unbounded — so the audit is input-guarded at the all-pairs "
+    "cap and excluded from scale probes; at production scale run it "
+    "on a sampled corpus slice (recall loss is a RATE — sampling "
+    "needs no scale correction), or per-family against the probed "
+    "bounded queries.",
+)
+def q250_bounded_detector_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_candy_store_spark.operators.guards import (
+        guard_all_pairs,
+    )
+    from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY
+
+    guard_all_pairs(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        "q250_bounded_detector_recall",
+        "the bounded detectors (q245/q248/q249) plus a sampled audit",
+    )
+    legs = {
+        "containment": ("q226_containment_pairs",
+                        "q248_containment_pairs_bounded"),
+        "edit": ("q169_edit_distance_neardup",
+                 "q249_edit_distance_bounded"),
+        "simhash": ("q68_simhash_neardup",
+                    "q245_simhash_neardup_bounded"),
+    }
+    rows = None
+    for fam, (e, b) in sorted(legs.items()):
+        ec = REGISTRY[e].builder(spark, sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        )
+        bc = REGISTRY[b].builder(spark, sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("n_bounded")
+        )
+        leg = ec.join(bc, F.lit(True)).select(
+            F.lit(fam).alias("family"), "n_exact", "n_bounded"
+        )
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows.select(
+        "family",
+        "n_exact",
+        "n_bounded",
+        (F.col("n_exact") - F.col("n_bounded")).cast("long").alias("n_lost"),
+        F.expr(
+            "cast(coalesce((n_exact - n_bounded) * 1000000"
+            " div nullif(n_exact, 0), 0) as bigint)"
+        ).alias("lost_ppm"),
+    )
+
+
+import dataclasses as _dc_q250
+
+from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY as _REG_250
+
+_REG_250["q250_bounded_detector_recall"] = _dc_q250.replace(
+    _REG_250["q250_bounded_detector_recall"], oracle=_q250_oracle()
+)

@@ -1,0 +1,118 @@
+"""foreachBatch shingle-state sink: micro-batches of documents append
+first-seen per-doc shingle digests into a parquet state; the bounded
+containment pairs derived from the state equal batch q248 exactly —
+for EVERY arrival order — and neither whole-batch replays nor
+cross-batch doc redeliveries change anything."""
+
+from __future__ import annotations
+
+from etl_pipeline_candy_store_spark.plans.catalog import (
+    REGISTRY,
+    _ensure_loaded,
+    load,
+)
+from etl_pipeline_candy_store_spark.streaming.containment_stream import (
+    read_containment_pairs,
+    stream_shingle_state,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, src: str, target: str, ckpt: str) -> None:
+    schema = load(spark, SF, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_shingle_state(
+            stream, target_path=target, checkpoint_path=ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _batch_pairs(spark) -> set[tuple]:
+    _ensure_loaded()
+    return {
+        tuple(r)
+        for r in REGISTRY["q248_containment_pairs_bounded"]
+        .builder(spark, SF)
+        .collect()
+    }
+
+
+def _stream_pairs(spark, target: str) -> set[tuple]:
+    return {tuple(r) for r in read_containment_pairs(spark, target).collect()}
+
+
+def test_stream_pairs_match_batch_q248(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    load(spark, SF, "documents").repartition(4).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+    want = _batch_pairs(spark)
+    assert want  # non-vacuous: the corpus HAS containment pairs
+    assert _stream_pairs(spark, target) == want
+
+
+def test_stream_state_arrival_order_independent(spark, tmp_path):
+    """Adversarial arrival permutation: ascending vs descending vs one
+    batch — identical final state rows, identical derived pairs. The
+    state is append-only per first-seen doc, so no order can matter."""
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents")
+    states = []
+    for tag, frame in (
+        ("asc", docs.repartitionByRange(5, F.col("doc_id"))),
+        ("desc", docs.repartitionByRange(5, F.col("doc_id").desc())),
+        ("one", docs.coalesce(1)),
+    ):
+        src = str(tmp_path / f"src_{tag}")
+        target = str(tmp_path / f"target_{tag}")
+        frame.write.parquet(src)
+        _run(spark, src, target, str(tmp_path / f"ckpt_{tag}"))
+        states.append(sorted(map(tuple, spark.read.parquet(target).collect())))
+    assert states[0] == states[1] == states[2]
+    assert _stream_pairs(spark, str(tmp_path / "target_desc")) == _batch_pairs(
+        spark
+    )
+
+
+def test_cross_batch_doc_redelivery_idempotent(spark, tmp_path):
+    """At-least-once delivery that is NOT a whole-batch replay: half
+    the docs are delivered again in later batches under new batch_ids.
+    The state-derived seen-doc filter must keep the shingle rows — and
+    the derived pairs — equal to the exactly-once run."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    docs = load(spark, SF, "documents")
+    docs.coalesce(2).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    target = str(tmp_path / "target")
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+    n_docs = docs.count()
+    state = spark.read.parquet(target)
+    assert state.select("doc_id").distinct().count() == n_docs
+    assert state.count() == state.distinct().count()  # no duplicated rows
+    assert _stream_pairs(spark, target) == _batch_pairs(spark)
+
+
+def test_stream_replay_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    load(spark, SF, "documents").repartition(3).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt1"))
+    state1 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    pairs1 = _stream_pairs(spark, target)
+    _run(spark, src, target, str(tmp_path / "ckpt2"))
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == state1
+    assert _stream_pairs(spark, target) == pairs1

@@ -228,6 +228,42 @@ def test_bounded_edit_recall_contract(spark):
     )
 
 
+def test_bounded_recall_audit_invariants(spark):
+    """q250: every bounded pair set is a subset of its exact baseline
+    (n_lost >= 0 per family, all three families reported), and the
+    guard refuses production-scale input naming the bounded
+    alternatives (the q241 pattern)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_candy_store_spark.operators.guards import (
+        AllPairsGuardError,
+    )
+
+    _ensure_loaded()
+    rows = {
+        r["family"]: r
+        for r in REGISTRY["q250_bounded_detector_recall"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert set(rows) == {"containment", "edit", "simhash"}
+    for fam, r in rows.items():
+        assert r["n_bounded"] <= r["n_exact"], fam
+        assert r["n_lost"] == r["n_exact"] - r["n_bounded"], fam
+
+    big = spark.range(60_000).select(
+        F.col("id").alias("doc_id"), F.lit("text body").alias("text")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        big.write.parquet(tmp + "/documents.parquet")
+        with pytest.raises(AllPairsGuardError, match="q245/q248/q249"):
+            REGISTRY["q250_bounded_detector_recall"].builder(
+                spark, tmp
+            ).collect()
+
+
 def test_probe_median_plan_is_bucketed(spark):
     """Plan lock (round 14): the probe's exact median must run as the
     q119-style two-level prefix sum — the in-bucket cumulative window
