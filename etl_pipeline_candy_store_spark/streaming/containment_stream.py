@@ -140,3 +140,37 @@ def read_containment_pairs(
         "left_semi",
     )
     return _containment_scored(kept, card, _CONTAINMENT_MIN_MICROS)
+
+
+def purge_docs(
+    spark: SparkSession, target_path: str, doc_ids: DataFrame
+) -> int:
+    """Right-to-be-forgotten for the shingle state (the q194/
+    forget_from_neardup_state obligation extended to the stream twin):
+    physically rewrite the state WITHOUT the given doc_ids — shingle
+    digests of a person's documents are still linkable derived state
+    and are purged, not filtered at read time. The rewrite rides the
+    same tmp+atomic-swap protocol as the sink, and the applied-batch
+    ledger is carried over so later micro-batches keep their replay
+    guard. Returns the number of state rows removed. The state is
+    doc_id-keyed, so the purge needs only ids — unlike the winnow
+    twin, whose aggregated df counts need the purged docs' text to
+    subtract (see ``winnow_stream.purge_docs``)."""
+    from etl_pipeline_candy_store_spark.operators.ledger import (
+        read_max_applied,
+        write_applied_into,
+    )
+
+    _fs_recover(spark, target_path)
+    jvm, fs = _hadoop_fs(spark, target_path)
+    target = target_path.rstrip("/")
+    applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+    state = spark.read.parquet(target)
+    ids = doc_ids.select("doc_id").distinct()
+    keep = state.join(ids, "doc_id", "left_anti")
+    removed = state.count() - keep.count()
+    tmp = target + "._tmp-purge"
+    keep.write.mode("overwrite").parquet(tmp)
+    write_applied_into(spark, tmp, applied_max, _LEDGER)
+    _fs_swap(spark, tmp, target)
+    return removed

@@ -110,3 +110,31 @@ def read_simhash_pairs(spark: SparkSession, target_path: str) -> DataFrame:
     )
 
     return banded_capped_pairs(spark.read.parquet(target_path.rstrip("/")))
+
+
+def purge_docs(
+    spark: SparkSession, target_path: str, doc_ids: DataFrame
+) -> int:
+    """Right-to-be-forgotten for the signature state: physically
+    rewrite without the given doc_ids (a SimHash signature is derived
+    from a document's content — linkable state, purged not filtered),
+    via the sink's own tmp+atomic-swap protocol with the applied-batch
+    ledger carried over. Returns rows removed."""
+    from etl_pipeline_candy_store_spark.operators.ledger import (
+        read_max_applied,
+        write_applied_into,
+    )
+
+    _fs_recover(spark, target_path)
+    jvm, fs = _hadoop_fs(spark, target_path)
+    target = target_path.rstrip("/")
+    applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+    state = spark.read.parquet(target)
+    ids = doc_ids.select("doc_id").distinct()
+    keep = state.join(ids, "doc_id", "left_anti")
+    removed = state.count() - keep.count()
+    tmp = target + "._tmp-purge"
+    keep.write.mode("overwrite").parquet(tmp)
+    write_applied_into(spark, tmp, applied_max, _LEDGER)
+    _fs_swap(spark, tmp, target)
+    return removed

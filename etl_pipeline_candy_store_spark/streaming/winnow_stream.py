@@ -188,3 +188,57 @@ def read_winnow_pairs(
             .alias("overlap_ppm"),
         )
     )
+
+
+def purge_docs(
+    spark: SparkSession, target_path: str, docs: DataFrame
+) -> int:
+    """Right-to-be-forgotten for the fingerprint-frequency state. The
+    df counts are AGGREGATED — the state cannot attribute a count back
+    to a doc_id — so the purge needs the documents' TEXT to recompute
+    their fingerprint contributions and subtract them exactly (the
+    price of the vocabulary-sized state: deletability requires the
+    deleted content, where the instance-keyed simhash/containment
+    twins purge by id alone). ``docs`` is a (doc_id, text) frame of
+    the documents to forget; only ids actually in the seen set
+    contribute (already-purged or never-seen ids are no-ops, so the
+    purge is idempotent). Fingerprints whose df reaches 0 are dropped;
+    the seen set loses the ids; both swap atomically with the ledger
+    carried over. Returns the number of doc_ids removed from the seen
+    set. After the purge, the state equals what a from-scratch stream
+    over the remaining corpus would have produced — tested."""
+    from etl_pipeline_candy_store_spark.operators.ledger import (
+        read_max_applied,
+        write_applied_into,
+    )
+
+    _fs_recover(spark, target_path)
+    jvm, fs = _hadoop_fs(spark, target_path)
+    target = target_path.rstrip("/")
+    applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+    state = spark.read.parquet(target)
+    seen = spark.read.parquet(target + "/" + _SEEN)
+    victims = docs.select("doc_id", "text").join(
+        seen, "doc_id", "left_semi"
+    )
+    n_purged = victims.select("doc_id").distinct().count()
+    sub = _batch_fpcounts(victims).withColumnRenamed("df", "df_sub")
+    merged = (
+        state.join(sub, "wmin", "left")
+        .select(
+            "wmin",
+            (F.col("df") - F.coalesce("df_sub", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    keep_seen = seen.join(
+        victims.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    tmp = target + "._tmp-purge"
+    merged.write.mode("overwrite").parquet(tmp)
+    keep_seen.write.mode("overwrite").parquet(tmp + "/" + _SEEN)
+    write_applied_into(spark, tmp, applied_max, _LEDGER)
+    _fs_swap(spark, tmp, target)
+    return n_purged

@@ -116,3 +116,48 @@ def test_stream_replay_idempotent(spark, tmp_path):
     _run(spark, src, target, str(tmp_path / "ckpt2"))
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == state1
     assert _stream_pairs(spark, target) == pairs1
+
+
+def test_purge_docs_physical_forget(spark, tmp_path):
+    """After purging half the corpus, the state and the derived pairs
+    equal a from-scratch run over the remaining docs, the purge is
+    idempotent, and the ledger survives (replay guard intact)."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        containment_pairs_bounded,
+    )
+    from etl_pipeline_candy_store_spark.streaming.containment_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    docs = load(spark, SF, "documents")
+    docs.repartition(3).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    removed = purge_docs(spark, target, victims)
+    assert removed > 0
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    state = spark.read.parquet(target)
+    assert state.join(victims, "doc_id", "left_semi").count() == 0
+    want = {
+        tuple(r)
+        for r in containment_pairs_bounded(
+            remaining.select("doc_id", "text")
+        ).collect()
+    }
+    assert _stream_pairs(spark, target) == want
+    assert purge_docs(spark, target, victims) == 0  # idempotent
+    # replay guard intact: the applied-batch ledger survived the swap
+    from etl_pipeline_candy_store_spark.operators.ledger import (
+        read_max_applied,
+    )
+    from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+        _hadoop_fs,
+    )
+
+    jvm, fs = _hadoop_fs(spark, target)
+    assert read_max_applied(spark, fs, jvm, target, "_applied") >= 0

@@ -104,3 +104,36 @@ def test_stream_replay_idempotent(spark, tmp_path):
     state1 = sorted(map(tuple, spark.read.parquet(target).collect()))
     _run(spark, src, target, str(tmp_path / "ckpt2"))
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == state1
+
+
+def test_purge_docs_physical_forget(spark, tmp_path):
+    """doc_id-keyed signature state purges by id: state and derived
+    pairs equal a from-scratch run over the remaining docs; re-purge is
+    a no-op."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        simhash_pairs_bounded,
+    )
+    from etl_pipeline_candy_store_spark.streaming.simhash_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    docs = load(spark, SF, "documents")
+    docs.repartition(3).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    assert purge_docs(spark, target, victims) == victims.count()
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {tuple(r) for r in read_simhash_pairs(spark, target).collect()}
+    want = {
+        tuple(r)
+        for r in simhash_pairs_bounded(
+            remaining.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want
+    assert purge_docs(spark, target, victims) == 0

@@ -152,3 +152,50 @@ def test_stream_replay_idempotent(spark, tmp_path):
     _run(spark, src, target, str(tmp_path / "ckpt2"))
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == state1
     assert _stream_pairs(spark, target) == pairs1
+
+
+def test_purge_docs_physical_forget(spark, tmp_path):
+    """Winnow's aggregated df state purges by SUBTRACTION (it needs the
+    victims' text — the documented price of vocabulary-sized state):
+    after the purge, counts and derived pairs equal a from-scratch run
+    over the remaining docs; re-purging the same docs is a no-op."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from etl_pipeline_candy_store_spark.streaming.winnow_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    docs = load(spark, SF, "documents")
+    docs.repartition(3).write.parquet(src)
+    _run(spark, src, target, str(tmp_path / "ckpt"))
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0)
+    n = purge_docs(spark, target, victims.select("doc_id", "text"))
+    assert n == victims.count()
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    want = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(remaining.select("doc_id", "text"))
+            .groupBy("wmin")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == want
+    from etl_pipeline_candy_store_spark.operators.dedup import winnow_pairs
+
+    got = {
+        tuple(r)
+        for r in read_winnow_pairs(spark, target, remaining).collect()
+    }
+    assert got == {
+        tuple(r)
+        for r in winnow_pairs(remaining.select("doc_id", "text")).collect()
+    }
+    assert purge_docs(spark, target, victims.select("doc_id", "text")) == 0
