@@ -42,4 +42,11 @@ python tools/scale_probe.py 10 --out "SCALE_r${round}.json"
 echo "== gate 4/4: pipeline probe (K=10, budget-gated) =="
 python tools/pipeline_probe.py 10 --out "PIPELINE_SCALE_r${round}.json"
 
-echo "ALL GATES GREEN — commit SCALE_r${round}.json, PIPELINE_SCALE_r${round}.json and ORACLE_FULL_r${round}*.json"
+# advisory (not a gate): the full per-query bench artifact at this HEAD
+# — the r14 discipline; compare rounds with tools/bench_diff.py. Raw
+# core_total is the primary cross-round signal (the calibration probe
+# under-tracks workload drift on noisy hosts — COVERAGE r14).
+echo "== post-gate: full bench artifact =="
+SPARK_GRAFT_BENCH_OUT="BENCH_FULL_r${round}.json" python bench.py
+
+echo "ALL GATES GREEN — commit SCALE_r${round}.json, PIPELINE_SCALE_r${round}.json, ORACLE_FULL_r${round}*.json and BENCH_FULL_r${round}.json"
