@@ -16,7 +16,10 @@ no separate seen-set — the state itself knows which doc_ids it holds,
 so each batch anti-joins its doc_ids against the stored ones and only
 first-seen documents append rows (a doc_id redelivered under a fresh
 batch_id is skipped; whole-batch replays are skipped by the shared
-max-applied ledger).
+max-applied ledger). Purged doc_ids are the one exception the state
+cannot self-remember — their rows are gone — so they live on in a
+``_purged_docs`` tombstone set the new-doc filter also consults,
+making right-to-be-forgotten durable under redelivery.
 
 The pair verdict is derived on read (:func:`read_containment_pairs`),
 the shared twin philosophy — here because BOTH the df band and the
@@ -44,9 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+    TOMBSTONES,
     _fs_recover,
     _fs_swap,
     _hadoop_fs,
+    read_ids_or_empty,
 )
 
 _LEDGER = "_applied"
@@ -84,16 +89,23 @@ def stream_shingle_state(
         P = jvm.org.apache.hadoop.fs.Path
         target = target_path.rstrip("/")
         applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+        tombs = None
         if fs.exists(P(target)):
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
             state = spark.read.parquet(target)
             # per-doc idempotence from the state itself: only doc_ids
-            # no earlier batch contributed may append shingle rows
+            # no earlier batch contributed may append shingle rows.
+            # Purged ids are excluded the same way — an at-least-once
+            # redelivery of a forgotten document must not re-ingest it
+            # (the purge removed its rows from the state, so the state
+            # alone would treat it as first-seen; tombstones close that)
+            tombs = read_ids_or_empty(spark, target + "/" + TOMBSTONES)
             new_docs = (
                 batch.select("doc_id")
                 .distinct()
                 .join(state.select("doc_id").distinct(), "doc_id", "left_anti")
+                .join(tombs, "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
             fresh = batch.join(new_docs, "doc_id", "left_semi")
@@ -102,6 +114,10 @@ def stream_shingle_state(
             merged = _batch_shingles(batch)
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        if tombs is not None:
+            # tombstones survive every merge — the swap replaces the
+            # whole target directory, so the relation must be carried
+            tombs.write.mode("overwrite").parquet(tmp + "/" + TOMBSTONES)
         write_applied_into(spark, tmp, batch_id, _LEDGER)
         _fs_swap(spark, tmp, target)
 
@@ -152,7 +168,12 @@ def purge_docs(
     and are purged, not filtered at read time. The rewrite rides the
     same tmp+atomic-swap protocol as the sink, and the applied-batch
     ledger is carried over so later micro-batches keep their replay
-    guard. Returns the number of state rows removed. The state is
+    guard. Every requested id also lands in the ``_purged_docs``
+    tombstone set the sink's new-doc filter consults — without it, an
+    at-least-once redelivery of a purged doc_id would look first-seen
+    (its rows are gone from the state, which doubles as the seen set)
+    and the forgotten content would silently re-ingest (ADVICE r15).
+    Returns the number of state rows removed. The state is
     doc_id-keyed, so the purge needs only ids — unlike the winnow
     twin, whose aggregated df counts need the purged docs' text to
     subtract (see ``winnow_stream.purge_docs``)."""
@@ -169,8 +190,12 @@ def purge_docs(
     ids = doc_ids.select("doc_id").distinct()
     keep = state.join(ids, "doc_id", "left_anti")
     removed = state.count() - keep.count()
+    tombs = read_ids_or_empty(spark, target + "/" + TOMBSTONES).unionByName(
+        ids
+    ).distinct()
     tmp = target + "._tmp-purge"
     keep.write.mode("overwrite").parquet(tmp)
+    tombs.write.mode("overwrite").parquet(tmp + "/" + TOMBSTONES)
     write_applied_into(spark, tmp, applied_max, _LEDGER)
     _fs_swap(spark, tmp, target)
     return removed

@@ -31,6 +31,30 @@ from pyspark.sql.window import Window
 from etl_pipeline_candy_store_spark.operators.merge import merge_upsert
 
 
+#: tombstone subdir for purged doc_ids — underscore-prefixed so parquet
+#: readers of a twin's state never see it. Purge durability under
+#: at-least-once delivery (ADVICE r14): a purge that merely removes a
+#: document's rows (and, for the winnow twin, its seen-set entry) is
+#: undone the moment the upstream feed redelivers that doc_id in a new
+#: micro-batch — the sink would treat it as first-seen and re-ingest the
+#: forgotten content. Each purging twin therefore records the purged
+#: ids here, the sink's new-doc filter anti-joins them, and every
+#: applied batch carries the relation through the atomic swap. The
+#: tombstone stores only the opaque doc_id (no content, no derived
+#: digests), the standard durable-deletion marker.
+TOMBSTONES = "_purged_docs"
+
+
+def read_ids_or_empty(spark, path: str, col: str = "doc_id") -> DataFrame:
+    """Read an id relation that may not exist yet (no purges so far, or
+    state written before the tombstone upgrade — absence means the empty
+    set in both cases) as a frame of the right schema."""
+    jvm, fs = _hadoop_fs(spark, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], f"{col} long")
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -25,7 +25,13 @@ redelivered with different text; doc_ids are unique keys in the batch
 contract, so that case is feed corruption surfaced deterministically
 rather than double-counted. The seen set adds one long per document
 (stored under ``_seen_docs``, underscore-invisible to parquet readers
-of the count state, swapped atomically with it).
+of the count state, swapped atomically with it). State written by the
+pre-r14 sink has no seen set and cannot be migrated in place (the
+aggregated counts can't be attributed back to doc_ids) — resuming onto
+it raises a deliberate format error instead of the path-not-found the
+r14 sink produced (ADVICE r15). Purged doc_ids live on in a
+``_purged_docs`` tombstone set the new-doc filter also consults, so a
+purge survives at-least-once redelivery of the forgotten documents.
 
 The pair verdict is derived on read (:func:`read_winnow_pairs`), the
 "mergeable state + verdict derived on read" philosophy shared by the
@@ -50,15 +56,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.streaming.upsert_sink import (
+    TOMBSTONES,
     _fs_recover,
     _fs_swap,
     _hadoop_fs,
+    read_ids_or_empty,
 )
 
 _LEDGER = "_applied"
 #: seen-doc set subdir — underscore-prefixed so parquet readers of the
 #: count state never see it; swaps atomically with the counts
 _SEEN = "_seen_docs"
+
+
+def _require_seen(fs, P, target: str) -> None:
+    """Refuse to merge into (or purge) state written by the pre-r14
+    sink: such state has no ``_seen_docs`` relation, and the aggregated
+    df counts cannot be retroactively attributed to doc_ids, so there
+    is no in-place migration that restores the per-doc idempotence
+    guarantee — resuming would either crash on the missing path
+    (the r14 behavior this guard replaces, ADVICE r15) or silently
+    re-open the double-count hole the seen set exists to close."""
+    if not fs.exists(P(target + "/" + _SEEN)):
+        raise RuntimeError(
+            f"winnow fingerprint state at {target} predates the "
+            "_seen_docs per-doc idempotence set (r14 state format "
+            "upgrade): the stored df counts cannot be attributed back "
+            "to doc_ids, so it cannot be migrated in place. Delete the "
+            "target and the stream checkpoint and re-ingest the corpus."
+        )
 
 
 def _batch_fpcounts(batch: DataFrame) -> DataFrame:
@@ -94,19 +120,28 @@ def stream_fingerprint_counts(
         P = jvm.org.apache.hadoop.fs.Path
         target = target_path.rstrip("/")
         applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
+        tombs = None
         if fs.exists(P(target)):
+            # format check FIRST, even for replayed batches: resuming
+            # onto pre-r14 state must fail fast with the migration
+            # story, not silently skip until the first fresh batch
+            _require_seen(fs, P, target)
             if batch_id <= applied_max:
                 return  # replayed delivery — already merged, skip
             # per-doc idempotence: only doc_ids no earlier batch has
             # contributed may add fingerprint partials — an at-least-
             # once redelivery in a NEW batch_id (not a whole-batch
             # replay, which the ledger guard above already skipped)
-            # must not double-count its fingerprints' df
+            # must not double-count its fingerprints' df. Purged ids
+            # are excluded the same way: a redelivery of a forgotten
+            # document must not silently re-ingest it (tombstones).
             seen = spark.read.parquet(target + "/" + _SEEN)
+            tombs = read_ids_or_empty(spark, target + "/" + TOMBSTONES)
             new_docs = (
                 batch.select("doc_id")
                 .distinct()
                 .join(seen, "doc_id", "left_anti")
+                .join(tombs, "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
             fresh = batch.join(new_docs, "doc_id", "left_semi")
@@ -123,6 +158,10 @@ def stream_fingerprint_counts(
         tmp = target + f"._tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         merged_docs.write.mode("overwrite").parquet(tmp + "/" + _SEEN)
+        if tombs is not None:
+            # tombstones survive every merge — the swap replaces the
+            # whole target directory, so the relation must be carried
+            tombs.write.mode("overwrite").parquet(tmp + "/" + TOMBSTONES)
         write_applied_into(spark, tmp, batch_id, _LEDGER)
         _fs_swap(spark, tmp, target)
 
@@ -203,10 +242,15 @@ def purge_docs(
     the documents to forget; only ids actually in the seen set
     contribute (already-purged or never-seen ids are no-ops, so the
     purge is idempotent). Fingerprints whose df reaches 0 are dropped;
-    the seen set loses the ids; both swap atomically with the ledger
-    carried over. Returns the number of doc_ids removed from the seen
-    set. After the purge, the state equals what a from-scratch stream
-    over the remaining corpus would have produced — tested."""
+    the seen set loses the ids; every requested id lands in the
+    ``_purged_docs`` tombstone set the sink's new-doc filter consults,
+    so an at-least-once redelivery of a purged document cannot
+    silently re-ingest the forgotten content (the purge is durable,
+    not just point-in-time — ADVICE r15); all three relations swap
+    atomically with the ledger carried over. Returns the number of
+    doc_ids removed from the seen set. After the purge, the count
+    state equals what a from-scratch stream over the remaining corpus
+    would have produced — tested."""
     from etl_pipeline_candy_store_spark.operators.ledger import (
         read_max_applied,
         write_applied_into,
@@ -214,7 +258,9 @@ def purge_docs(
 
     _fs_recover(spark, target_path)
     jvm, fs = _hadoop_fs(spark, target_path)
+    P = jvm.org.apache.hadoop.fs.Path
     target = target_path.rstrip("/")
+    _require_seen(fs, P, target)
     applied_max = read_max_applied(spark, fs, jvm, target, _LEDGER)
     state = spark.read.parquet(target)
     seen = spark.read.parquet(target + "/" + _SEEN)
@@ -236,9 +282,16 @@ def purge_docs(
     keep_seen = seen.join(
         victims.select("doc_id").distinct(), "doc_id", "left_anti"
     )
+    # every REQUESTED id is tombstoned (not just the seen ones): a
+    # forget request covers future deliveries of that id too, whether
+    # or not the stream had ingested it yet
+    tombs = read_ids_or_empty(spark, target + "/" + TOMBSTONES).unionByName(
+        docs.select("doc_id").distinct()
+    ).distinct()
     tmp = target + "._tmp-purge"
     merged.write.mode("overwrite").parquet(tmp)
     keep_seen.write.mode("overwrite").parquet(tmp + "/" + _SEEN)
+    tombs.write.mode("overwrite").parquet(tmp + "/" + TOMBSTONES)
     write_applied_into(spark, tmp, applied_max, _LEDGER)
     _fs_swap(spark, tmp, target)
     return n_purged

@@ -161,3 +161,46 @@ def test_purge_docs_physical_forget(spark, tmp_path):
 
     jvm, fs = _hadoop_fs(spark, target)
     assert read_max_applied(spark, fs, jvm, target, "_applied") >= 0
+
+
+def test_purge_survives_redelivery(spark, tmp_path):
+    """ADVICE r15: an at-least-once redelivery of PURGED documents
+    (fresh batch_ids, same checkpoint — the state's own doc_ids were
+    the idempotence set, and the purge removed them) must not
+    re-ingest the forgotten content. The _purged_docs tombstones make
+    the purge durable: after redelivery the state and derived pairs
+    still equal a from-scratch run over the remaining corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        containment_pairs_bounded,
+    )
+    from etl_pipeline_candy_store_spark.streaming.containment_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load(spark, SF, "documents")
+    docs.coalesce(2).write.parquet(src)
+    _run(spark, src, target, ckpt)
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0)
+    assert purge_docs(spark, target, victims.select("doc_id")) > 0
+    victims.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, target, ckpt)
+
+    state = spark.read.parquet(target)
+    assert (
+        state.join(victims.select("doc_id"), "doc_id", "left_semi").count()
+        == 0
+    )
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    want = {
+        tuple(r)
+        for r in containment_pairs_bounded(
+            remaining.select("doc_id", "text")
+        ).collect()
+    }
+    assert _stream_pairs(spark, target) == want

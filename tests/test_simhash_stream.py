@@ -137,3 +137,47 @@ def test_purge_docs_physical_forget(spark, tmp_path):
     }
     assert got == want
     assert purge_docs(spark, target, victims) == 0
+
+
+def test_purge_survives_redelivery(spark, tmp_path):
+    """ADVICE r15: an at-least-once redelivery of PURGED documents must
+    not re-insert their signatures through the min-merge (the purge
+    removed the rows, so the state alone cannot recognize them). The
+    _purged_docs tombstones make the purge durable: after redelivery
+    the state and derived pairs still equal a from-scratch run over
+    the remaining corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        simhash_pairs_bounded,
+    )
+    from etl_pipeline_candy_store_spark.streaming.simhash_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load(spark, SF, "documents")
+    docs.coalesce(2).write.parquet(src)
+    _run(spark, src, target, ckpt)
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0)
+    assert purge_docs(spark, target, victims.select("doc_id")) > 0
+    victims.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, target, ckpt)
+
+    state = spark.read.parquet(target)
+    assert (
+        state.join(victims.select("doc_id"), "doc_id", "left_semi").count()
+        == 0
+    )
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {tuple(r) for r in read_simhash_pairs(spark, target).collect()}
+    want = {
+        tuple(r)
+        for r in simhash_pairs_bounded(
+            remaining.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want

@@ -199,3 +199,93 @@ def test_purge_docs_physical_forget(spark, tmp_path):
         for r in winnow_pairs(remaining.select("doc_id", "text")).collect()
     }
     assert purge_docs(spark, target, victims.select("doc_id", "text")) == 0
+
+
+def test_purge_survives_redelivery(spark, tmp_path):
+    """ADVICE r15: an at-least-once redelivery of PURGED documents
+    (fresh batch_ids under the same checkpoint — neither the ledger
+    nor the seen set can catch it, the purge removed the seen entries)
+    must not re-ingest the forgotten content. The _purged_docs
+    tombstones make the purge durable: after redelivery the state
+    still equals a from-scratch run over the remaining corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from etl_pipeline_candy_store_spark.streaming.winnow_stream import (
+        purge_docs,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load(spark, SF, "documents")
+    docs.coalesce(2).write.parquet(src)
+    _run(spark, src, target, ckpt)
+
+    victims = docs.filter(F.col("doc_id") % 2 == 0)
+    assert purge_docs(spark, target, victims.select("doc_id", "text")) > 0
+    # the upstream feed redelivers the purged docs as new source files
+    # (new micro-batches, SAME checkpoint)
+    victims.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, target, ckpt)
+
+    remaining = docs.filter(F.col("doc_id") % 2 == 1)
+    want = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(remaining.select("doc_id", "text"))
+            .groupBy("wmin")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == want
+    got = {
+        tuple(r)
+        for r in read_winnow_pairs(spark, target, remaining).collect()
+    }
+    from etl_pipeline_candy_store_spark.operators.dedup import winnow_pairs
+
+    assert got == {
+        tuple(r)
+        for r in winnow_pairs(remaining.select("doc_id", "text")).collect()
+    }
+
+
+def test_pre_r14_state_refuses_with_migration_error(spark, tmp_path):
+    """State written by the pre-r14 sink (no _seen_docs relation)
+    cannot be resumed or purged: both paths raise a deliberate
+    format-upgrade error naming the re-ingest remedy, instead of the
+    raw path-not-found AnalysisException the r14 code produced."""
+    import pytest
+
+    from etl_pipeline_candy_store_spark.operators.ledger import (
+        write_applied_into,
+    )
+    from etl_pipeline_candy_store_spark.streaming.winnow_stream import (
+        purge_docs,
+    )
+
+    target = str(tmp_path / "target")
+    docs = load(spark, SF, "documents")
+    # hand-craft the r13-format state: counts + ledger, no _seen_docs
+    from etl_pipeline_candy_store_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    import pyspark.sql.functions as F
+
+    winnow_fingerprints(docs.select("doc_id", "text")).groupBy("wmin").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    ).write.parquet(target)
+    write_applied_into(spark, target, 0, "_applied")
+
+    with pytest.raises(RuntimeError, match="predates the _seen_docs"):
+        purge_docs(spark, target, docs.limit(1).select("doc_id", "text"))
+
+    # resuming the sink onto it fails with the same deliberate error
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    with pytest.raises(Exception, match="predates the _seen_docs"):
+        _run(spark, src, target, str(tmp_path / "ckpt"))

@@ -66,10 +66,22 @@ def main() -> None:
     if rows:
         import math
 
-        geo = math.exp(sum(math.log(r[0]) for r in rows) / len(rows))
+        # geomean over finite positive ratios only: a 0 timing on either
+        # side yields log(0)/inf and would crash or garble the report —
+        # such degenerate rows stay in the table but are called out here
+        finite = [
+            r[0] for r in rows if 0.0 < r[0] < float("inf")
+        ]
+        excluded = len(rows) - len(finite)
+        geo = (
+            math.exp(sum(math.log(r) for r in finite) / len(finite))
+            if finite
+            else float("nan")
+        )
+        note = f" ({excluded} zero/inf ratio(s) excluded)" if excluded else ""
         print(
             f"\nshared queries: {len(rows)}; normalized-ratio geomean "
-            f"x{geo:.3f} (1.0 = flat round-over-round)\n"
+            f"x{geo:.3f} (1.0 = flat round-over-round){note}\n"
         )
         print("| query | old s | new s | raw x | normalized x | |")
         print("|---|---|---|---|---|---|")
