@@ -151,6 +151,8 @@ ROTATING = [
     "q247_neardup_dispatch_signals",  # oracle-verified dispatch probe (r13)
     "q248_containment_pairs_bounded",  # df-banded containment join (r14)
     "q249_edit_distance_bounded",  # block-capped edit-distance pairs (r14)
+    "q251_exact_dup_spans",  # character-exact maximal dup spans (r15)
+    "q252_dup_span_profile_exact",  # per-doc exact dup-coverage gate (r15)
 ]
 
 # The full headline sweep (tools consume this name: scale_probe budgets,

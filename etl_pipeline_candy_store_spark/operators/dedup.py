@@ -2882,3 +2882,374 @@ from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY as _REG_250
 _REG_250["q250_bounded_detector_recall"] = _dc_q250.replace(
     _REG_250["q250_bounded_detector_recall"], oracle=_q250_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated spans at character resolution (r15) — the EXACT member
+# of the substring-dedup family (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", which dedups exact substrings found via
+# a suffix array). q140/q203/q204 work at 3-token-shingle resolution:
+# they can tell THAT a region is duplicated, but boundaries are quantized
+# to shingles and adjacent windows may match different partners. These
+# operators recover the exact maximal duplicated character spans between
+# document pairs without building a suffix array: every matching L-char
+# window between two docs is a point on the (pos_a, pos_b) grid, and a
+# run of k consecutive points on one DIAGONAL (pos_a - pos_b constant)
+# is precisely an exact common substring of length L + k - 1 — windows
+# at (i, j), (i+1, j+1), …, (i+k-1, j+k-1) all match iff
+# a[i : i+L+k-1] == b[j : j+L+k-1], and a longer common substring would
+# extend the run. Suffix-array resolution from one explode, two
+# aggregates, one banded equi-join, and a run-length window — all
+# shuffle-friendly primitives.
+# ---------------------------------------------------------------------------
+
+#: exact-span resolution: maximal duplicated spans shorter than this
+#: produce no full window and are invisible. Lee et al. dedup at 50 BPE
+#: tokens; 24 chars keeps the span relation meaningful on the ~300-char
+#: synthetic docs while staying far above single-word noise.
+_SPAN_L = 24
+#: window document-frequency band cap for the pair join (the q248/q239
+#: df-band discipline): a window in more docs than this is boilerplate-
+#: frequency and is dropped from the join, capping per-window pair
+#: fan-out at df_max^2/2 regardless of template density.
+_SPAN_DF_MAX = 8
+#: within-doc occurrence cap: a window repeating more than this inside
+#: ONE document is degenerate repetition ("aaaa…" runs, padding) whose
+#: diagonal grid would contribute occ² match points per partner; such
+#: (doc, window) groups are dropped entirely (q122's repetition gate
+#: owns that signal). Bounds the grid at occ_max² points per (pair,
+#: window).
+_SPAN_OCC_MAX = 4
+
+#: shared DuckDB CTE chain ending in the maximal-span relation `spans`
+#: (doc_a, doc_b, start_a, start_b, span_len) — composed by the q251 and
+#: q252 oracles exactly like _SHINGLES_SQL/_CLUSTERS_SQL are elsewhere
+_SPANS_SQL = f"""
+w AS (
+  SELECT doc_id, i AS pos, substring(text, i, {_SPAN_L}) AS win
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - {_SPAN_L} + 1))
+         AS t(i)
+  WHERE length(text) >= {_SPAN_L}
+),
+occ AS (
+  SELECT doc_id, win FROM w GROUP BY doc_id, win
+  HAVING COUNT(*) <= {_SPAN_OCC_MAX}
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.win
+  FROM w JOIN occ ON w.doc_id = occ.doc_id AND w.win = occ.win
+),
+band AS (
+  SELECT win FROM kept GROUP BY win
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_DF_MAX}
+),
+inb AS (SELECT k.doc_id, k.pos, k.win FROM kept k JOIN band USING (win)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM inb a JOIN inb b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pos_a, pos_b,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         CAST(MIN(pos_b) AS BIGINT) AS start_b,
+         CAST(COUNT(*) + {_SPAN_L} - 1 AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+)
+"""
+
+
+def exact_dup_spans(
+    d: DataFrame,
+    L: int = _SPAN_L,
+    df_max: int = _SPAN_DF_MAX,
+    occ_max: int = _SPAN_OCC_MAX,
+) -> DataFrame:
+    """All maximal exact duplicated character spans of length >= ``L``
+    between document pairs of a (doc_id, text) frame:
+    (doc_a, doc_b, start_a, start_b, span_len), positions 1-indexed.
+    Each row states that ``substring(text_a, start_a, span_len) ==
+    substring(text_b, start_b, span_len)`` exactly, and that the span
+    extends no further in either direction (maximality can only be
+    clipped where a boundary window was removed by the occ/df bounds —
+    the documented price of boundedness, like q248's df band).
+
+    Scale posture (100 TB): the explode is one row per corpus CHARACTER
+    — inherent to character-resolution span detection (a distributed
+    suffix array also spends linear work per character) and ~5× the row
+    count of the token-shingle ops. Stage 1 therefore aggregates window
+    document frequency on 8-byte ``xxhash64`` values WITHOUT
+    materializing window strings, so the full-corpus exchange carries
+    (doc_id, pos, hash) rows, never L-char strings; ``df_hash >= 2`` is
+    a strict superset of the content-duplicated windows (same string →
+    same hash; collisions only admit extras that stage 2's exact string
+    aggregates reject), so nothing exact is lost. Stage 2 re-extracts
+    window STRINGS only for the surviving positions — the duplicated
+    regions, a tiny fraction of any real corpus — and applies the
+    exact within-doc occurrence cap and the [2, df_max] document-
+    frequency band on strings. The pair join then fans out at most
+    df_max²/2 × occ_max² per window, and the run-length window is
+    partitioned by (pair, diagonal). No Python touches any row.
+
+    Streaming-twin decision (r15, documented): NONE. Every other dedup
+    twin keeps vocabulary- or instance-sized state (digests, counts);
+    an exact-span twin would need the per-CHARACTER (doc_id, pos, hash)
+    relation — state as large as the corpus itself — to re-derive
+    diagonal runs against arriving docs. Incremental pipelines should
+    gate at shingle resolution (the existing curate/neardup incremental
+    state) and run exact spans batch-side on the bounded survivor set.
+    """
+    from pyspark.sql.window import Window
+
+    docs = d.select("doc_id", "text")
+    # spread a narrow scan before the per-character explode: the explode
+    # multiplies work ~n_chars-fold, so a one-file corpus (one scan task,
+    # the local test shape) would serialize the whole window/hash stage
+    # on a single core. At cluster scale the scan already carries >=
+    # parallelism partitions and this adds NO shuffle.
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    ph = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(text, pos, {L})")).alias("h"),
+        )
+    )
+    dup_h = (
+        ph.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("dfh"))
+        .filter(F.col("dfh") >= 2)
+        .select("h")
+    )
+    surv = ph.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    wf = surv.join(docs, "doc_id").select(
+        "doc_id", "pos", F.expr(f"substring(text, pos, {L})").alias("win")
+    )
+    occ = (
+        wf.groupBy("doc_id", "win")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= occ_max)
+        .select("doc_id", "win")
+    )
+    kept = wf.join(occ, ["doc_id", "win"], "left_semi")
+    band = (
+        kept.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df").between(2, df_max))
+        .select("win")
+    )
+    # lineage barrier: inb is the tiny in-band survivor relation, but
+    # its lineage holds the full-corpus explode twice (hash-df build +
+    # probe) — without the barrier the a/b self-join would recompute
+    # that whole pipeline once PER SIDE (and q252 four times over)
+    inb = kept.join(band, "win", "left_semi").localCheckpoint(eager=False)
+    a = inb.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "win"
+    )
+    b = inb.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "win"
+    )
+    # pair dedup (doc_a < doc_b) goes IN the join condition — cheap and
+    # exact-neutral, the catalyst-pushdown-traps discipline
+    m = a.join(
+        b, (a["win"] == b["win"]) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b", "pos_a", "pos_b")
+    isl = m.withColumn("diag", F.col("pos_a") - F.col("pos_b")).withColumn(
+        "grp",
+        F.col("pos_a")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+        ),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(L - 1)).cast("long").alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+
+
+@register(
+    "q251_exact_dup_spans",
+    oracle=f"""
+WITH {_SPANS_SQL}
+SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans
+""",
+    doc="Maximal exact duplicated character spans >= "
+    f"{_SPAN_L} chars between document pairs — the suffix-array-"
+    "resolution exact member of the substring-dedup family (Lee et "
+    "al.), beside the 3-gram-shingle approximations q140/q203/q204. "
+    "Matching L-char windows between two docs are points on the "
+    "(pos_a, pos_b) grid; maximal runs along a diagonal ARE the exact "
+    "maximal common substrings (length L + run - 1), recovered by the "
+    "classic islands trick (pos_a - row_number per (pair, diagonal)). "
+    "Bounded like q248: window document frequency banded to "
+    f"[2, {_SPAN_DF_MAX}] and within-doc repeats capped at "
+    f"{_SPAN_OCC_MAX}, so join fan-out is constant per window; the "
+    "full-corpus exchange carries 8-byte window hashes (strings are "
+    "re-extracted only for the surviving duplicated regions). "
+    "Exactness: every reported span is a verbatim substring equality "
+    "at character precision; spans can only be MISSED (< L, or "
+    "boundary windows dropped by the caps), never misreported.",
+)
+def q251_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_spans(load(spark, sf_dir, "documents"))
+
+
+def dup_span_profile_exact(
+    d: DataFrame,
+    L: int = _SPAN_L,
+    df_max: int = _SPAN_DF_MAX,
+    occ_max: int = _SPAN_OCC_MAX,
+) -> DataFrame:
+    """Per-document exact-duplication profile over :func:`exact_dup_spans`:
+    (doc_id, longest_span, dup_chars, n_regions, dup_ppm). ``dup_chars``
+    is the size of the UNION of the doc's duplicated intervals (classic
+    sweep: running max of interval ends per doc, new region when a start
+    clears it), so overlapping spans from different partners are not
+    double-counted; ``dup_ppm`` is integer ppm of the doc's characters
+    inside duplicated regions — the exact-resolution analog of q140's
+    shingle-level dup-span profile, and the per-doc gate a Lee-et-al
+    scrub would threshold on. Windows are partitioned by doc_id
+    (never global)."""
+    from pyspark.sql.window import Window
+
+    # barrier: iv reads spans twice (a/b sides) and is itself read
+    # twice (interval sweep + longest) — four traversals without it
+    spans = exact_dup_spans(d, L, df_max, occ_max).localCheckpoint(
+        eager=False
+    )
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_len") - 1).alias("e"),
+        "span_len",
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+            "span_len",
+        )
+    )
+    ordered = Window.partitionBy("doc_id").orderBy("s", "e")
+    pv = iv.withColumn(
+        "prev_max",
+        F.max("e").over(
+            ordered.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    isl = pv.withColumn(
+        "new_isl",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    agg = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_regions"),
+    )
+    longest = iv.groupBy("doc_id").agg(
+        F.max("span_len").cast("long").alias("longest_span")
+    )
+    return (
+        agg.join(longest, "doc_id")
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "longest_span",
+            "dup_chars",
+            "n_regions",
+            F.expr("cast(1000000 * dup_chars div n_chars as bigint)").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "q252_dup_span_profile_exact",
+    oracle=f"""
+WITH {_SPANS_SQL},
+iv AS (
+  SELECT doc_a AS doc_id, start_a AS s,
+         start_a + span_len - 1 AS e, span_len
+  FROM spans
+  UNION ALL
+  SELECT doc_b, start_b, start_b + span_len - 1, span_len FROM spans
+),
+pv AS (
+  SELECT doc_id, s, e, span_len,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+marked AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl_id
+  FROM pv
+),
+merged AS (
+  SELECT doc_id, isl_id, MIN(s) AS s, MAX(e) AS e
+  FROM marked GROUP BY doc_id, isl_id
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_regions
+  FROM merged GROUP BY doc_id
+),
+longest AS (
+  SELECT doc_id, CAST(MAX(span_len) AS BIGINT) AS longest_span
+  FROM iv GROUP BY doc_id
+)
+SELECT a.doc_id, l.longest_span, a.dup_chars, a.n_regions,
+       CAST(1000000 * a.dup_chars // d.n_chars AS BIGINT) AS dup_ppm
+FROM agg a JOIN longest l USING (doc_id) JOIN documents d USING (doc_id)
+""",
+    doc="Per-document exact-duplication profile: longest exact "
+    "duplicated span, union size of all duplicated intervals "
+    "(interval-merge sweep per doc — overlapping spans from different "
+    "partners counted once), region count, and integer ppm of the "
+    "doc's characters inside duplicated regions — the character-exact "
+    "analog of q140's shingle-resolution profile, thresholdable as a "
+    "Lee-et-al scrub gate. Rides q251's bounded span relation; the "
+    "only additions are doc_id-partitioned interval windows and two "
+    "combinable aggregates.",
+)
+def q252_dup_span_profile_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dup_span_profile_exact(load(spark, sf_dir, "documents"))

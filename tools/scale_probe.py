@@ -279,6 +279,14 @@ HEADLINE = [
     # the capped variant's candidates are blocks x 32^2/2 and must
     # track the scan + bounded heap.
     "q249_edit_distance_bounded",
+    # q251/q252 (r15): character-window explode (one row per corpus
+    # char — linear by construction), 8-byte hash-df prefilter exchange,
+    # exact string stages only on duplicated-region survivors, pair join
+    # banded [2, 8] with a within-doc occ cap of 4. Replica texts suffix
+    # every token, so the K× corpus adds windows but no new cross-doc
+    # dups — the probe must track the explode+aggregate scan.
+    "q251_exact_dup_spans",
+    "q252_dup_span_profile_exact",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
