@@ -153,6 +153,7 @@ ROTATING = [
     "q249_edit_distance_bounded",  # block-capped edit-distance pairs (r14)
     "q251_exact_dup_spans",  # character-exact maximal dup spans (r15)
     "q252_dup_span_profile_exact",  # per-doc exact dup-coverage gate (r15)
+    "q253_exact_span_scrub",  # exact-span removal rewrite (r15)
 ]
 
 # The full headline sweep (tools consume this name: scale_probe budgets,

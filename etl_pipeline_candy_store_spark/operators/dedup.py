@@ -2986,16 +2986,23 @@ def exact_dup_spans(
     suffix array also spends linear work per character) and ~5× the row
     count of the token-shingle ops. Stage 1 therefore aggregates window
     document frequency on 8-byte ``xxhash64`` values WITHOUT
-    materializing window strings, so the full-corpus exchange carries
-    (doc_id, pos, hash) rows, never L-char strings; ``df_hash >= 2`` is
-    a strict superset of the content-duplicated windows (same string →
-    same hash; collisions only admit extras that stage 2's exact string
-    aggregates reject), so nothing exact is lost. Stage 2 re-extracts
-    window STRINGS only for the surviving positions — the duplicated
-    regions, a tiny fraction of any real corpus — and applies the
-    exact within-doc occurrence cap and the [2, df_max] document-
-    frequency band on strings. The pair join then fans out at most
-    df_max²/2 × occ_max² per window, and the run-length window is
+    materializing window strings, so the only full-corpus exchange
+    carries (hash, doc_id) rows, never L-char strings; ``df_hash >= 2``
+    is a strict superset of the content-duplicated windows (same string
+    → same hash; collisions only admit extras that stage 2's exact
+    string aggregates reject), so nothing exact is lost. Stage 2 is a
+    SECOND scan pass over the docs (scan + codegen, no shuffle) whose
+    window strings are immediately semi-joined against the small
+    duplicated-hash relation — map-side when it broadcasts, which it
+    does whenever duplicated content is a bounded fraction of the
+    corpus — so window STRINGS exist only for the surviving positions
+    (the duplicated regions) and never re-join the corpus itself (an
+    earlier draft joined survivor positions back to ``docs``, which
+    invited the planner to broadcast the whole corpus — exactly the
+    plan that cannot exist at 100 TB, and it OOMed the K=30 probe).
+    The exact within-doc occurrence cap and the [2, df_max] document-
+    frequency band then apply on strings; the pair join fans out at
+    most df_max²/2 × occ_max² per window, and the run-length window is
     partitioned by (pair, diagonal). No Python touches any row.
 
     Streaming-twin decision (r15, documented): NONE. Every other dedup
@@ -3017,36 +3024,60 @@ def exact_dup_spans(
     par = d.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, "doc_id")
-    ph = (
-        docs.filter(F.length("text") >= L)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
-            ).alias("pos"),
-            "text",
+    def _windows(with_win: bool) -> DataFrame:
+        # substring materializes ONCE per row; the hash derives from it
+        # in the same codegen stage (an earlier draft re-evaluated the
+        # substring inside xxhash64 — 2x the character work)
+        w = (
+            docs.filter(F.length("text") >= L)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
+                ).alias("pos"),
+                "text",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.expr(f"substring(text, pos, {L})").alias("win"),
+            )
         )
-        .select(
-            "doc_id",
-            "pos",
-            F.xxhash64(F.expr(f"substring(text, pos, {L})")).alias("h"),
-        )
-    )
+        cols = ["doc_id", "pos", F.xxhash64("win").alias("h")]
+        if with_win:
+            cols.append(F.col("win"))
+        return w.select(*cols)
+
+    # every survivor-stage relation below (dup hashes, occ-kept keys,
+    # banded windows) is duplicated-content-sized: usually tiny, but on
+    # a template-dense corpus it can approach corpus scale — so none of
+    # these joins may be PLANNED as broadcasts off static estimates
+    # (the explode behind them makes Catalyst's size guess meaningless;
+    # the K=30 probe corpus, whose token suffixes push every shared
+    # 3-token phrase over the L-char threshold, built an 8.8 GiB
+    # "broadcast" that way and died). The merge hint plans them as
+    # shuffle joins; AQE still converts back to broadcast AT RUNTIME
+    # when the measured side is genuinely small, so the common corpus
+    # pays nothing for the safety.
     dup_h = (
-        ph.groupBy("h")
+        _windows(with_win=False)
+        .groupBy("h")
         .agg(F.count_distinct("doc_id").alias("dfh"))
         .filter(F.col("dfh") >= 2)
         .select("h")
+        .hint("merge")
     )
-    surv = ph.join(dup_h, "h", "left_semi").select("doc_id", "pos")
-    wf = surv.join(docs, "doc_id").select(
-        "doc_id", "pos", F.expr(f"substring(text, pos, {L})").alias("win")
+    wf = (
+        _windows(with_win=True)
+        .join(dup_h, "h", "left_semi")
+        .select("doc_id", "pos", "win")
     )
     occ = (
         wf.groupBy("doc_id", "win")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") <= occ_max)
         .select("doc_id", "win")
+        .hint("merge")
     )
     kept = wf.join(occ, ["doc_id", "win"], "left_semi")
     band = (
@@ -3054,6 +3085,7 @@ def exact_dup_spans(
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df").between(2, df_max))
         .select("win")
+        .hint("merge")
     )
     # lineage barrier: inb is the tiny in-band survivor relation, but
     # its lineage holds the full-corpus explode twice (hash-df build +
@@ -3116,6 +3148,38 @@ def q251_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_spans(load(spark, sf_dir, "documents"))
 
 
+def _merge_intervals(iv: DataFrame) -> DataFrame:
+    """Union of possibly-overlapping 1-based closed intervals per doc —
+    (doc_id, s, e) in, disjoint merged (doc_id, s, e) out — via the
+    classic sweep: running max of interval ends in (s, e) order, a
+    start past it opens a new region. All windows are doc_id-
+    partitioned; shared by the q252 profile and the q253 scrub."""
+    from pyspark.sql.window import Window
+
+    ordered = Window.partitionBy("doc_id").orderBy("s", "e")
+    pv = iv.select("doc_id", "s", "e").withColumn(
+        "prev_max",
+        F.max("e").over(
+            ordered.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    marked = pv.withColumn(
+        "new_isl",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    ).select("doc_id", "s", "e")
+
+
 def dup_span_profile_exact(
     d: DataFrame,
     L: int = _SPAN_L,
@@ -3132,8 +3196,6 @@ def dup_span_profile_exact(
     shingle-level dup-span profile, and the per-doc gate a Lee-et-al
     scrub would threshold on. Windows are partitioned by doc_id
     (never global)."""
-    from pyspark.sql.window import Window
-
     # barrier: iv reads spans twice (a/b sides) and is itself read
     # twice (interval sweep + longest) — four traversals without it
     spans = exact_dup_spans(d, L, df_max, occ_max).localCheckpoint(
@@ -3152,28 +3214,7 @@ def dup_span_profile_exact(
             "span_len",
         )
     )
-    ordered = Window.partitionBy("doc_id").orderBy("s", "e")
-    pv = iv.withColumn(
-        "prev_max",
-        F.max("e").over(
-            ordered.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-    )
-    isl = pv.withColumn(
-        "new_isl",
-        F.when(
-            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(
-            ordered.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    merged = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
+    merged = _merge_intervals(iv)
     agg = merged.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
         F.count(F.lit(1)).cast("long").alias("n_regions"),
@@ -3253,3 +3294,167 @@ def q252_dup_span_profile_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return dup_span_profile_exact(load(spark, sf_dir, "documents"))
+
+
+def exact_span_scrub(
+    d: DataFrame,
+    L: int = _SPAN_L,
+    df_max: int = _SPAN_DF_MAX,
+    occ_max: int = _SPAN_OCC_MAX,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL at character resolution — the
+    transform q252 only profiles, and the exact sibling of the
+    3-gram-shingle scrub q203 (same Lee-et-al contract: delete the
+    repeated text, keep one copy). Every :func:`exact_dup_spans` pair
+    has doc_a < doc_b by construction, so the LOWER doc_id is the
+    span's canonical copy: the doc_b-side intervals are merged per doc
+    (overlaps from different partners union) and cut out; the
+    surviving text is rebuilt by concatenating the complement gaps in
+    position order. Returns (doc_id, n_chars, n_removed, clean_text)
+    for EVERY document (untouched docs pass through whole).
+
+    Like q203, the contract is originally-covered-character removal in
+    one pass: text newly adjacent after a cut can form duplicated
+    spans no input document contained, so a fixpoint caller would
+    re-run this same linear plan (q203's fixpoint/3-pass machinery
+    applies unchanged — this operator is deliberately the single
+    pass). Plan shape: q251's bounded span relation, one doc_id-
+    partitioned interval sweep, one gap-extraction join against the
+    docs (the interval side is duplicated-region-sized, never the
+    corpus), and one ordered string re-aggregation per doc.
+    """
+    docs = d.select("doc_id", "text", "n_chars")
+    spans = exact_dup_spans(d, L, df_max, occ_max).localCheckpoint(
+        eager=False
+    )
+    drop = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+    )
+    merged = _merge_intervals(drop)
+    from pyspark.sql.window import Window
+
+    gaps = merged.withColumn(
+        "gs",
+        F.coalesce(
+            F.lag("e").over(Window.partitionBy("doc_id").orderBy("s")),
+            F.lit(0),
+        )
+        + 1,
+    )
+    frag = gaps.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("s").alias("ord"),
+        F.expr("substring(text, gs, s - gs)").alias("frag"),
+    )
+    tail = (
+        merged.groupBy("doc_id")
+        .agg(F.max("e").alias("me"))
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.lit(2_000_000_000).cast("long").alias("ord"),
+            F.expr("substring(text, me + 1)").alias("frag"),
+        )
+    )
+    clean = (
+        frag.unionByName(tail)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "frag"))),
+                    lambda x: x["frag"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+    )
+    removed = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed")
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.col("text")).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "q253_exact_span_scrub",
+    oracle=f"""
+WITH {_SPANS_SQL},
+drop_iv AS (
+  SELECT doc_b AS doc_id, start_b AS s,
+         start_b + span_len - 1 AS e
+  FROM spans
+),
+pv AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM drop_iv
+),
+marked AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl_id
+  FROM pv
+),
+merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM marked GROUP BY doc_id, isl_id
+),
+gaps AS (
+  SELECT doc_id, s AS ord, s,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+           AS gs
+  FROM merged
+),
+frag AS (
+  SELECT g.doc_id, g.ord, substring(d.text, g.gs, g.s - g.gs) AS frag
+  FROM gaps g JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, CAST(2000000000 AS BIGINT) AS ord,
+         substring(d.text, t.me + 1) AS frag
+  FROM (SELECT doc_id, MAX(e) AS me FROM merged GROUP BY doc_id) t
+  JOIN documents d USING (doc_id)
+),
+clean AS (
+  SELECT doc_id, string_agg(frag, '' ORDER BY ord) AS clean_text
+  FROM frag GROUP BY doc_id
+),
+rm AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       COALESCE(rm.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       COALESCE(c.clean_text, d.text) AS clean_text
+FROM documents d
+LEFT JOIN rm USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+""",
+    doc="Exact duplicated-span removal at character resolution — the "
+    "Lee-et-al delete-the-repeat transform as an executable rewrite, "
+    "beside the shingle-resolution q203 (whose boundaries are "
+    "quantized to 3-token shingles; this one cuts the verbatim span). "
+    "Canonical-copy rule mirrors q203: the pair's lower doc_id keeps "
+    "its text, the doc_b-side intervals (merged per doc across "
+    "partners) are cut, survivors re-concatenate in position order "
+    "(integer-ordered string_agg — engine-exact). One pass over "
+    "originally-covered characters, like q203; rides q251's bounded "
+    "span relation, so the join sides are duplicated-region-sized, "
+    "never the corpus.",
+)
+def q253_exact_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_span_scrub(load(spark, sf_dir, "documents"))

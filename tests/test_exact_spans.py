@@ -186,3 +186,63 @@ def test_spans_match_batch_oracle_shape(spark):
         | (F.col("dup_ppm") > 1_000_000)
     )
     assert bad.count() == 0
+
+
+def test_scrub_removes_doc_b_span_keeps_canonical(spark):
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        exact_span_scrub,
+    )
+
+    shared = "The quick brown fox jumps over the lazy dog!"
+    a = _uniq(1, 30) + shared + _uniq(2, 25)
+    b = _uniq(3, 10) + shared + _uniq(4, 40)
+    rows = {
+        r.doc_id: r
+        for r in exact_span_scrub(_frame(spark, {1: a, 2: b})).collect()
+    }
+    # canonical (lower doc_id) keeps its text whole
+    assert rows[1].clean_text == a and rows[1].n_removed == 0
+    # the other copy loses exactly the span
+    assert rows[2].n_removed == len(shared)
+    assert rows[2].clean_text == _uniq(3, 10) + _uniq(4, 40)
+    assert rows[2].n_chars == len(b)
+
+
+def test_scrub_merges_overlapping_cuts(spark):
+    """Doc 3 shares overlapping regions with docs 1 and 2 — the cuts
+    union before removal, so the clean text is the complement of the
+    merged interval, not a double cut."""
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        exact_span_scrub,
+    )
+
+    base = _uniq(5, 140)
+    texts = {
+        1: _uniq(1, 25) + base[30:80],  # doc 3 chars 31..80
+        2: _uniq(2, 55) + base[60:110],  # doc 3 chars 61..110
+        3: base,
+    }
+    rows = {
+        r.doc_id: r
+        for r in exact_span_scrub(_frame(spark, texts)).collect()
+    }
+    # docs 1 and 2 are the LOWER ids of their pairs — untouched
+    assert rows[1].n_removed == 0 and rows[1].clean_text == texts[1]
+    assert rows[2].n_removed == 0 and rows[2].clean_text == texts[2]
+    # doc 3 loses the union [31, 110] once
+    assert rows[3].n_removed == 80
+    assert rows[3].clean_text == base[:30] + base[110:]
+
+
+def test_scrub_untouched_docs_pass_through(spark):
+    from etl_pipeline_candy_store_spark.operators.dedup import (
+        exact_span_scrub,
+    )
+
+    texts = {1: _uniq(1, 80), 2: _uniq(2, 80)}
+    rows = {
+        r.doc_id: r
+        for r in exact_span_scrub(_frame(spark, texts)).collect()
+    }
+    for i in (1, 2):
+        assert rows[i].clean_text == texts[i] and rows[i].n_removed == 0

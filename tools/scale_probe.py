@@ -279,14 +279,21 @@ HEADLINE = [
     # the capped variant's candidates are blocks x 32^2/2 and must
     # track the scan + bounded heap.
     "q249_edit_distance_bounded",
-    # q251/q252 (r15): character-window explode (one row per corpus
-    # char — linear by construction), 8-byte hash-df prefilter exchange,
-    # exact string stages only on duplicated-region survivors, pair join
-    # banded [2, 8] with a within-doc occ cap of 4. Replica texts suffix
-    # every token, so the K× corpus adds windows but no new cross-doc
-    # dups — the probe must track the explode+aggregate scan.
+    # q251/q252/q253 (r15): character-window explode (one row per
+    # corpus char — linear by construction), 8-byte hash-df prefilter
+    # exchange, exact string stages only on duplicated-region
+    # survivors, pair join banded [2, 8] with a within-doc occ cap of
+    # 4. NOTE the expanded corpus is char-level ADVERSARIAL, not just
+    # bigger: the per-replica token suffixes lengthen every token, so
+    # 3-token phrases shared within a replica cross the 24-char window
+    # threshold that they sit under in the base corpus — in-band
+    # windows grow super-K (a template-density shift, the shape that
+    # forced these queries' survivor joins onto shuffle plans instead
+    # of statically-estimated broadcasts). The probe verifies the
+    # bounded plan SURVIVES that shift inside the linear budget.
     "q251_exact_dup_spans",
     "q252_dup_span_profile_exact",
+    "q253_exact_span_scrub",
     # q242: one split projection + source-keyed agg-collapse (tight).
     "q242_split_balance_audit",
     # q243: the q231 grid with a 2-cohort split — per-source-vocab
