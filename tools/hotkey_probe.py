@@ -94,20 +94,28 @@ def main() -> None:
         ("late_exhaust", int(hot * 1.5)),  # exhausts ~75% through
     ]:
         df = make_requests(spark, total, hot_stock)
+        # each timed leg executes the full plan INTO the fingerprint
+        # aggregate (three map-side-combined sums — negligible over the
+        # allocation itself), so one execution yields both the wall
+        # time and the identity check. The previous probe
+        # localCheckpoint-ed both 200M-row outputs instead, and a
+        # 100M-row hot partition cannot be cached as one deserialized
+        # block — the ladder's top rung OOMed the probe, not the
+        # operator (allocate_sequential streams the hot key through
+        # mapInPandas in Arrow batches).
         t0 = time.time()
-        seq_out = allocate_sequential(df, **kw).localCheckpoint()
+        fp_seq = fingerprint(allocate_sequential(df, **kw))
         t_seq = round(time.time() - t0, 2)
         t0 = time.time()
-        bkt_out = allocate_bucketed(df, n_buckets=n_buckets, **kw).localCheckpoint()
+        fp_bkt = fingerprint(allocate_bucketed(df, n_buckets=n_buckets, **kw))
         t_bkt = round(time.time() - t0, 2)
         report[shape] = {
             "sequential_sec": t_seq,
             "bucketed_sec": t_bkt,
             "speedup": round(t_seq / max(t_bkt, 0.01), 2),
-            "identical": fingerprint(seq_out) == fingerprint(bkt_out),
+            "identical": fp_seq == fp_bkt,
         }
-        seq_out.unpersist()
-        bkt_out.unpersist()
+        df.unpersist()
 
     print(json.dumps(report))
     spark.stop()
