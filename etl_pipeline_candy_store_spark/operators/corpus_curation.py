@@ -56,7 +56,10 @@ GROUP BY sh.doc_id
     "space. Integer counts only; consumers threshold the ratio.",
 )
 def q91_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    # shared exchange for the freq build + probe branches (r15 — see
+    # jaccard_pairs): one shingle explode, one shuffle, both consumers
+    # already clustered by the join key
+    sh = _shingles(load(spark, sf_dir, "documents")).hint("rebalance", "shingle")
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(freq, "shingle")

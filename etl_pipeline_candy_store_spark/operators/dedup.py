@@ -211,10 +211,15 @@ def _shingles(d: DataFrame) -> DataFrame:
             " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # r15: dedup row-locally (array_distinct before the explode) instead
+    # of a global .distinct() — (doc_id, shingle) duplicates can only
+    # occur WITHIN one document (doc_id is in the key), so the set is
+    # identical and the full-corpus (doc_id, shingle) exchange the
+    # distinct paid disappears from every consumer (q51/q226/q248/q91 +
+    # the memoized pair chain).
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -327,8 +332,19 @@ def jaccard_pairs(
     and the curation pipeline."""
     # no cache(): materializing the shingle set costs more than the ~3
     # recomputations of this cheap projection (measured 5s vs 0.5s at
-    # sf0.1); cache only when the shingle build itself dominates
-    sh = _shingles(d)
+    # sf0.1); cache only when the shingle build itself dominates.
+    # The explicit REBALANCE is the branches' SHARED exchange: the
+    # a/b self-join sides and the card aggregate all consume it, so
+    # ReuseExchange runs the shingle explode once (r15 — _shingles no
+    # longer ends in a distinct exchange; without this, each branch
+    # re-explodes from the scan), the join needs no further shuffle,
+    # and card's partials are doc-count-sized. REBALANCE rather than
+    # repartition() so AQE still coalesces (and skew-splits) the
+    # exchange — a hard repartition pins the initial partition count
+    # through every downstream stage (measured: rebalance 1.52s vs
+    # repartition 1.84s vs old distinct-exchange 2.14s, interleaved
+    # min-of-4 at sf0.1).
+    sh = _shingles(d).hint("rebalance", "shingle")
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -600,22 +616,45 @@ def _simhash_df(d: DataFrame, n_bits: int) -> DataFrame:
     n x the rows through an extra shuffle (measured 2.5x slower at
     sf0.1 for n=32). Integer sums are order-exact, so the result is
     bit-identical either way."""
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
-    votes = toks.select(
+    # row-local distinct (see _shingles): (doc_id, tok) duplicates only
+    # occur within a doc, so array_distinct replaces the global exchange
+    toks = d.select(
         "doc_id",
-        F.md5(F.col("tok").cast("binary")).alias("h"),
-    ).select(
-        "doc_id",
-        *[
-            F.when(
-                (F.expr(f"instr('0123456789abcdef', substr(h, {i + 1}, 1))") - 1) % 2
-                == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias(f"v{i}")
-            for i in range(n_bits)
-        ],
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    # r15: hex digit i's parity via integer bit arithmetic instead of
+    # per-bit instr+substr string scans — the md5 hex is cut into 8-digit
+    # slices converted to longs ONCE (n_bits/8 conv calls per token), and
+    # digit i = slice i//8's nibble (7 - i%8), so its parity is one
+    # shift+mask. Same digits, same parities, same ±1 votes exactly.
+    n_slices = (n_bits + 7) // 8
+    votes = (
+        toks.select(
+            "doc_id",
+            F.md5(F.col("tok").cast("binary")).alias("h"),
+        )
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 8 * k + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"w{k}")
+                for k in range(n_slices)
+            ],
+        )
+        .select(
+            "doc_id",
+            *[
+                (
+                    F.shiftright(
+                        F.col(f"w{i // 8}"), 4 * (7 - i % 8)
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).alias(f"v{i}")
+                for i in range(n_bits)
+            ],
+        )
     )
     sums = votes.groupBy("doc_id").agg(
         *[F.sum(f"v{i}").alias(f"s{i}") for i in range(n_bits)]
@@ -2165,7 +2204,8 @@ def containment_pairs(
     highest shingle document frequency, so at scale prefer
     :func:`containment_pairs_bounded` — the neardup() dispatcher's
     subset route does."""
-    sh = _shingles(d)
+    # shared exchange for the self-join + card branches (see jaccard_pairs)
+    sh = _shingles(d).hint("rebalance", "shingle")
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return _containment_scored(sh, card, min_micros)
 
@@ -2185,7 +2225,10 @@ def containment_pairs_bounded(
     """q248's df-banded containment pairs over any (doc_id, text)
     frame — the subset/quote leg the neardup() dispatcher routes to
     (identical hashes at the default band)."""
-    sh = _shingles(d)
+    # shared exchange for dfreq/kept/self-join/card (see jaccard_pairs);
+    # dfreq and the semi-join probe are both already clustered by
+    # shingle on it, so the band costs no additional shuffle
+    sh = _shingles(d).hint("rebalance", "shingle")
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(
@@ -3059,11 +3102,17 @@ def exact_dup_spans(
     # shuffle joins; AQE still converts back to broadcast AT RUNTIME
     # when the measured side is genuinely small, so the common corpus
     # pays nothing for the safety.
+    # "window seen in >= 2 distinct docs" as min != max — one exchange
+    # of (h, min, max) partials instead of count_distinct's two-level
+    # (h, doc_id)-keyed plan, whose first exchange carries the full
+    # per-character relation nearly unreduced (every (h, doc_id) pair
+    # is unique, so partial dedup removes almost nothing). Same set of
+    # hashes exactly: >= 2 distinct doc_ids <=> min(doc_id) != max.
     dup_h = (
         _windows(with_win=False)
         .groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("dfh"))
-        .filter(F.col("dfh") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("h")
         .hint("merge")
     )
@@ -3072,26 +3121,43 @@ def exact_dup_spans(
         .join(dup_h, "h", "left_semi")
         .select("doc_id", "pos", "win")
     )
-    occ = (
-        wf.groupBy("doc_id", "win")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") <= occ_max)
-        .select("doc_id", "win")
-        .hint("merge")
-    )
-    kept = wf.join(occ, ["doc_id", "win"], "left_semi")
-    band = (
-        kept.groupBy("win")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df").between(2, df_max))
-        .select("win")
-        .hint("merge")
-    )
+    # occ cap and df band in ONE exchange (r15 rewrite): the old shape
+    # aggregated occ / band separately and semi-joined each back onto
+    # the position relation, which planned wf's full explode subtree
+    # once per join branch (4x) behind 5 survivor-sized exchanges
+    # (plans/r15/q251_inb_stage_{before,after}.txt: 22 exchanges /
+    # 7 SMJ / 8 explodes -> 5 / 1 / 2). Here wf is REBALANCE-exchanged
+    # by win ONCE (rebalance, not repartition(), so AQE still
+    # coalesces/skew-splits it) and all three survivor stats are
+    # window functions over that single clustering — hash(win)
+    # satisfies the (win, doc_id) clustering requirement, so Spark
+    # inserts no further exchange and one (win, doc_id) sort serves all
+    # three specs. Semantics are unchanged row-for-row: `occ` is the
+    # per-(doc, win) position count over the SAME pre-filter relation
+    # the old aggregate saw, and max(dense_rank by doc_id) over the
+    # occ-capped survivors IS count_distinct(doc_id). Skew posture is
+    # the old plan's: a boilerplate window (df >> df_max, dropped by
+    # the band filter either way) already landed its positions in one
+    # hash(win) partition at the old kept-join; the window form sorts
+    # them once more before discarding — bounded extra work on groups
+    # whose size q122's repetition gate bounds upstream.
+    occ_w = Window.partitionBy("win", "doc_id")
+    rank_w = Window.partitionBy("win").orderBy("doc_id")
+    band_w = Window.partitionBy("win")
     # lineage barrier: inb is the tiny in-band survivor relation, but
     # its lineage holds the full-corpus explode twice (hash-df build +
     # probe) — without the barrier the a/b self-join would recompute
     # that whole pipeline once PER SIDE (and q252 four times over)
-    inb = kept.join(band, "win", "left_semi").localCheckpoint(eager=False)
+    inb = (
+        wf.hint("rebalance", "win")
+        .withColumn("occ", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("occ") <= occ_max)
+        .withColumn("dr", F.dense_rank().over(rank_w))
+        .withColumn("df", F.max("dr").over(band_w))
+        .filter(F.col("df").between(2, df_max))
+        .select("doc_id", "pos", "win")
+        .localCheckpoint(eager=False)
+    )
     a = inb.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "win"
     )
@@ -3148,16 +3214,23 @@ def q251_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_spans(load(spark, sf_dir, "documents"))
 
 
-def _merge_intervals(iv: DataFrame) -> DataFrame:
+def _merge_intervals(iv: DataFrame, carry_max: str | None = None) -> DataFrame:
     """Union of possibly-overlapping 1-based closed intervals per doc —
     (doc_id, s, e) in, disjoint merged (doc_id, s, e) out — via the
     classic sweep: running max of interval ends in (s, e) order, a
     start past it opens a new region. All windows are doc_id-
-    partitioned; shared by the q252 profile and the q253 scrub."""
+    partitioned; shared by the q252 profile and the q253 scrub.
+
+    ``carry_max`` threads ``max(<col>)`` per island through the sweep
+    (every input row lands in exactly one island, so a per-doc max over
+    the returned islands equals the per-doc max over the raw
+    intervals) — lets q252 recover longest_span without a second
+    traversal of the span union."""
     from pyspark.sql.window import Window
 
     ordered = Window.partitionBy("doc_id").orderBy("s", "e")
-    pv = iv.select("doc_id", "s", "e").withColumn(
+    cols = ["doc_id", "s", "e"] + ([carry_max] if carry_max else [])
+    pv = iv.select(*cols).withColumn(
         "prev_max",
         F.max("e").over(
             ordered.rowsBetween(Window.unboundedPreceding, -1)
@@ -3175,9 +3248,11 @@ def _merge_intervals(iv: DataFrame) -> DataFrame:
             ordered.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return marked.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    ).select("doc_id", "s", "e")
+    aggs = [F.min("s").alias("s"), F.max("e").alias("e")]
+    if carry_max:
+        aggs.append(F.max(carry_max).alias(carry_max))
+    out_cols = ["doc_id", "s", "e"] + ([carry_max] if carry_max else [])
+    return marked.groupBy("doc_id", "isl_id").agg(*aggs).select(*out_cols)
 
 
 def dup_span_profile_exact(
@@ -3196,8 +3271,8 @@ def dup_span_profile_exact(
     shingle-level dup-span profile, and the per-doc gate a Lee-et-al
     scrub would threshold on. Windows are partitioned by doc_id
     (never global)."""
-    # barrier: iv reads spans twice (a/b sides) and is itself read
-    # twice (interval sweep + longest) — four traversals without it
+    # barrier: iv reads spans twice (a/b sides) — two traversals of the
+    # whole span build without it
     spans = exact_dup_spans(d, L, df_max, occ_max).localCheckpoint(
         eager=False
     )
@@ -3214,17 +3289,20 @@ def dup_span_profile_exact(
             "span_len",
         )
     )
-    merged = _merge_intervals(iv)
+    # r15: longest_span threads through the sweep (max per island, then
+    # max per doc) instead of a second traversal of the span union +
+    # a sort-merge join of the two aggregates — every interval lands in
+    # exactly one island, so the nested max is the same number. One
+    # branch, one exchange (the groupBys reuse the sweep's hash(doc_id)
+    # clustering), no agg-side join.
+    merged = _merge_intervals(iv, carry_max="span_len")
     agg = merged.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
         F.count(F.lit(1)).cast("long").alias("n_regions"),
-    )
-    longest = iv.groupBy("doc_id").agg(
-        F.max("span_len").cast("long").alias("longest_span")
+        F.max("span_len").cast("long").alias("longest_span"),
     )
     return (
-        agg.join(longest, "doc_id")
-        .join(d.select("doc_id", "n_chars"), "doc_id")
+        agg.join(d.select("doc_id", "n_chars"), "doc_id")
         .select(
             "doc_id",
             "longest_span",
@@ -3318,10 +3396,13 @@ def exact_span_scrub(
     spans no input document contained, so a fixpoint caller would
     re-run this same linear plan (q203's fixpoint/3-pass machinery
     applies unchanged — this operator is deliberately the single
-    pass). Plan shape: q251's bounded span relation, one doc_id-
-    partitioned interval sweep, one gap-extraction join against the
-    docs (the interval side is duplicated-region-sized, never the
-    corpus), and one ordered string re-aggregation per doc.
+    pass). Plan shape (r15): q251's bounded span relation, one doc_id-
+    partitioned interval sweep, one fold of each doc's cut intervals
+    into a per-doc row (array of disjoint sorted intervals + removed
+    count — bounded by the span caps), and ONE join against the docs;
+    the surviving text is rebuilt in-place by an `aggregate` fold over
+    the interval array (gap before each cut, tail after the last), so
+    no string fragments are ever shuffled.
     """
     docs = d.select("doc_id", "text", "n_chars")
     spans = exact_dup_spans(d, L, df_max, occ_max).localCheckpoint(
@@ -3333,55 +3414,59 @@ def exact_span_scrub(
         (F.col("start_b") + F.col("span_len") - 1).alias("e"),
     )
     merged = _merge_intervals(drop)
-    from pyspark.sql.window import Window
-
-    gaps = merged.withColumn(
-        "gs",
-        F.coalesce(
-            F.lag("e").over(Window.partitionBy("doc_id").orderBy("s")),
-            F.lit(0),
-        )
-        + 1,
-    )
-    frag = gaps.join(docs, "doc_id").select(
-        "doc_id",
-        F.col("s").alias("ord"),
-        F.expr("substring(text, gs, s - gs)").alias("frag"),
-    )
-    tail = (
-        merged.groupBy("doc_id")
-        .agg(F.max("e").alias("me"))
-        .join(docs, "doc_id")
-        .select(
-            "doc_id",
-            F.lit(2_000_000_000).cast("long").alias("ord"),
-            F.expr("substring(text, me + 1)").alias("frag"),
-        )
-    )
-    clean = (
-        frag.unionByName(tail)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ord", "frag"))),
-                    lambda x: x["frag"],
-                ),
-                "",
-            ).alias("clean_text")
-        )
-    )
-    removed = merged.groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed")
+    # r15 rewrite: the old shape re-derived `merged` in THREE branches
+    # (gap fragments, tail fragment, removed-count), joined `docs` in
+    # four places, and re-assembled fragments through a collect_list
+    # shuffle of string pieces. Instead, fold each doc's (disjoint,
+    # sorted) cut intervals into ONE per-doc row — interval array,
+    # removed-char count, max end — on the sweep's existing
+    # hash(doc_id) clustering, join `docs` once, and rebuild the
+    # surviving text with an `aggregate` fold over the interval array:
+    # append the gap before each cut, finish with the tail after the
+    # last cut. Gap/tail arithmetic is byte-identical to the old
+    # lag()-window form (gs = prev_e + 1 with prev_e = 0 for the
+    # first interval; tail = substring(text, max_e + 1)); intervals
+    # per doc are bounded by the span relation's df/occ caps, so the
+    # array is small by construction. docs is scanned once, not three
+    # times, and the only exchanges left are the sweep's and the one
+    # docs-side join.
+    per_doc = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
     )
     return (
-        docs.join(removed, "doc_id", "left")
-        .join(clean, "doc_id", "left")
+        docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.col("text")).alias("clean_text"),
+            F.when(F.col("ivs").isNull(), F.col("text"))
+            .otherwise(
+                F.aggregate(
+                    "ivs",
+                    F.struct(
+                        F.lit(0).cast("long").alias("prev_e"),
+                        F.lit("").alias("acc"),
+                    ),
+                    lambda a, iv: F.struct(
+                        iv["e"].alias("prev_e"),
+                        F.concat(
+                            a["acc"],
+                            F.col("text").substr(
+                                a["prev_e"] + 1,
+                                iv["s"] - a["prev_e"] - 1,
+                            ),
+                        ).alias("acc"),
+                    ),
+                    lambda a: F.concat(
+                        a["acc"],
+                        F.col("text").substr(
+                            a["prev_e"] + 1, F.length("text").cast("long")
+                        ),
+                    ),
+                )
+            )
+            .alias("clean_text"),
         )
     )
 

@@ -266,29 +266,77 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
     """Distinct winnowing fingerprints (doc_id, wmin) over any
     (doc_id, text) frame: rolling polynomial hash per 3-gram shingle,
     min per trailing 4-shingle window, distinct mins. Shared by q48's
-    per-doc profile and q239's fingerprint-keyed near-dup pairs."""
+    per-doc profile and q239's fingerprint-keyed near-dup pairs.
+
+    r15 plan: the old shape folded the polynomial over every CHARACTER
+    of every materialized shingle string (≈3× the corpus characters
+    through an interpreted higher-order lambda). Polynomial hashes
+    compose: h(s1 ++ s2) = (h(s1)·31^len(s2) + h(s2)) mod p, so the
+    per-character fold now runs once per DISTINCT token (Zipf-bounded
+    vocabulary work), emitting (h_tok, 31^len_tok mod p), and each
+    shingle's hash is five integer mod-ops composed from its three
+    tokens' values via two lead() columns on the same (doc_id, pos)
+    window the winnow minimum already needs. Shingle strings are never
+    materialized. Every intermediate product stays < 2^61 (operands
+    reduced mod p ≈ 2^30 first), so ANSI long arithmetic is exact and
+    the hashes are bit-identical to the character fold's."""
     from pyspark.sql.window import Window
 
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.expr(
-            "transform(sequence(0, size(toks) - 3),"
-            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingles = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.posexplode(sh).alias("pos0", "shingle"))
+    P = 1_000_000_007
+    occ = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    poly = F.aggregate(
-        F.transform(F.split("shingle", ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % 1000000007,
+    # one interpreted char-fold per DISTINCT token: h = poly hash,
+    # pw = 31^len mod p (an empty token folds to (0, 1) — the identity,
+    # exactly what the character fold contributes for it)
+    vocab = (
+        occ.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.aggregate(
+                F.split("tok", ""),
+                F.struct(
+                    F.lit(0).cast("long").alias("h"),
+                    F.lit(1).cast("long").alias("pw"),
+                ),
+                lambda a, c: F.struct(
+                    ((a["h"] * 31 + F.ascii(c).cast("long")) % P).alias("h"),
+                    ((a["pw"] * 31) % P).alias("pw"),
+                ),
+            ).alias("hp"),
+        )
+        .select("tok", F.col("hp.h").alias("h"), F.col("hp.pw").alias("pw"))
+        # duplicated-content-sized? No — vocabulary-sized, but the
+        # explode above wrecks Catalyst's size estimate, so keep the
+        # planner off a static broadcast; AQE rebroadcasts at runtime
+        # when the vocabulary is genuinely small.
+        .hint("merge")
     )
-    hashed = shingles.select("doc_id", "pos0", poly.alias("h"))
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    tok_h = occ.join(vocab, "tok").select("doc_id", "pos", "h", "pw")
+    comp = (
+        tok_h.withColumn("h2", F.lead("h", 1).over(seq))
+        .withColumn("pw2", F.lead("pw", 1).over(seq))
+        .withColumn("h3", F.lead("h", 2).over(seq))
+        .withColumn("pw3", F.lead("pw", 2).over(seq))
+        .filter(F.col("h3").isNotNull())
+    )
+    # h(t1 ' ' t2 ' ' t3), composed left to right with a mod after
+    # every step (32 = ascii space)
+    sh_h = (
+        (
+            ((F.col("h") * 31 + 32) % P * F.col("pw2") + F.col("h2")) % P * 31
+            + 32
+        )
+        % P
+        * F.col("pw3")
+        + F.col("h3")
+    ) % P
+    hashed = comp.select("doc_id", "pos", sh_h.alias("h"))
     w = (
         Window.partitionBy("doc_id")
-        .orderBy("pos0")
+        .orderBy("pos")
         .rowsBetween(Window.currentRow, 3)
     )
     return hashed.select("doc_id", F.min("h").over(w).alias("wmin")).distinct()
