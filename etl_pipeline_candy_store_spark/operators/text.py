@@ -1069,12 +1069,12 @@ FROM per
     "gates that catch boilerplate and generation loops before they "
     "reach a training corpus: most-frequent-bigram share, duplicated-"
     "trigram occurrence share, and unique-token ratio, all integer "
-    "micros (cross-engine exact). Plan: ONE explode builds a combined "
-    "(n, gram) relation for n=1,2,3 from row-local array slices "
-    "(n-grams never shuffle per size), one map-side-combinable "
-    "groupBy on (doc_id, n, gram), then a per-doc conditional "
-    "aggregate — two keyed shuffles total, both on doc-bounded keys, "
-    "no windows, no joins.",
+    "micros (cross-engine exact). Plan (r15): every signal is within-"
+    "document, so the whole query is a pure map — row-local n-gram "
+    "arrays, array_distinct sizes for the distinct counts, and the "
+    "top-bigram count as the longest run in the sorted bigram array — "
+    "ZERO exchanges, no windows, no joins (was: explode + two keyed "
+    "shuffles carrying gram strings).",
 )
 def q122_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load(spark, sf_dir, "documents"))
@@ -1091,33 +1091,49 @@ REP_DUP_TRIGRAM_MAX_MICROS = 400_000
 def repetition_signals(d: DataFrame) -> DataFrame:
     """q122's signals over any (doc_id, text) frame — reusable as a
     curation-pipeline gate. Documents shorter than a gram size
-    contribute zero for that signal (the NULLIF/COALESCE paths)."""
-    grams = (
-        d.select("doc_id", F.split("text", " ").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "concat("
-                    " transform(t, x -> struct(1 as n, x as gram)),"
-                    " transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-                    "   (x, i) -> struct(2 as n, concat(x, ' ', t[i + 1]) as gram)),"
-                    " transform(slice(t, 1, greatest(size(t) - 2, 0)),"
-                    "   (x, i) -> struct(3 as n,"
-                    "     concat(x, ' ', t[i + 1], ' ', t[i + 2]) as gram)))"
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    contribute zero for that signal (the NULLIF/COALESCE paths).
+
+    r15 plan: every signal is WITHIN-document, so nothing needs to
+    shuffle at all — the old explode + (doc_id, n, gram) aggregate +
+    per-doc aggregate (two keyed exchanges carrying gram strings) is
+    now a pure map: distinct counts are array_distinct sizes, and the
+    top-bigram count is the longest run in the sorted bigram array
+    (one row-local fold). Same integers exactly, including the
+    "no tokens -> no row" contract (the size >= 1 filter mirrors the
+    old explode emitting nothing). Measured 1.87s -> 0.87s interleaved
+    min-of-4 at sf0.1; 0 exchanges (was 2)."""
+    t = F.split("text", " ")
+    big = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', t[i + 1]))"
     )
-    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
-    per = counts.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
-        F.count(F.when(F.col("n") == 1, 1)).alias("d1"),
-        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
-        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("max2"),
-        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
-        F.count(F.when(F.col("n") == 3, 1)).alias("d3"),
+    tri = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+        " (x, i) -> concat(x, ' ', t[i + 1], ' ', t[i + 2]))"
+    )
+    base = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select("doc_id", "t", big.alias("big"), tri.alias("tri"))
+    )
+    # longest equal-run in the sorted bigram array == max per-doc bigram
+    # count. The '' init can never match a real bigram (every bigram
+    # contains the joining space).
+    maxrun = F.expr(
+        "aggregate(array_sort(big), struct('' as prev, 0L as run, 0L as best),"
+        " (a, x) -> struct(x as prev,"
+        "   if(x = a.prev, a.run + 1, 1L) as run,"
+        "   greatest(a.best, if(x = a.prev, a.run + 1, 1L)) as best),"
+        " a -> a.best)"
+    )
+    per = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("tot1"),
+        F.size(F.array_distinct("t")).cast("long").alias("d1"),
+        F.size("big").cast("long").alias("tot2"),
+        maxrun.alias("max2"),
+        F.size("tri").cast("long").alias("tot3"),
+        F.size(F.array_distinct("tri")).cast("long").alias("d3"),
     )
     return per.select(
         "doc_id",
