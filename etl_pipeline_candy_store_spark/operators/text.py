@@ -287,15 +287,21 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     # one interpreted char-fold per DISTINCT token: h = poly hash,
-    # pw = 31^len mod p (an empty token folds to (0, 1) — the identity,
-    # exactly what the character fold contributes for it)
+    # pw = 31^len mod p. The EMPTY token (consecutive/leading/trailing
+    # spaces in the text) must contribute the identity (0, 1) — but
+    # Spark's split('', '') returns [''], one empty element, whose fold
+    # step would yield (0, 31). Filtering empty chars out of the split
+    # makes the fold run zero steps there (init = the identity) and is
+    # a no-op for every non-empty token (single-char splits are never
+    # empty) — r16, the ADVICE.md empty-token fix, pinned by
+    # tests/test_winnow_irregular_whitespace.py against the q48 oracle.
     vocab = (
         occ.select("tok")
         .distinct()
         .select(
             "tok",
             F.aggregate(
-                F.split("tok", ""),
+                F.filter(F.split("tok", ""), lambda c: c != ""),
                 F.struct(
                     F.lit(0).cast("long").alias("h"),
                     F.lit(1).cast("long").alias("pw"),
