@@ -7,6 +7,7 @@ document, and the per-doc profile unions overlapping intervals."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from etl_pipeline_candy_store_spark.operators.dedup import (
     _SPAN_L,
@@ -117,6 +118,57 @@ def test_df_band_drops_boilerplate_windows(spark):
     assert exact_dup_spans(_frame(spark, texts)).count() == 0
     pair_only = {1: texts[1], 2: texts[2]}
     assert exact_dup_spans(_frame(spark, pair_only)).count() == 1
+
+
+@pytest.mark.slow
+def test_hot_window_band_prefilter_scales(spark):
+    """r16 de-skew probe (VERDICT r15 #2): ONE boilerplate window
+    planted in 50% of a 2000-doc corpus (df = 1000 >> df_max) must be
+    dropped by the partial-agg band without ever clustering its
+    positions into one task, and the one genuinely planted pair must
+    still come out character-exact. Filler windows are globally unique
+    (every 24-char window spans a full '<doc:06d>x<ctr:06d>y' group, so
+    it embeds its doc id); the boilerplate string is non-periodic so
+    the occ cap is not engaged."""
+    hot = "the quick brown zebra vaults over the lazy boilerplate dog"
+    shared = "EXACTLY-THIS-SPAN-IS-SHARED-BY-TWO-DOCS-ONLY!"
+
+    def filler(doc: int, groups: int, tag: str) -> str:
+        return "".join(f"{doc:06d}x{g:06d}{tag}" for g in range(groups))
+
+    # docs 0/1: all-distinct-letter fillers (every window unique within
+    # and across docs, occ cap untouched), so their ONLY shared
+    # substring is the planted span
+    texts = {
+        0: "qwertyuiopasdfghjklzxcvbnmQWER" + shared,
+        1: "MNBVCXZLKJHGFDSAPOIUYTREWQmnbv" + shared,
+    }
+    for i in range(2, 2000):
+        t = filler(i, 4, "y")
+        if i % 2 == 0:
+            t += hot + filler(i, 2, "z")
+        texts[i] = t
+    rows = exact_dup_spans(_frame(spark, texts)).collect()
+    planted = [r for r in rows if r.span_len == len(shared)]
+    assert len(planted) == 1
+    r = planted[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    a, b = texts[0], texts[1]
+    assert (
+        a[r.start_a - 1 : r.start_a - 1 + r.span_len]
+        == b[r.start_b - 1 : r.start_b - 1 + r.span_len]
+        == shared
+    )
+    # the hot window's interior (df = 999 >> df_max) must be banded
+    # away: any surviving span between the even docs can only be a
+    # single boundary window whose doc-id prefix/suffix happens to
+    # recur in <= df_max docs — never longer than one window, and
+    # never the hot string itself
+    others = [x for x in rows if x is not r]
+    assert all(x.span_len == _SPAN_L for x in others)
+    for x in others:
+        s = texts[x.doc_a][x.start_a - 1 : x.start_a - 1 + x.span_len]
+        assert hot not in s
 
 
 def test_repeated_occurrences_yield_one_span_each(spark):
