@@ -622,6 +622,65 @@ def fs_gamma(cand: DataFrame) -> DataFrame:
     )
 
 
+def fs_blocked_gamma(regsf: DataFrame) -> DataFrame:
+    """``fs_gamma(fs_candidates(regsf))``, fused (r16): the agreement
+    flags are computed per blocking pass BEFORE the (ra, rb) pair
+    dedup, so the dedup exchange carries four 0/1 ints instead of
+    eight attribute strings and the eight ``min_by`` aggregates
+    collapse to four ``max`` (guide §2.3 — shuffle fewer bytes: a pair
+    found by both passes compares the SAME two registrations, so its
+    flags are identical and first-pass-wins over attributes fed
+    exactly these flags to ``fs_gamma``). ``regsf`` is consumed by
+    four join sides across the two passes — callers that also derive
+    the u-weight pass from it (q217/q220) checkpoint it first so the
+    registration build runs once."""
+    withkeys = regsf.select(
+        "reg_id",
+        "name",
+        "nk",
+        "phone",
+        "addr",
+        "mkt",
+        F.substring("name", 17, 2).alias("blk_name"),
+        F.col("phone").alias("blk_phone"),
+    )
+
+    def _pass(key: str) -> DataFrame:
+        a = withkeys.select(
+            F.col("reg_id").alias("ra"),
+            F.col("name").alias("name_a"),
+            F.col("phone").alias("phone_a"),
+            F.col("addr").alias("addr_a"),
+            F.col("mkt").alias("mkt_a"),
+            "nk",
+            key,
+        )
+        b = withkeys.select(
+            F.col("reg_id").alias("rb"),
+            F.col("name").alias("name_b"),
+            F.col("phone").alias("phone_b"),
+            F.col("addr").alias("addr_b"),
+            F.col("mkt").alias("mkt_b"),
+            "nk",
+            key,
+        )
+        return fs_gamma(
+            a.join(b, ["nk", key]).filter(F.col("ra") < F.col("rb"))
+        )
+
+    return (
+        _pass("blk_name")
+        .unionByName(_pass("blk_phone"))
+        .groupBy("ra", "rb")
+        .agg(
+            *[
+                F.max(f"g_{k}").cast("int").alias(f"g_{k}")
+                for k in _FS_ATTRS
+            ]
+        )
+    )
+
+
 def fs_random_pair_gamma(regsf: DataFrame) -> DataFrame:
     """Agreement patterns over deterministic RANDOM pairings of the base
     registrations — reg k paired with reg k+17 (a stride that always
@@ -675,8 +734,11 @@ def fs_weights(gamma_u: DataFrame) -> DataFrame:
 def fs_scores(regsf: DataFrame) -> DataFrame:
     """Fellegi-Sunter scored candidate pairs: (ra, rb, g_*, score,
     is_match). The weight frame is 1 row, broadcast back over the
-    candidates — two scans of the registration relation total."""
-    gamma = fs_gamma(fs_candidates(regsf))
+    candidates. The registration relation feeds five join sides (two
+    blocking passes' a/b + the random-pairing u-estimate) — one lazy
+    checkpoint makes its build run once instead of per branch (r16)."""
+    regsf = regsf.localCheckpoint(eager=False)
+    gamma = fs_blocked_gamma(regsf)
     w = fs_weights(fs_random_pair_gamma(regsf))
     score = None
     for k in _FS_ATTRS:
@@ -958,7 +1020,10 @@ def fs_em_train(
     pair-sized) gamma relation and driver-side ladder arithmetic on the
     eight resulting counts — no per-pair Python, no extra shuffles."""
     spark = regsf.sparkSession
-    gamma = fs_gamma(fs_candidates(regsf)).localCheckpoint(eager=True)
+    # the registration relation feeds five join sides (blocking passes
+    # + u-estimate pairing): one lazy checkpoint -> built once (r16)
+    regsf = regsf.localCheckpoint(eager=False)
+    gamma = fs_blocked_gamma(regsf).localCheckpoint(eager=True)
     wrow = fs_weights(fs_random_pair_gamma(regsf)).collect()[0].asDict()
     w = {k: (wrow[f"wa_{k}"], wrow[f"wd_{k}"]) for k in _FS_ATTRS}
     th = _FS_THRESHOLD

@@ -173,10 +173,14 @@ def _occurrences(words: DataFrame) -> DataFrame:
     ).select("word", "n", "o.i", "o.l", "o.p")
 
 
-def seed_vocab(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+def seed_vocab(
+    words: DataFrame, occ: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(vocab, scored): substring seed counts and their integer
-    likelihood weights w = bin_len(c) - bin_len(total)."""
-    occ = _occurrences(words)
+    likelihood weights w = bin_len(c) - bin_len(total). ``occ`` lets a
+    caller that already materialized the occurrence relation share it."""
+    if occ is None:
+        occ = _occurrences(words)
     vocab = occ.groupBy("p").agg(F.sum("n").cast("long").alias("c"))
     tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
     scored = vocab.crossJoin(F.broadcast(tot)).select(
@@ -187,13 +191,22 @@ def seed_vocab(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     return vocab, scored
 
 
-def _dp_with_scores(words: DataFrame, scored: DataFrame) -> DataFrame:
+def _dp_with_scores(
+    words: DataFrame, scored: DataFrame, occ: DataFrame | None = None
+) -> DataFrame:
     """Solve the Viterbi DP for every distinct word against an ARBITRARY
     scored piece vocab (p, w): (word, n, m, best). Pieces absent from
     ``scored`` are unavailable to the DP — under the seed vocab every
     position is reachable; under an EM-pruned vocab a word may come out
-    unsegmentable (final best NULL) and downstream consumers drop it."""
-    occ = _occurrences(words)
+    unsegmentable (final best NULL) and downstream consumers drop it.
+
+    ``occ`` is the (static, vocab-bounded) occurrence relation of
+    ``words`` — callers that run the DP more than once (q212's two
+    passes, q219's per-EM-iteration pass) materialize it ONCE and pass
+    it in, so the substring explode is not re-derived per pass (r16,
+    guide §2.4: don't recompute what an iteration loop can share)."""
+    if occ is None:
+        occ = _occurrences(words)
     wm = (
         occ.join(F.broadcast(scored.select("p", "w")), "p")
         .groupBy("word")
@@ -211,21 +224,28 @@ def _dp_with_scores(words: DataFrame, scored: DataFrame) -> DataFrame:
     return words.join(wm, "word").withColumn("best", F.expr(_BEST))
 
 
-def _dp_bundle(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(words, scored, dp): the checkpointed word table, the scored seed
-    vocab, and every distinct word with its piece-weight map and solved
+def _dp_bundle(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(words, occ, scored, dp): the checkpointed word table, its
+    checkpointed substring-occurrence relation, the scored seed vocab,
+    and every distinct word with its piece-weight map and solved
     Viterbi best[] array. The word table is locally checkpointed ONCE
     (vocabulary-bounded — the bpe_train discipline), so the corpus is
     scanned exactly once for training no matter how many consumers
-    derive from it."""
+    derive from it; the occurrence relation (also vocab-bounded, and
+    static across EM iterations) is checkpointed beside it so the seed
+    count, every DP pass, and every EM iteration read the SAME explode
+    instead of re-deriving it (r16)."""
     words = _word_table(docs).localCheckpoint(eager=True)
-    _, scored = seed_vocab(words)
-    return words, scored, _dp_with_scores(words, scored)
+    occ = _occurrences(words).localCheckpoint(eager=True)
+    _, scored = seed_vocab(words, occ)
+    return words, occ, scored, _dp_with_scores(words, scored, occ)
 
 
 def _words_with_dp(docs: DataFrame) -> DataFrame:
     """(word, n, m, best): see :func:`_dp_bundle`."""
-    return _dp_bundle(docs)[2]
+    return _dp_bundle(docs)[3]
 
 
 def unigram_encodings(docs: DataFrame) -> DataFrame:
@@ -262,7 +282,7 @@ def unigram_em_step(docs: DataFrame, top: int = 20) -> DataFrame:
     distinct word (backward extraction over the solved best[]), count
     corpus-weighted piece usage, and re-bin scores from usage. Seed
     pieces the Viterbi never selects vanish (the EM prune)."""
-    _, scored, dp = _dp_bundle(docs)
+    _, _, scored, dp = _dp_bundle(docs)
     used = dp.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
     usage = used.groupBy("piece").agg(
         F.sum("n").cast("long").alias("n_viterbi")
@@ -545,7 +565,7 @@ def unigram_encode_docs_em2(docs: DataFrame) -> DataFrame:
     scored wrongly. Scale shape identical to q206: both DP passes are
     per-DISTINCT-word over the once-checkpointed word table, and the
     corpus is touched exactly twice (word-table build + encode join)."""
-    words, _, dp1 = _dp_bundle(docs)
+    words, occ, _, dp1 = _dp_bundle(docs)
     used = dp1.select("word", "n", F.explode(F.expr(_BT)).alias("piece"))
     usage = used.groupBy("piece").agg(
         F.sum("n").cast("long").alias("n_viterbi")
@@ -557,7 +577,7 @@ def unigram_encode_docs_em2(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
-    dp2 = _dp_with_scores(words, scored2)
+    dp2 = _dp_with_scores(words, scored2, occ)
     final = "try_element_at(best, CAST(length(word)+1 AS INT))"
     enc2 = (
         dp2.select("word", F.expr(final).alias("f"))
@@ -713,14 +733,17 @@ def unigram_train(
     lower it — that trade-off is the trajectory's story."""
     spark = docs.sparkSession
     words = _word_table(docs).localCheckpoint(eager=True)
-    _, scored0 = seed_vocab(words)
+    # static across iterations: materialize the substring explode once,
+    # every EM round's DP reads it instead of re-deriving (r16)
+    occ = _occurrences(words).localCheckpoint(eager=True)
+    _, scored0 = seed_vocab(words, occ)
     scored = scored0.select("p", "w").localCheckpoint(eager=True)
     n_vocab = scored.count()
     traj: list[dict] = []
     rounds = exact_iters if exact_iters is not None else max_iters
     converged = False
     for it in range(1, rounds + 1):
-        seg = _segmentable(_dp_with_scores(words, scored))
+        seg = _segmentable(_dp_with_scores(words, scored, occ))
         st = seg.agg(
             F.sum("n").cast("long").alias("n_seg_words"),
             F.sum(F.col("n") * F.col("f.k")).cast("long").alias("n_pieces"),

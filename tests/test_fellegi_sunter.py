@@ -107,6 +107,25 @@ def test_candidates_contain_nonmatches(spark):
     assert ug.filter(F.col("g_addr") == 1).count() == 0
 
 
+def test_blocked_gamma_fused_equals_unfused(spark):
+    """The r16 fused path (flags before the pair dedup, max-dedup on
+    ints) must reproduce fs_gamma over the first-pass-wins attribute
+    dedup row for row — the q217/q220 internals rewrite's equivalence
+    pin."""
+    from etl_pipeline_candy_store_spark.operators.entity import (
+        fs_blocked_gamma,
+    )
+
+    regsf = registrations_full(_customers(spark))
+    fused = sorted(
+        tuple(r) for r in fs_blocked_gamma(regsf).collect()
+    )
+    unfused = sorted(
+        tuple(r) for r in fs_gamma(fs_candidates(regsf)).collect()
+    )
+    assert fused == unfused and len(fused) > 0
+
+
 def test_multiblock_audit_union_complete(spark):
     """Each single blocking pass misses the variant that corrupts its
     key (name pass ~750000 ppm, phone pass ~250000 ppm); the union is
