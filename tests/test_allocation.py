@@ -353,6 +353,7 @@ if st is not None:
         hot_thresh=st.sampled_from([1, 5, 10**9]),
     )
     @settings(max_examples=10, deadline=None)
+    @pytest.mark.slow
     def test_property_dispatcher_matches_python_oracle(
         spark, reqs, stock, hot_thresh
     ):

@@ -5,11 +5,17 @@ scrub derived from the state equals the batch scrub_boilerplate exactly
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
     scrub_boilerplate,
 )
 from etl_pipeline_candy_store_spark.streaming.boilerplate_stream import (
+
+
     read_scrubbed,
     stream_segment_counts,
 )

@@ -8,6 +8,8 @@ still be caught."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -92,6 +94,7 @@ try:
 
     @given(words=_corpus)
     @settings(max_examples=10, deadline=None)
+    @pytest.mark.slow
     def test_bpe_train_property_matches_reference(spark, words):
         """Random small corpora: the distributed trainer must replay the
         textbook algorithm exactly — same merges, same counts, same

@@ -11,6 +11,8 @@ import shutil
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
@@ -19,6 +21,8 @@ from etl_pipeline_candy_store_spark.plans.candy_pipeline import (
 )
 from etl_pipeline_candy_store_spark.plans.candy_stream import stream_candy_allocation
 from tests.candy_fixtures import write_fixture
+
+
 
 
 def test_stream_pipeline_matches_batch(spark, tmp_path):

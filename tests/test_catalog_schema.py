@@ -124,6 +124,7 @@ def test_events_loader_normalizes_all_physical_layouts(spark, tmp_path):
     assert got["nanos_int64"] == got["micros_ntz"] == got["micros_utc"], got
 
 
+@pytest.mark.slow
 def test_catalog_outputs_are_scalar_typed(spark):
     """No catalog query may emit an array/struct/map column: the
     correctness harness hash-compares stringified cells, and non-scalar

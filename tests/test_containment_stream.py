@@ -6,12 +6,18 @@ cross-batch doc redeliveries change anything."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import (
     REGISTRY,
     _ensure_loaded,
     load,
 )
 from etl_pipeline_candy_store_spark.streaming.containment_stream import (
+
+
     read_containment_pairs,
     stream_shingle_state,
 )

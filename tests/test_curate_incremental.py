@@ -5,6 +5,10 @@ shrunk corpus)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.dedup import jaccard_pairs
@@ -14,6 +18,8 @@ from etl_pipeline_candy_store_spark.operators.neardup_state import (
     neardup_pairs_incremental,
 )
 from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+
+
     curate,
     dedup_exact,
 )

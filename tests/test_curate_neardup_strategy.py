@@ -9,11 +9,15 @@ tests — so everything here exercises the NON-default routes."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.curation import quality_gate
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.plans.curation_pipeline import (
+
+
     assign_split,
     curate,
     dedup_exact,

@@ -2,10 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.curation import _EVAL_MAX_DOC
 from etl_pipeline_candy_store_spark.plans.curation_pipeline import curate
+
+
 
 SF = "/root/testdata/sf0.001"
 

@@ -52,6 +52,7 @@ try:
         )
     )
     @settings(max_examples=10, deadline=None)
+    @pytest.mark.slow
     def test_cc_matches_union_find(spark, edges):
         got = _cc(spark, [(a, b) for a, b in edges])
         # driver-side union-find oracle
@@ -124,6 +125,7 @@ class TestStarContraction:
     def _labels(self, df):
         return {r["node"]: r["label"] for r in df.collect()}
 
+    @pytest.mark.slow
     def test_matches_min_label_on_random_graph(self, spark):
         import random
 
@@ -218,6 +220,7 @@ def test_pairs_memo_and_invalidate(spark):
     assert c is not a  # invalidated -> rebuilt
 
 
+@pytest.mark.slow
 def test_clusters_memo_consistent_and_invalidated_with_pairs(spark):
     """dedup_clusters_checkpointed: same memo discipline one level up —
     one frame per (session, sf_dir), rows identical to the direct star

@@ -5,6 +5,8 @@ dirty re-registration must resolve to its parent's entity, and the
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.entity import (
@@ -105,6 +107,7 @@ def test_entity_resolution_matches_python_reference(spark):
         assert (min(v1, v2), max(v1, v2)) not in pairs
 
 
+@pytest.mark.slow
 def test_stream_er_adversarial_order_matches_batch(spark, tmp_path):
     """Streaming ER must equal batch q213 even under ADVERSARIAL
     arrival: both dirty variants of a customer arrive BEFORE the

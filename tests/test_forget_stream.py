@@ -8,10 +8,14 @@ from __future__ import annotations
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.streaming.forget_stream import (
+
+
     apply_forget_batch,
     forgotten_filter,
     physical_purge,

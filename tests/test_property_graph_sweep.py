@@ -33,6 +33,7 @@ _points = st.lists(
 
 @given(pts=_points)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_property_skyline_matches_naive(spark, pts):
     rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
     df = spark.createDataFrame(rows, "id long, x double, y int")
@@ -95,6 +96,7 @@ def _pairs_df(spark, edges):
 
 @given(edges=_edges)
 @settings(max_examples=5, deadline=None)
+@pytest.mark.slow
 def test_property_khop_matches_python_bfs(spark, edges):
     pairs, uniq = _pairs_df(spark, edges)
     adj: dict[int, set[int]] = {}

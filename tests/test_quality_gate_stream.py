@@ -5,12 +5,18 @@ arrival order — and replays don't double-count."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import (
     REGISTRY,
     _ensure_loaded,
     load,
 )
 from etl_pipeline_candy_store_spark.streaming.quality_gate_stream import (
+
+
     read_gated,
     stream_quality_histogram,
 )

@@ -12,6 +12,8 @@ must agree row-for-row.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.graph import (
@@ -93,6 +95,7 @@ def test_triangles_clique_and_star(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+@pytest.mark.slow
 def test_triangle_set_invariant_under_orientation(spark):
     # degree-ordered orientation must yield the same counts as the
     # naive id-ordered enumeration on a skewed graph (hub node 1 in

@@ -7,6 +7,8 @@ plus the scale-posture plan contracts."""
 
 from __future__ import annotations
 
+import pytest
+
 import io
 import contextlib
 
@@ -122,6 +124,7 @@ def _py_mmr(cands, sims, k):
     return picks
 
 
+@pytest.mark.slow
 def test_mmr_matches_reference_greedy(spark):
     out = _run(spark, "q195_mmr_diversify").toPandas()
     from etl_pipeline_candy_store_spark.operators.retrieval import (
@@ -242,6 +245,7 @@ def test_padding_waste_no_joins_single_agg(spark):
 # ---------------------------------------------------------------- q198
 
 
+@pytest.mark.slow
 def test_retrieval_metrics_bounds_and_truth(spark):
     out = _run(spark, "q198_retrieval_metrics").toPandas()
     assert len(out) == 5

@@ -33,6 +33,8 @@ import os
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.allocation import allocate_sequential
@@ -42,6 +44,8 @@ from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
     stream_daily_summary,
 )
 from tests.candy_fixtures import write_fixture
+
+
 
 
 @pytest.fixture()

@@ -130,6 +130,7 @@ try:
 
     @given(gens=_GEN)
     @settings(max_examples=8, deadline=None)
+    @pytest.mark.slow
     def test_target_schema_reads_any_generation_mix(spark, tmp_path_factory, gens):
         root = tmp_path_factory.mktemp("evo_prop")
         mixed = str(root / "mixed")

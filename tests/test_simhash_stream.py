@@ -5,8 +5,14 @@ arrival order — and replays don't duplicate."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
 from etl_pipeline_candy_store_spark.streaming.simhash_stream import (
+
+
     read_simhash_pairs,
     stream_simhash_signatures,
 )

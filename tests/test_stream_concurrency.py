@@ -5,6 +5,10 @@ batch sweep, and replays don't double-count."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.operators.sweepline import (
@@ -13,6 +17,8 @@ from etl_pipeline_candy_store_spark.operators.sweepline import (
 )
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.streaming.concurrency_stream import (
+
+
     stream_interval_deltas,
 )
 

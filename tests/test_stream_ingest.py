@@ -5,9 +5,15 @@ idempotent via batch-scoped overwrites."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark.streaming.ingest_stream import (
+
+
     read_route,
     stream_variant_ingest,
 )

@@ -3,8 +3,14 @@ join over two file streams reproduces the batch range join exactly."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import load
 from etl_pipeline_candy_store_spark.streaming.interval_join_stream import (
+
+
     attribution_pairs,
     stream_click_attribution,
 )

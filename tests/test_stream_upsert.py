@@ -3,11 +3,17 @@ into a parquet target; latest seq wins within and across batches."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 import json
 import os
 
 from etl_pipeline_candy_store_spark.streaming.upsert_sink import stream_upsert_sink
 from pyspark.sql.types import (
+
+
     IntegerType,
     LongType,
     StringType,

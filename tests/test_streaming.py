@@ -8,6 +8,8 @@ import glob
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
 from pyspark.sql import functions as F
 
 from etl_pipeline_candy_store_spark import schemas
@@ -17,6 +19,8 @@ from etl_pipeline_candy_store_spark.streaming.allocation_stream import (
     stream_daily_summary,
 )
 from tests.candy_fixtures import write_fixture
+
+
 
 
 @pytest.fixture(scope="module")

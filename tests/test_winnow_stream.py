@@ -5,8 +5,14 @@ EVERY arrival order — and replays don't double-count."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # stream/state tier: quick runs skip (see conftest)
+
 from etl_pipeline_candy_store_spark.plans.catalog import REGISTRY, _ensure_loaded, load
 from etl_pipeline_candy_store_spark.streaming.winnow_stream import (
+
+
     read_winnow_pairs,
     stream_fingerprint_counts,
 )

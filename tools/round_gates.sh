@@ -26,8 +26,8 @@ round="${1:?usage: tools/round_gates.sh <round>}"
 echo "== pre-gate: regenerate CATALOG.md =="
 python tools/catalog_index.py
 
-echo "== gate 1/4: pytest =="
-python -m pytest tests/ -q
+echo "== gate 1/4: pytest (FULL tier — slow markers included) =="
+SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q
 
 # release check runs BEFORE the scale probe: both stamp the same HEAD,
 # but the probe OVERWRITES SCALE_r<N>.json — if that file is already
