@@ -743,7 +743,13 @@ def unigram_train(
     rounds = exact_iters if exact_iters is not None else max_iters
     converged = False
     for it in range(1, rounds + 1):
-        seg = _segmentable(_dp_with_scores(words, scored, occ))
+        # seg is consumed TWICE per round (the trajectory aggregate and
+        # the usage extraction): materialize it so the Viterbi fold —
+        # the round's dominant compute — runs once per round, not twice
+        # (r16; vocab-bounded rows, same discipline as words/occ/scored)
+        seg = _segmentable(
+            _dp_with_scores(words, scored, occ)
+        ).localCheckpoint(eager=True)
         st = seg.agg(
             F.sum("n").cast("long").alias("n_seg_words"),
             F.sum(F.col("n") * F.col("f.k")).cast("long").alias("n_pieces"),
