@@ -330,6 +330,17 @@ def jaccard_pairs(
     """Near-dup pairs (doc_a, doc_b, n_common, n_union) over any
     documents frame with (doc_id, text) — the reusable stage behind q51
     and the curation pipeline."""
+    return jaccard_pairs_from_shingles(_shingles(d), threshold)
+
+
+def jaccard_pairs_from_shingles(
+    shingles: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """The q51 pair stage over an EXISTING distinct-(doc_id, shingle)
+    relation — lets a caller that already materialized the shingles
+    (the incremental near-dup state path checkpoints its batch slice's
+    shingles for the postings probe) reuse them instead of re-running
+    the tokenize+explode from text (r16, guide §2.4)."""
     # no cache(): materializing the shingle set costs more than the ~3
     # recomputations of this cheap projection (measured 5s vs 0.5s at
     # sf0.1); cache only when the shingle build itself dominates.
@@ -344,7 +355,7 @@ def jaccard_pairs(
     # through every downstream stage (measured: rebalance 1.52s vs
     # repartition 1.84s vs old distinct-exchange 2.14s, interleaved
     # min-of-4 at sf0.1).
-    sh = _shingles(d).hint("rebalance", "shingle")
+    sh = shingles.hint("rebalance", "shingle")
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

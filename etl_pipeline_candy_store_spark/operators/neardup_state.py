@@ -86,6 +86,7 @@ from etl_pipeline_candy_store_spark.operators.dedup import (
     _shingles,
     connected_components,
     jaccard_pairs,
+    jaccard_pairs_from_shingles,
 )
 from etl_pipeline_candy_store_spark.plans.catalog import load, register
 
@@ -235,16 +236,19 @@ def neardup_pairs_incremental(
         ids = new_ids
         if n_new <= 10_000_000:  # one long + one digest per doc
             ids = F.broadcast(ids)
-        # batch-sized — pin it so the consumers below (shingling twice,
-        # pair verify, state write) don't re-run the split. fp rides in
-        # from new_ids so this text fetch does NOT recompute md5 over
-        # the corpus.
+        # batch-sized text fetch for the new slice. fp rides in from
+        # new_ids so this does NOT recompute md5 over the corpus. Pinned
+        # only when the state write below will consume it AGAIN — with
+        # update_state=False its sole consumer is the new_sh build
+        # (within-slice pairs now reuse new_sh directly, r16), so the
+        # checkpoint there would be a pure extra materialization job.
         new = (
             d1.select("doc_id", "text")
             .join(ids, "doc_id")
             .select("doc_id", "fp", "text")
-            .localCheckpoint(eager=True)
         )
+        if update_state:
+            new = new.localCheckpoint(eager=True)
     else:
         new = keyed.select("doc_id", "fp", "text")
 
@@ -339,7 +343,11 @@ def neardup_pairs_incremental(
     else:
         cross = stored = empty_pairs
 
-    within = jaccard_pairs(new.select("doc_id", "text"), threshold)
+    # the within-slice pairs REUSE the (checkpointed, when state
+    # exists) batch shingle relation instead of re-tokenizing the
+    # slice's text a second time (r16) — bit-identical by construction:
+    # jaccard_pairs(d) IS jaccard_pairs_from_shingles(_shingles(d))
+    within = jaccard_pairs_from_shingles(new_sh, threshold)
     fresh = within.unionByName(cross)
 
     if update_state:

